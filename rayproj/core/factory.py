@@ -111,7 +111,8 @@ def init_operation(params: Params, cs2cs_emulation: bool = True) -> Operation:
     datum_type, datum_params, params = datum_expand(params)
 
     if _needs_default_ellps(params):
-        params = Params(params.pairs + [("ellps", "WGS84")])
+        # the reference's default ellipsoid is GRS80 (init.cpp:351)
+        params = Params(params.pairs + [("ellps", "GRS80")])
 
     try:
         ell = resolve_ellipsoid(params)

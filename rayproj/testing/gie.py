@@ -59,6 +59,8 @@ def errno_from_name(s: str) -> int:
     try:
         return int(s)
     except ValueError:
+        if not s.startswith("pjd_err_"):
+            s = "pjd_err_" + s
         return _ERRNO_BY_NAME.get(s, 9999)
 
 
