@@ -157,10 +157,8 @@ def resolve_ellipsoid(params: Params, need_ellps: bool = True) -> Ellipsoid:
         size_def, shape_def = ELLPS_TABLE[name]
         base = Params.parse("+" + size_def + " +" + shape_def)
         a = base.float_("a")
-        a2, es2, e2_, f2_, b2, rf2 = _shape_from(base)
-        es, e, f, b, rf = es2, e2_, f2_, b2, rf2
+        es, e, f, b, rf = _shape_from(base, a)
         shape_given = True
-        del a2
 
     if params.has("a"):
         a = params.float_("a")
@@ -170,7 +168,7 @@ def resolve_ellipsoid(params: Params, need_ellps: bool = True) -> Ellipsoid:
         raise ProjError(ERR_MAJOR_AXIS_NOT_GIVEN)
 
     if any(params.has(k) for k in ("rf", "f", "es", "e", "b")):
-        _, es, e, f, b, rf = _shape_from(params)
+        es, e, f, b, rf = _shape_from(params, a)
         shape_given = True
 
     if not shape_given:
@@ -179,26 +177,29 @@ def resolve_ellipsoid(params: Params, need_ellps: bool = True) -> Ellipsoid:
 
     ell = Ellipsoid(a=a, es=es, e=e, f=f, b=b, rf=rf).derive()
 
-    # Spherification flags (ell_set.cpp ellps_spherification)
+    # Spherification flags (ell_set.cpp ellps_spherification); a new
+    # radius ≤ 0 is a size error, as in the reference (:410-412)
+    new_a = None
     if params.has("R_A"):  # authalic sphere (same surface area)
         es_ = ell.es
-        ell = Ellipsoid(
-            a=ell.a * (1.0 - es_ * (1.0 / 6.0 + es_ * (17.0 / 360.0 + es_ * 67.0 / 3024.0))),
-            es=0.0,
-        ).derive()
+        new_a = ell.a * (1.0 - es_ * (1.0 / 6.0 + es_ * (17.0 / 360.0 + es_ * 67.0 / 3024.0)))
     elif params.has("R_V"):  # sphere of same volume
         es_ = ell.es
-        ell = Ellipsoid(
-            a=ell.a * (1.0 - es_ * (1.0 / 6.0 + es_ * (5.0 / 72.0 + es_ * 55.0 / 1296.0))),
-            es=0.0,
-        ).derive()
+        new_a = ell.a * (1.0 - es_ * (1.0 / 6.0 + es_ * (5.0 / 72.0 + es_ * 55.0 / 1296.0)))
     elif params.has("R_a"):  # arithmetic mean of a,b
-        ell = Ellipsoid(a=0.5 * (ell.a + ell.b), es=0.0).derive()
+        new_a = 0.5 * (ell.a + ell.b)
     elif params.has("R_g"):  # geometric mean
-        ell = Ellipsoid(a=math.sqrt(ell.a * ell.b), es=0.0).derive()
+        prod = ell.a * ell.b
+        new_a = math.sqrt(prod) if prod >= 0 else -1.0
     elif params.has("R_h"):  # harmonic mean
-        ell = Ellipsoid(a=2 * ell.a * ell.b / (ell.a + ell.b), es=0.0).derive()
-    elif params.has("R_lat_a") or params.has("R_lat_g"):
+        if ell.a + ell.b == 0:
+            raise ProjError(ERR_MAJOR_AXIS_NOT_GIVEN)
+        new_a = 2 * ell.a * ell.b / (ell.a + ell.b)
+    if new_a is not None:
+        if not new_a > 0:
+            raise ProjError(ERR_MAJOR_AXIS_NOT_GIVEN)
+        return Ellipsoid(a=new_a, es=0.0).derive()
+    if params.has("R_lat_a") or params.has("R_lat_g"):
         arith = params.has("R_lat_a")
         key = "R_lat_a" if arith else "R_lat_g"
         phi = params.rad(key)
@@ -217,40 +218,46 @@ def resolve_ellipsoid(params: Params, need_ellps: bool = True) -> Ellipsoid:
     return ell
 
 
-def _shape_from(params: Params) -> tuple[float, float, float, float, float, float]:
-    """Return (a, es, e, f, b, rf) from the first shape key present."""
-    a = params.float_("a", 0.0)
+def _shape_from(params: Params, a: float) -> tuple[float, float, float, float, float]:
+    """Return (es, e, f, b, rf) from the first shape key present,
+    relative to semimajor axis ``a`` (ell_set.cpp ellps_shape)."""
     if params.has("rf"):
         rf = params.float_("rf")
         if rf == 0:
             raise ProjError(ERR_REV_FLATTENING_IS_ZERO)
         f = 1.0 / rf
         es = 2 * f - f * f
-        return a, es, 0.0, f, 0.0, rf
+        return es, 0.0, f, 0.0, rf
     if params.has("f"):
         f = params.float_("f")
         rf = 1.0 / f if f != 0.0 else HUGE_VAL
         es = 2 * f - f * f
-        return a, es, 0.0, f, 0.0, rf
+        if not es >= 0:
+            raise ProjError(ERR_ES_LESS_THAN_ZERO)
+        return es, 0.0, f, 0.0, rf
     if params.has("es"):
         es = params.float_("es")
         if es >= 1:
             raise ProjError(ERR_INVALID_ECCENTRICITY)
-        return a, es, 0.0, 0.0, 0.0, HUGE_VAL
+        if not es >= 0:
+            raise ProjError(ERR_ES_LESS_THAN_ZERO)
+        return es, 0.0, 0.0, 0.0, HUGE_VAL
     if params.has("e"):
         e = params.float_("e")
         if e < 0 or e >= 1:
             raise ProjError(ERR_INVALID_ECCENTRICITY)
-        return a, e * e, e, 0.0, 0.0, HUGE_VAL
+        return e * e, e, 0.0, 0.0, HUGE_VAL
     if params.has("b"):
         b = params.float_("b")
         if b <= 0:
             raise ProjError(ERR_INVALID_ECCENTRICITY)
         if b == a:
-            return a, 0.0, 0.0, 0.0, b, HUGE_VAL
+            return 0.0, 0.0, 0.0, b, HUGE_VAL
         f = (a - b) / a
         es = 2 * f - f * f
-        return a, es, 0.0, f, b, 1.0 / f if f else HUGE_VAL
+        if not es >= 0:
+            raise ProjError(ERR_ES_LESS_THAN_ZERO)
+        return es, 0.0, f, b, 1.0 / f if f else HUGE_VAL
     raise ProjError(ERR_MAJOR_AXIS_NOT_GIVEN, "no shape parameter")
 
 

@@ -101,6 +101,13 @@ def _needs_default_ellps(params: Params) -> bool:
 
 
 def init_operation(params: Params, cs2cs_emulation: bool = True) -> Operation:
+    # +init= catalog expansion, appended as defaults (init.cpp:212-318)
+    if params.has("init"):
+        from .resources import load_init
+
+        expansion = load_init(params.str_("init") or "")
+        params = Params(params.pairs + expansion)
+
     name = params.str_("proj")
     if not name:
         raise ProjError(ERR_PROJ_NOT_NAMED)

@@ -135,6 +135,9 @@ class Operation:
         self.datum_type = 0
         self.a_orig = ell.a
         self.es_orig = ell.es
+        # pipeline-step inversion flag (+inv)
+        self.inverted = False
+        self.parent = None  # owning pipeline (for push/pop stack access)
         # dispatch-control flags (skip_prep_fin for helper ops)
         self.skip_fwd_prepare = False
         self.skip_fwd_finalize = False
@@ -155,21 +158,33 @@ class Operation:
     def has_inverse(self) -> bool:
         return type(self)._inv is not Operation._inv
 
+    # -- effective io units (internal.cpp pj_left/pj_right: swapped when
+    # the op is pipeline-inverted; CLASSIC reported as PROJECTED) ----------
+    def eff_left(self) -> str:
+        u = self.right if self.inverted else self.left
+        return IO_PROJECTED if u == IO_CLASSIC else u
+
+    def eff_right(self) -> str:
+        u = self.left if self.inverted else self.right
+        return IO_PROJECTED if u == IO_CLASSIC else u
+
     # -- angular io classification (4D_api.cpp proj_angular_input/output) --
     def angular_input(self, direction: int) -> bool:
-        return (self.left if direction == FWD else self.right) == IO_RADIANS
+        return (self.eff_left() if direction == FWD else self.eff_right()) == IO_RADIANS
 
     def angular_output(self, direction: int) -> bool:
-        return (self.right if direction == FWD else self.left) == IO_RADIANS
+        return (self.eff_right() if direction == FWD else self.eff_left()) == IO_RADIANS
 
     def degree_input(self, direction: int) -> bool:
-        return (self.left if direction == FWD else self.right) == IO_DEGREES
+        return (self.eff_left() if direction == FWD else self.eff_right()) == IO_DEGREES
 
     def degree_output(self, direction: int) -> bool:
-        return (self.right if direction == FWD else self.left) == IO_DEGREES
+        return (self.eff_right() if direction == FWD else self.eff_left()) == IO_DEGREES
 
-    # -- dispatch ----------------------------------------------------------
+    # -- dispatch (proj_trans: honours the +inv step flag) -----------------
     def trans(self, direction: int, coo: Coords) -> Coords:
+        if self.inverted:
+            direction = -direction
         if direction == FWD:
             return self.fwd(coo)
         return self.inv(coo)

@@ -1,0 +1,92 @@
+"""Resource-file search path (+init catalogs, grid files).
+
+The engine equivalent of PROJ_LIB (init.cpp:212-318 get_init,
+filemanager search semantics): a colon-separated list of directories
+from ``RAYPROJ_DATA`` plus programmatic additions. The engine ships no
+catalog/grid data itself — like the reference without proj-data,
+resources are user-provided.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from .errors import ERR_NO_ARGS, ProjError
+
+_extra_paths: list[str] = []
+_init_cache: dict[tuple[str, str], list[tuple[str, str | None]]] = {}
+
+
+def search_paths() -> list[str]:
+    paths = list(_extra_paths)
+    env = os.environ.get("RAYPROJ_DATA", "")
+    paths.extend(p for p in env.split(":") if p)
+    return paths
+
+
+def add_search_path(path: str) -> None:
+    if path not in _extra_paths:
+        _extra_paths.insert(0, path)
+
+
+def find_file(name: str) -> str | None:
+    if os.path.isabs(name) and os.path.exists(name):
+        return name
+    for d in search_paths():
+        cand = os.path.join(d, name)
+        if os.path.exists(cand):
+            return cand
+    return None
+
+
+_SECTION = re.compile(r"<(\w+)>")
+
+
+def load_init(key: str) -> list[tuple[str, str | None]]:
+    """Expand 'file:section' into parameter pairs (init.cpp get_init).
+
+    Raises NotImplementedError for epsg:/IGNF: catalogs (served from
+    proj.db in the reference — out of scope per SURVEY.md §2.1).
+    """
+    if ":" not in key:
+        raise ProjError(ERR_NO_ARGS, f"no colon in init key {key!r}")
+    fname, section = key.split(":", 1)
+    if fname in ("epsg", "IGNF"):
+        raise NotImplementedError(f"init catalog {fname!r} requires the EPSG database")
+    ck = (fname, section)
+    if ck in _init_cache:
+        return _init_cache[ck]
+    path = find_file(fname)
+    if path is None:
+        raise NotImplementedError(f"init file {fname!r} not found on RAYPROJ_DATA path")
+    pairs: list[tuple[str, str | None]] = []
+    in_section = False
+    with open(path, errors="replace") as f:
+        for raw in f:
+            line = raw.split("#", 1)[0].strip()
+            if not line:
+                continue
+            if not in_section:
+                m = _SECTION.match(line)
+                if m and m.group(1) == section:
+                    in_section = True
+                    line = line[m.end():]
+                else:
+                    continue
+            end = line.find("<>")
+            if end >= 0:
+                line = line[:end]
+            for tok in line.split():
+                tok = tok.lstrip("+")
+                if not tok:
+                    continue
+                if "=" in tok:
+                    k, v = tok.split("=", 1)
+                    pairs.append((k, v))
+                else:
+                    pairs.append((tok, None))
+            if end >= 0:
+                _init_cache[ck] = pairs
+                return pairs
+    raise ProjError(-2, f"init section {section!r} not found in {fname!r}")

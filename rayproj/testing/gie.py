@@ -61,16 +61,25 @@ def errno_from_name(s: str) -> int:
     except ValueError:
         if not s.startswith("pjd_err_"):
             s = "pjd_err_" + s
-        return _ERRNO_BY_NAME.get(s, 9999)
+        if s in _ERRNO_BY_NAME:
+            return _ERRNO_BY_NAME[s]
+        # tolerate abbreviated names (missing_arg → missing_args, …)
+        matches = {v for k, v in _ERRNO_BY_NAME.items() if k.startswith(s)}
+        if len(matches) == 1:
+            return matches.pop()
+        return 9999
 
 
 def _strtod_scaled(args: str, default_scale: float = 1.0) -> float:
     """'0.1 mm' → meters (gie.cpp strtod_scaled)."""
-    parts = args.split()
-    if not parts:
+    m = re.match(r"\s*([-+0-9.eE]+)\s*([a-z]*)", args)
+    if not m or not m.group(1):
         return math.inf
-    s = float(parts[0])
-    unit = parts[1] if len(parts) > 1 else ""
+    try:
+        s = float(m.group(1))
+    except ValueError:
+        return math.inf
+    unit = m.group(2)
     scale = {
         "km": 1000.0,
         "m": 1.0,
@@ -228,6 +237,10 @@ def run_gie_file(
             st = _OpState()
             st.operation_str = _normalize_projstring(args)
             try:
+                if "proj=" not in st.operation_str:
+                    # CRS-style definition (WKT / EPSG code / bogus string):
+                    # requires the ISO-19111 machinery — out of scope
+                    raise NotImplementedError("non-proj-string definition")
                 st.op = create_operation(st.operation_str)
                 st.op_error = None
             except ProjError as e:

@@ -1,0 +1,51 @@
+"""Reference gie conformance corpus (SURVEY.md §5 layer 1).
+
+Runs every .gie file from the reference's test corpus through our
+engine. Assertions whose operators/grids we don't support yet are
+counted as skips; any non-skip failure fails this test. The ok-floor
+ratchets up as operator coverage grows.
+"""
+
+import glob
+import os
+
+import pytest
+
+import rayproj.core.resources as resources
+from rayproj import create_operation
+from rayproj.testing.gie import GieResult, run_gie_file
+
+GIE_DIR = "/root/reference/test/gie"
+GIGS_DIR = "/root/reference/test/gigs"
+
+# Floor on passing assertions — raise when adding operators.
+MIN_OK_GIE = 380
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _data_paths():
+    resources.add_search_path("/root/reference/data")
+    resources.add_search_path("/root/reference/data/tests")
+
+
+@pytest.mark.skipif(not os.path.isdir(GIE_DIR), reason="reference corpus not present")
+def test_gie_corpus():
+    tot = GieResult()
+    for path in sorted(glob.glob(os.path.join(GIE_DIR, "*.gie"))):
+        tot.merge(run_gie_file(path, create_operation))
+    assert tot.failed == 0, [
+        (f.file.split("/")[-1], f.lineno, f.operation[:60], f.deviation)
+        for f in tot.failures[:20]
+    ]
+    assert tot.ok >= MIN_OK_GIE
+
+
+@pytest.mark.skipif(not os.path.isdir(GIGS_DIR), reason="reference corpus not present")
+def test_gigs_corpus():
+    tot = GieResult()
+    for path in sorted(glob.glob(os.path.join(GIGS_DIR, "*.gie"))):
+        tot.merge(run_gie_file(path, create_operation))
+    assert tot.failed == 0, [
+        (f.file.split("/")[-1], f.lineno, f.operation[:60], f.deviation)
+        for f in tot.failures[:20]
+    ]
