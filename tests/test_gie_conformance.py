@@ -19,13 +19,23 @@ GIE_DIR = "/root/reference/test/gie"
 GIGS_DIR = "/root/reference/test/gigs"
 
 # Floor on passing assertions — raise when adding operators.
-MIN_OK_GIE = 380
+MIN_OK_GIE = 515
 
 
 @pytest.fixture(scope="module", autouse=True)
-def _data_paths():
+def _data_paths(tmp_path_factory):
     resources.add_search_path("/root/reference/data")
     resources.add_search_path("/root/reference/data/tests")
+    # the reference's test harness exposes downsampled grids under their
+    # production names (data/CMakeLists.txt:98-99) — mirror that
+    alias_dir = tmp_path_factory.mktemp("grid_aliases")
+    for alias, target in (
+        ("egm96_15.gtx", "/root/reference/data/tests/egm96_15_downsampled.gtx"),
+        ("ntv2_0.gsb", "/root/reference/data/tests/ntv2_0_downsampled.gsb"),
+    ):
+        if os.path.exists(target):
+            os.symlink(target, alias_dir / alias)
+    resources.add_search_path(str(alias_dir))
 
 
 @pytest.mark.skipif(not os.path.isdir(GIE_DIR), reason="reference corpus not present")
