@@ -171,30 +171,45 @@ class GieResult:
 
 def _records(path: str):
     """Yield (tag, args, lineno) records; a record's args may span lines
-    until the next tag / decorative line (gie.cpp ffio semantics)."""
+    until the next tag / decorative line (gie.cpp ffio semantics).
+    Content outside <gie>/<gie-strict> … </gie…> blocks is commentary."""
+    with open(path, errors="replace") as f:
+        text = f.read()
+    has_markers = "<gie" in text
+    in_block = not has_markers
     tag = None
     args: list[str] = []
     start_line = 0
-    with open(path, errors="replace") as f:
-        for lineno, raw in enumerate(f, 1):
-            line = raw.split("#", 1)[0].rstrip()
-            line = line.rstrip("\\").strip()
-            if not line:
-                continue
-            if line.startswith(("---", "===", "<gie", "</gie")):
-                if tag:
-                    yield tag, " ".join(args), start_line
-                    tag = None
-                continue
-            word = line.split(None, 1)[0]
-            if word in _TAGS:
-                if tag:
-                    yield tag, " ".join(args), start_line
-                tag = word
-                args = [line[len(word):].strip()]
-                start_line = lineno
-            elif tag:
-                args.append(line)
+    for lineno, raw in enumerate(text.splitlines(), 1):
+        line = raw.split("#", 1)[0].rstrip()
+        line = line.rstrip("\\").strip()
+        if not line:
+            continue
+        if line.startswith("<gie"):
+            in_block = True
+            continue
+        if line.startswith("</gie"):
+            if tag:
+                yield tag, " ".join(args), start_line
+                tag = None
+            in_block = False
+            continue
+        if not in_block:
+            continue
+        if line.startswith(("---", "===")):
+            if tag:
+                yield tag, " ".join(args), start_line
+                tag = None
+            continue
+        word = line.split(None, 1)[0]
+        if word in _TAGS:
+            if tag:
+                yield tag, " ".join(args), start_line
+            tag = word
+            args = [line[len(word):].strip()]
+            start_line = lineno
+        elif tag:
+            args.append(line)
     if tag:
         yield tag, " ".join(args), start_line
 
@@ -269,7 +284,12 @@ def run_gie_file(
             st.ignore = errno_from_name(args.split()[0]) if args.split() else 9999
         elif tag == "require_grid":
             name = args.split()[0] if args.split() else ""
-            if grid_available is None or not grid_available(name):
+            if grid_available is None:
+                from ..core.resources import find_file
+
+                if find_file(name) is None:
+                    st.skip_test = True
+            elif not grid_available(name):
                 st.skip_test = True
         elif tag == "accept":
             st.accept, dims = parse_coord(args)
