@@ -16,6 +16,16 @@ from .errors import ERR_NO_ARGS, ProjError
 
 _extra_paths: list[str] = []
 _init_cache: dict[tuple[str, str], list[tuple[str, str | None]]] = {}
+# in-memory catalogs (e.g. a gie file's own <code> … <> sections)
+_catalog_overrides: dict[str, dict[str, list[tuple[str, str | None]]]] = {}
+
+
+def set_catalog_override(fname: str, mapping: dict[str, list[tuple[str, str | None]]]) -> None:
+    _catalog_overrides[fname] = mapping
+
+
+def clear_catalog_override(fname: str) -> None:
+    _catalog_overrides.pop(fname, None)
 
 
 def search_paths() -> list[str]:
@@ -52,6 +62,9 @@ def load_init(key: str) -> list[tuple[str, str | None]]:
     if ":" not in key:
         raise ProjError(ERR_NO_ARGS, f"no colon in init key {key!r}")
     fname, section = key.split(":", 1)
+    override = _catalog_overrides.get(fname)
+    if override is not None and section in override:
+        return override[section]
     if fname in ("epsg", "IGNF"):
         raise NotImplementedError(f"init catalog {fname!r} requires the EPSG database")
     ck = (fname, section)

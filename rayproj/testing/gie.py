@@ -236,6 +236,22 @@ class _OpState:
         self.dims_at_accept = 2
 
 
+def _scan_inline_inits(path: str) -> dict[str, list[tuple[str, str | None]]]:
+    """GIGS-style gie files document their EPSG codes as init-file
+    sections '<NNNN> defn <>' at the top — parse them so +init=epsg:NNNN
+    resolves without the EPSG database."""
+    from ..core.params import Params
+
+    sections: dict[str, list[tuple[str, str | None]]] = {}
+    with open(path, errors="replace") as f:
+        for raw in f:
+            line = raw.split("#", 1)[0].strip()
+            m = re.match(r"<(\w+)>\s*(.*?)\s*<>\s*$", line)
+            if m and not m.group(1).startswith("gie"):
+                sections[m.group(1)] = Params.parse(m.group(2)).pairs
+    return sections
+
+
 def run_gie_file(
     path: str,
     create_operation,
@@ -244,6 +260,24 @@ def run_gie_file(
 ) -> GieResult:
     """Run one .gie file. ``create_operation`` is the factory;
     ``grid_available(name) -> bool`` gates require_grid blocks."""
+    from ..core import resources
+
+    inline = _scan_inline_inits(path)
+    if inline:
+        resources.set_catalog_override("epsg", inline)
+    try:
+        return _run_gie_file_inner(path, create_operation, grid_available, unsupported_as_skip)
+    finally:
+        if inline:
+            resources.clear_catalog_override("epsg")
+
+
+def _run_gie_file_inner(
+    path: str,
+    create_operation,
+    grid_available=None,
+    unsupported_as_skip: bool = True,
+) -> GieResult:
     res = GieResult()
     st = _OpState()
 
