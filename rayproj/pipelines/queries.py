@@ -1,0 +1,821 @@
+"""Driver-contract queries: one per operator family (SURVEY.md §2),
+each with a DuckDB-oracle SQL twin where ANSI SQL can express it.
+
+Exactness strategy: outputs are integers wherever possible (tile/cell ids,
+counts, cents) — IEEE +−×/ arithmetic is bit-identical between NumPy
+and DuckDB, so these match exactly. Transcendental-derived floats are
+rounded coarsely enough (1 dm / 1e-6 deg) that a few-ulp libm
+difference cannot flip a rounding boundary in practice.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..core.constants import DEG_TO_RAD, RAD_TO_DEG
+from ..core.factory import create_operation
+from ..core.op import FWD, Coords
+from ..functions import text as textfn
+from ..functions.ann import ann_dataset
+from ..functions.dedup import MinHasher, simhash64
+from ..spatial.cells import cell_xy
+from ..spatial.knn import merge_topk, partial_topk
+from ..spatial.polygons import PolygonIndex, make_polygons
+from ..spatial.tiles import tile_xy
+from ..stages.geolocate import geolocate_ids
+
+ZOOM = 8
+CELL_LEVEL = 6
+N_POLYS = 60
+N_ANCHORS = 20
+KNN_K = 3
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _geoloc_batch(batch: pa.Table) -> pa.Table:
+    lon, lat = geolocate_ids(batch.column("doc_id").to_numpy())
+    out = batch.append_column("lon", pa.array(lon, type=pa.float64()))
+    return out.append_column("lat", pa.array(lat, type=pa.float64()))
+
+
+GEOLOC_SQL = (
+    "SELECT doc_id, ((doc_id*9973) % 35000)/100.0 - 175.0 + 0.005 AS lon, "
+    "((doc_id*7919) % 16000)/100.0 - 80.0 + 0.005 AS lat FROM documents"
+)
+
+
+# ---------------------------------------------------------------------------
+# Geospatial queries
+# ---------------------------------------------------------------------------
+
+
+def q_geolocate(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    return ds.map_batches(_geoloc_batch, batch_format="pyarrow").select_columns(
+        ["doc_id", "lon", "lat"]
+    )
+
+
+SQL_GEOLOCATE = f"SELECT doc_id, lon, lat FROM ({GEOLOC_SQL}) ORDER BY doc_id"
+
+
+def _projected_query(sf_dir: str, projstring: str, round_dec: int = 1):
+    """Shared shape: geolocate → engine reprojection → rounded x/y."""
+    op = create_operation(projstring)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        batch = _geoloc_batch(batch)
+        lon = batch.column("lon").to_numpy()
+        lat = batch.column("lat").to_numpy()
+        coo = Coords(lon * DEG_TO_RAD, lat * DEG_TO_RAD)
+        op.trans(FWD, coo)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "x": pa.array(np.round(coo.x, round_dec)),
+                "y": pa.array(np.round(coo.y, round_dec)),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id"]).map_batches(fn, batch_format="pyarrow")
+
+
+def q_merc_fwd(sf_dir: str):
+    return _projected_query(sf_dir, "+proj=merc +ellps=GRS80")
+
+
+SQL_MERC = f"""
+WITH g AS ({GEOLOC_SQL}),
+c AS (SELECT 6378137.0 AS a, 1.0/298.257222101 AS f),
+e AS (SELECT a, sqrt(2*f - f*f) AS ecc FROM c)
+SELECT g.doc_id,
+  ROUND(a * radians(g.lon), 1) AS x,
+  ROUND(-a * ln( tan(pi()/4 - radians(g.lat)/2)
+        / pow((1 - ecc*sin(radians(g.lat))) / (1 + ecc*sin(radians(g.lat))), ecc/2) ), 1) AS y
+FROM g, e ORDER BY doc_id
+"""
+
+
+def q_webmerc_fwd(sf_dir: str):
+    return _projected_query(sf_dir, "+proj=webmerc +ellps=WGS84")
+
+
+SQL_WEBMERC = f"""
+WITH g AS ({GEOLOC_SQL})
+SELECT doc_id,
+  ROUND(6378137.0 * radians(lon), 1) AS x,
+  ROUND(6378137.0 * ln(tan(pi()/4 + radians(lat)/2)), 1) AS y
+FROM g ORDER BY doc_id
+"""
+
+
+def q_utm_fwd(sf_dir: str):
+    """UTM zone 31 (no SQL oracle: 6th-order Poder/Engsager series;
+    correctness is pinned by the gie corpus at 1 µm instead)."""
+    return _projected_query(sf_dir, "+proj=utm +zone=31 +ellps=GRS80")
+
+
+def q_cart_fwd(sf_dir: str):
+    op = create_operation("+proj=cart +ellps=GRS80")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        batch = _geoloc_batch(batch)
+        lon = batch.column("lon").to_numpy()
+        lat = batch.column("lat").to_numpy()
+        coo = Coords(lon * DEG_TO_RAD, lat * DEG_TO_RAD)
+        op.trans(FWD, coo)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "gx": pa.array(np.round(coo.x, 1)),
+                "gy": pa.array(np.round(coo.y, 1)),
+                "gz": pa.array(np.round(coo.z, 1)),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id"]).map_batches(fn, batch_format="pyarrow")
+
+
+SQL_CART = f"""
+WITH g AS ({GEOLOC_SQL}),
+c AS (SELECT 6378137.0 AS a, 1.0/298.257222101 AS f),
+e AS (SELECT a, 2*f - f*f AS es FROM c),
+n AS (SELECT g.doc_id, radians(g.lon) AS lam, radians(g.lat) AS phi,
+             a / sqrt(1 - es*sin(radians(g.lat))*sin(radians(g.lat))) AS nn, es
+      FROM g, e)
+SELECT doc_id,
+  ROUND(nn * cos(phi) * cos(lam), 1) AS gx,
+  ROUND(nn * cos(phi) * sin(lam), 1) AS gy,
+  ROUND(nn * (1 - es) * sin(phi), 1) AS gz
+FROM n ORDER BY doc_id
+"""
+
+
+HELMERT_PARAMS = dict(x=598.1, y=73.7, z=418.2, rx=0.202, ry=0.045, rz=-2.455, s=6.7)
+
+
+def q_helmert(sf_dir: str):
+    """cart(bessel) → 7-param Helmert (small-angle, position_vector)."""
+    cart = create_operation("+proj=cart +ellps=bessel")
+    hp = HELMERT_PARAMS
+    helm = create_operation(
+        "+proj=helmert +x={x} +y={y} +z={z} +rx={rx} +ry={ry} +rz={rz} +s={s} "
+        "+convention=position_vector".format(**hp)
+    )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        batch = _geoloc_batch(batch)
+        lon = batch.column("lon").to_numpy()
+        lat = batch.column("lat").to_numpy()
+        coo = Coords(lon * DEG_TO_RAD, lat * DEG_TO_RAD)
+        cart.trans(FWD, coo)
+        helm.trans(FWD, coo)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "hx": pa.array(np.round(coo.x, 1)),
+                "hy": pa.array(np.round(coo.y, 1)),
+                "hz": pa.array(np.round(coo.z, 1)),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id"]).map_batches(fn, batch_format="pyarrow")
+
+
+SQL_HELMERT = f"""
+WITH g AS ({GEOLOC_SQL}),
+c AS (SELECT 6377397.155 AS a, 1.0/299.1528128 AS f),
+e AS (SELECT a, 2*f - f*f AS es FROM c),
+crt AS (SELECT g.doc_id,
+  (a / sqrt(1 - es*sin(radians(g.lat))*sin(radians(g.lat)))) * cos(radians(g.lat)) * cos(radians(g.lon)) AS X,
+  (a / sqrt(1 - es*sin(radians(g.lat))*sin(radians(g.lat)))) * cos(radians(g.lat)) * sin(radians(g.lon)) AS Y,
+  (a / sqrt(1 - es*sin(radians(g.lat))*sin(radians(g.lat)))) * (1 - es) * sin(radians(g.lat)) AS Z
+ FROM g, e),
+p AS (SELECT {HELMERT_PARAMS['rx']}*pi()/180/3600 AS rx, {HELMERT_PARAMS['ry']}*pi()/180/3600 AS ry,
+             {HELMERT_PARAMS['rz']}*pi()/180/3600 AS rz, 1 + {HELMERT_PARAMS['s']}*1e-6 AS sc)
+SELECT crt.doc_id,
+  ROUND(sc*(X - rz*Y + ry*Z) + {HELMERT_PARAMS['x']}, 1) AS hx,
+  ROUND(sc*(rz*X + Y - rx*Z) + {HELMERT_PARAMS['y']}, 1) AS hy,
+  ROUND(sc*(-ry*X + rx*Y + Z) + {HELMERT_PARAMS['z']}, 1) AS hz
+FROM crt, p ORDER BY doc_id
+"""
+
+
+def q_tile_assign(sf_dir: str):
+    def fn(batch: pa.Table) -> pa.Table:
+        batch = _geoloc_batch(batch)
+        lon = batch.column("lon").to_numpy()
+        lat = batch.column("lat").to_numpy()
+        tx, ty = tile_xy(lon, lat, ZOOM)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "tile_x": pa.array(tx),
+                "tile_y": pa.array(ty),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id"]).map_batches(fn, batch_format="pyarrow")
+
+
+SQL_TILE = f"""
+WITH g AS ({GEOLOC_SQL})
+SELECT doc_id,
+  CAST(LEAST(GREATEST(FLOOR((lon + 180.0)/360.0 * {1 << ZOOM}), 0), {(1 << ZOOM) - 1}) AS BIGINT) AS tile_x,
+  CAST(LEAST(GREATEST(FLOOR((1.0 - ln(tan(radians(lat)) + sqrt(1 + tan(radians(lat))*tan(radians(lat))))/pi())/2.0 * {1 << ZOOM}), 0), {(1 << ZOOM) - 1}) AS BIGINT) AS tile_y
+FROM g ORDER BY doc_id
+"""
+
+
+def q_tile_stats(sf_dir: str):
+    """Per-tile doc counts: partial aggregate per batch → small groupby."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = _geoloc_batch(batch)
+        lon = batch.column("lon").to_numpy()
+        lat = batch.column("lat").to_numpy()
+        tx, ty = tile_xy(lon, lat, ZOOM)
+        key = tx * np.int64(1 << ZOOM) + ty
+        uniq, counts = np.unique(key, return_counts=True)
+        return pa.table({"tile_key": uniq, "n_partial": counts.astype(np.int64)})
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(partial, batch_format="pyarrow")
+    out = ds.groupby("tile_key").aggregate(Sum("n_partial", alias_name="n_docs"))
+    return out
+
+
+SQL_TILE_STATS = f"""
+WITH t AS ({SQL_TILE.replace('ORDER BY doc_id', '')})
+SELECT tile_x * {1 << ZOOM} + tile_y AS tile_key, COUNT(*) AS n_docs
+FROM t GROUP BY 1 ORDER BY tile_key
+"""
+
+
+def q_cell_assign(sf_dir: str):
+    def fn(batch: pa.Table) -> pa.Table:
+        batch = _geoloc_batch(batch)
+        lon = batch.column("lon").to_numpy()
+        lat = batch.column("lat").to_numpy()
+        cx, cy = cell_xy(lon, lat, CELL_LEVEL)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "cell_x": pa.array(cx),
+                "cell_y": pa.array(cy),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id"]).map_batches(fn, batch_format="pyarrow")
+
+
+SQL_CELL = f"""
+WITH g AS ({GEOLOC_SQL})
+SELECT doc_id,
+  CAST(LEAST(GREATEST(FLOOR((lon + 180.0)/360.0 * {1 << CELL_LEVEL}), 0), {(1 << CELL_LEVEL) - 1}) AS BIGINT) AS cell_x,
+  CAST(LEAST(GREATEST(FLOOR((lat + 90.0)/180.0 * {1 << CELL_LEVEL}), 0), {(1 << CELL_LEVEL) - 1}) AS BIGINT) AS cell_y
+FROM g ORDER BY doc_id
+"""
+
+
+def q_pip_assign(sf_dir: str):
+    """Point-in-polygon via the broadcast actor-held index."""
+
+    class PipStage:
+        def __init__(self):
+            self.index = PolygonIndex(make_polygons(N_POLYS))
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            batch = _geoloc_batch(batch)
+            lon = batch.column("lon").to_numpy()
+            lat = batch.column("lat").to_numpy()
+            pid = self.index.assign(lon, lat)
+            return pa.table(
+                {"doc_id": batch.column("doc_id"), "poly_id": pa.array(pid, type=pa.int32())}
+            )
+
+    return _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        PipStage, batch_format="pyarrow", concurrency=2
+    )
+
+
+SQL_PIP = f"""
+WITH g AS ({GEOLOC_SQL}),
+polys AS (
+  SELECT p AS poly_id,
+         ((p*9973 + 42) % 3400)/10.0 - 170.0 AS cx,
+         ((p*7919 + 42) % 1500)/10.0 - 75.0  AS cy,
+         2.0 + (p % 7) AS r,
+         (p % 12) * (2*pi()/24.0) AS off
+  FROM range(0, {N_POLYS}) t(p)),
+edges AS (
+  SELECT poly_id,
+    cx + r*cos(off + 2*pi()*v/6.0)       AS x1,
+    cy + r*sin(off + 2*pi()*v/6.0)       AS y1,
+    cx + r*cos(off + 2*pi()*((v+1)%6)/6.0) AS x2,
+    cy + r*sin(off + 2*pi()*((v+1)%6)/6.0) AS y2
+  FROM polys, range(0, 6) s(v)),
+hits AS (
+  SELECT g.doc_id, e.poly_id
+  FROM g CROSS JOIN edges e
+  GROUP BY g.doc_id, e.poly_id
+  HAVING MIN((e.x2-e.x1)*(g.lat-e.y1) - (e.y2-e.y1)*(g.lon-e.x1)) >= 0)
+SELECT g.doc_id, CAST(COALESCE(MIN(h.poly_id), -1) AS INTEGER) AS poly_id
+FROM g LEFT JOIN hits h ON g.doc_id = h.doc_id
+GROUP BY g.doc_id ORDER BY g.doc_id
+"""
+
+
+def _anchors():
+    aid = np.arange(N_ANCHORS, dtype=np.int64)
+    a_lon = ((aid * 6151 + 17) % 3000) / 10.0 - 150.0
+    a_lat = ((aid * 4093 + 11) % 1400) / 10.0 - 70.0
+    return a_lon, a_lat
+
+
+def q_knn(sf_dir: str):
+    """kNN of broadcast anchors vs all docs: per-batch partial top-k,
+    tiny merge. Squared-degree metric (pure arithmetic → exact oracle)."""
+    a_lon, a_lat = _anchors()
+
+    def batch_fn(df: pd.DataFrame) -> pd.DataFrame:
+        lon, lat = geolocate_ids(df["doc_id"].to_numpy())
+        return partial_topk(df["doc_id"].to_numpy(), lon, lat, a_lon, a_lat,
+                            KNN_K, metric="euclid2")
+
+    partials = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        batch_fn, batch_format="pandas"
+    )
+    merged = merge_topk(partials.to_pandas(), KNN_K)
+    merged["rank"] = merged.groupby("anchor_id").cumcount() + 1
+    return merged[["anchor_id", "rank", "point_id"]].astype(
+        {"anchor_id": "int64", "rank": "int64", "point_id": "int64"}
+    )
+
+
+SQL_KNN = f"""
+WITH g AS ({GEOLOC_SQL}),
+anchors AS (
+  SELECT a AS anchor_id,
+         ((a*6151 + 17) % 3000)/10.0 - 150.0 AS alon,
+         ((a*4093 + 11) % 1400)/10.0 - 70.0  AS alat
+  FROM range(0, {N_ANCHORS}) t(a)),
+d AS (
+  SELECT anchors.anchor_id, g.doc_id,
+         (g.lon - anchors.alon)*(g.lon - anchors.alon)
+       + (g.lat - anchors.alat)*(g.lat - anchors.alat) AS d2
+  FROM anchors CROSS JOIN g),
+r AS (
+  SELECT anchor_id, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY anchor_id ORDER BY d2, doc_id) AS rank
+  FROM d)
+SELECT anchor_id, rank, doc_id AS point_id FROM r
+WHERE rank <= {KNN_K} ORDER BY anchor_id, rank
+"""
+
+
+def q_datum_hop(sf_dir: str):
+    """Full cs2cs-style datum hop (cart → exact helmert → cart⁻¹),
+    the flagship reprojection — closed-form, so SQL can mirror it."""
+    from .flagship import CS2CS_PIPELINE
+
+    op = create_operation(CS2CS_PIPELINE)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        batch = _geoloc_batch(batch)
+        lon = batch.column("lon").to_numpy()
+        lat = batch.column("lat").to_numpy()
+        coo = Coords(lon * DEG_TO_RAD, lat * DEG_TO_RAD)
+        op.trans(FWD, coo)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "rlon": pa.array(np.round(coo.x * RAD_TO_DEG, 6)),
+                "rlat": pa.array(np.round(coo.y * RAD_TO_DEG, 6)),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id"]).map_batches(fn, batch_format="pyarrow")
+
+
+SQL_DATUM_HOP = f"""
+WITH g AS ({GEOLOC_SQL}),
+src AS (SELECT 6377397.155 AS a, 1.0/299.1528128 AS f),
+srce AS (SELECT a, 2*f - f*f AS es FROM src),
+crt AS (SELECT g.doc_id,
+  (a / sqrt(1 - es*sin(radians(g.lat))*sin(radians(g.lat)))) * cos(radians(g.lat)) * cos(radians(g.lon)) AS X,
+  (a / sqrt(1 - es*sin(radians(g.lat))*sin(radians(g.lat)))) * cos(radians(g.lat)) * sin(radians(g.lon)) AS Y,
+  (a / sqrt(1 - es*sin(radians(g.lat))*sin(radians(g.lat)))) * (1 - es) * sin(radians(g.lat)) AS Z
+ FROM g, srce),
+rot AS (SELECT 0.202*pi()/180/3600 AS fx, 0.045*pi()/180/3600 AS ft, -2.455*pi()/180/3600 AS fp,
+               1 + 6.7*1e-6 AS sc),
+-- exact rotation matrix, coordinate_frame convention then transposed
+-- (helmert.cpp:162-320, position_vector)
+m AS (SELECT sc,
+  cos(ft)*cos(fp) AS r00, cos(fx)*sin(fp) + sin(fx)*sin(ft)*cos(fp) AS r01, sin(fx)*sin(fp) - cos(fx)*sin(ft)*cos(fp) AS r02,
+  -cos(ft)*sin(fp) AS r10, cos(fx)*cos(fp) - sin(fx)*sin(ft)*sin(fp) AS r11, sin(fx)*cos(fp) + cos(fx)*sin(ft)*sin(fp) AS r12,
+  sin(ft) AS r20, -sin(fx)*cos(ft) AS r21, cos(fx)*cos(ft) AS r22
+ FROM rot),
+hel AS (SELECT crt.doc_id,
+  m.sc*(m.r00*X + m.r10*Y + m.r20*Z) + 598.1 AS X,
+  m.sc*(m.r01*X + m.r11*Y + m.r21*Z) + 73.7  AS Y,
+  m.sc*(m.r02*X + m.r12*Y + m.r22*Z) + 418.2 AS Z
+ FROM crt, m),
+dst AS (SELECT 6378137.0 AS a2, 1.0/298.257222101 AS f2),
+dste AS (SELECT a2, (1.0 - f2)*a2 AS b2, 2*f2 - f2*f2 AS es2,
+                (2*f2 - f2*f2)/(1 - (2*f2 - f2*f2)) AS e2s2 FROM dst),
+inv1 AS (SELECT hel.doc_id, X, Y, Z, sqrt(X*X + Y*Y) AS p, a2, b2, es2, e2s2 FROM hel, dste),
+inv2 AS (SELECT *,
+  (Z*a2) / sqrt((Z*a2)*(Z*a2) + (p*b2)*(p*b2)) AS s_theta,
+  (p*b2) / sqrt((Z*a2)*(Z*a2) + (p*b2)*(p*b2)) AS c_theta
+ FROM inv1),
+inv3 AS (SELECT doc_id, X, Y, p,
+  Z + e2s2*b2*s_theta*s_theta*s_theta AS y_phi,
+  p - es2*a2*c_theta*c_theta*c_theta  AS x_phi
+ FROM inv2)
+SELECT doc_id,
+  ROUND(degrees(atan2(Y, X)), 6) AS rlon,
+  ROUND(degrees(atan(y_phi / x_phi)), 6) AS rlat
+FROM inv3 ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Relational / aggregate queries (engine breadth: groupby, join, sort, window)
+# ---------------------------------------------------------------------------
+
+
+def q_agg_lineitem(sf_dir: str):
+    """TPC-H Q1-flavoured pricing summary with exact integer cents."""
+    from ray.data.aggregate import Count, Sum
+
+    def prep(batch: pa.Table) -> pa.Table:
+        qty = batch.column("l_quantity").to_numpy()
+        price = batch.column("l_extendedprice").to_numpy()
+        disc = batch.column("l_discount").to_numpy()
+        price_cents = np.round(price * 100).astype(np.int64)
+        disc_bp = np.round(disc * 100).astype(np.int64)
+        revenue = price_cents * (100 - disc_bp)
+        return pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "qty": pa.array(qty.astype(np.int64)),
+                "price_cents": pa.array(price_cents),
+                "revenue": pa.array(revenue),
+            }
+        )
+
+    ds = _read(
+        sf_dir, "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    ).map_batches(prep, batch_format="pyarrow")
+    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("qty", alias_name="sum_qty"),
+        Sum("price_cents", alias_name="sum_price_cents"),
+        Sum("revenue", alias_name="sum_revenue"),
+        Count(alias_name="n_rows"),
+    )
+    return out
+
+
+SQL_AGG_LINEITEM = """
+SELECT l_returnflag, l_linestatus,
+  SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+  SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS sum_price_cents,
+  SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS sum_revenue,
+  COUNT(*) AS n_rows
+FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_join_orders_customer(sf_dir: str):
+    """Broadcast hash join: small customer side shipped once per task."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    seg_by_key = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+
+    def joiner(batch: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+
+        seg = _ray.get(seg_by_key)
+        batch = batch.copy()
+        batch["c_mktsegment"] = batch["o_custkey"].map(seg).fillna("UNKNOWN")
+        batch["price_cents"] = np.round(batch["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        return batch[["c_mktsegment", "price_cents"]]
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        joiner, batch_format="pandas"
+    )
+    return ds.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_orders"), Sum("price_cents", alias_name="total_cents")
+    )
+
+
+SQL_JOIN = """
+SELECT c.c_mktsegment, COUNT(*) AS n_orders,
+  SUM(CAST(ROUND(o.o_totalprice*100) AS BIGINT)) AS total_cents
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_events_window(sf_dir: str):
+    """Tumbling 1-hour windows per event type (streaming-shaped input)."""
+    from ray.data.aggregate import Count, Sum
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").to_numpy()
+        epoch = ts.astype("datetime64[s]").astype(np.int64)
+        window = epoch // 3600
+        cents = np.floor(batch.column("value").to_numpy() * 100).astype(np.int64)
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "window": pa.array(window),
+                "value_cents": pa.array(cents),
+            }
+        )
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"]).map_batches(
+        prep, batch_format="pyarrow"
+    )
+    return ds.groupby(["event_type", "window"]).aggregate(
+        Count(alias_name="n_events"), Sum("value_cents", alias_name="sum_cents")
+    )
+
+
+SQL_EVENTS_WINDOW = """
+SELECT event_type, CAST(FLOOR(epoch(ts)/3600) AS BIGINT) AS window,
+  COUNT(*) AS n_events,
+  SUM(CAST(FLOOR(value*100) AS BIGINT)) AS sum_cents
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_top_orders(sf_dir: str):
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": batch.column("o_orderkey"),
+                "price_cents": pa.array(
+                    np.round(batch.column("o_totalprice").to_numpy() * 100).astype(np.int64)
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .sort(["price_cents", "o_orderkey"], descending=[True, False])
+        .limit(10)
+    )
+
+
+SQL_TOP_ORDERS = """
+SELECT o_orderkey, CAST(ROUND(o_totalprice*100) AS BIGINT) AS price_cents
+FROM orders ORDER BY price_cents DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_distinct_brands(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    return _read(sf_dir, "part", ["p_brand"]).groupby("p_brand").aggregate(
+        Count(alias_name="n_parts")
+    )
+
+
+SQL_DISTINCT_BRANDS = "SELECT p_brand, COUNT(*) AS n_parts FROM part GROUP BY 1 ORDER BY 1"
+
+
+# ---------------------------------------------------------------------------
+# Text / dedup / similarity queries
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(sf_dir: str):
+    """Exact dedup: hash-partition on content md5, keep min doc_id."""
+    from ray.data.aggregate import Count, Min
+
+    def hashes(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"text_md5": textfn.md5_hex(batch["text"]), "doc_id": batch["doc_id"]}
+        )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        hashes, batch_format="pandas"
+    )
+    return ds.groupby("text_md5").aggregate(
+        Min("doc_id", alias_name="keep_doc_id"), Count(alias_name="n_dups")
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_dups
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_token_stats(sf_dir: str):
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "n_chars_text": textfn.char_count(batch["text"]),
+                "n_tokens": textfn.token_count(batch["text"]),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fn, batch_format="pandas"
+    )
+
+
+SQL_TOKEN_STATS = """
+SELECT doc_id, length(text) AS n_chars_text,
+  CASE WHEN length(trim(text)) = 0 THEN 0
+       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_text_quality(sf_dir: str):
+    """Integer quality ingredients (exactly SQL-checkable)."""
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch["text"].fillna("")
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "n_chars_text": textfn.char_count(s),
+                "n_punct": s.str.count(r"[!-/:-@\[-`{-~]").to_numpy(np.int64),
+                "n_upper": s.str.count(r"[A-Z]").to_numpy(np.int64),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fn, batch_format="pandas"
+    )
+
+
+SQL_TEXT_QUALITY = """
+SELECT doc_id, length(text) AS n_chars_text,
+  length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS n_punct,
+  length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_minhash_lsh(sf_dir: str):
+    """MinHash-LSH near-dup candidates (no SQL twin: engine-defined
+    hash family; the rows-only check pins shape/determinism)."""
+    from ray.data.aggregate import Count
+
+    def bands(batch: pd.DataFrame) -> pd.DataFrame:
+        mh = MinHasher()
+        return mh.band_rows(batch["doc_id"].to_numpy(), batch["text"])
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        bands, batch_format="pandas"
+    )
+    buckets = ds.groupby(["band_id", "band_hash"]).aggregate(Count(alias_name="n_docs"))
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["n_docs"] > 1]
+
+    return buckets.map_batches(pairs, batch_format="pandas")
+
+
+def q_simhash(sf_dir: str):
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "simhash": simhash64(batch["text"]).astype(np.int64),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fn, batch_format="pandas"
+    )
+
+
+def q_langid(sf_dir: str):
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": batch["doc_id"], "lang_guess": textfn.lang_id(batch["text"])}
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fn, batch_format="pandas"
+    )
+
+
+def q_fingerprint(sf_dir: str):
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "fp64": textfn.fingerprint64(batch["text"]),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fn, batch_format="pandas"
+    )
+
+
+def q_ann_cosine(sf_dir: str):
+    """Brute-force cosine top-k of the first 5 embeddings vs all."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    emb = np.stack(tbl.column("embedding").to_pylist()[:5])
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = ann_dataset(ds, emb, KNN_K + 1, id_col="vec_id", vec_col="embedding")
+    out["rank"] = out.groupby("query_id").cumcount() + 1
+    return out[["query_id", "rank", "vec_id"]].astype("int64")
+
+
+SQL_ANN = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+d AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(e.embedding, q.qe) AS cosine
+  FROM embeddings e CROSS JOIN q),
+r AS (
+  SELECT query_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM d)
+SELECT query_id, rank, vec_id FROM r WHERE rank <= {KNN_K + 1}
+ORDER BY query_id, rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "geolocate": q_geolocate,
+    "merc_fwd": q_merc_fwd,
+    "webmerc_fwd": q_webmerc_fwd,
+    "utm_fwd": q_utm_fwd,
+    "cart_fwd": q_cart_fwd,
+    "helmert_towgs84": q_helmert,
+    "datum_hop_cs2cs": q_datum_hop,
+    "tile_assign": q_tile_assign,
+    "tile_stats": q_tile_stats,
+    "cell_assign": q_cell_assign,
+    "pip_assign": q_pip_assign,
+    "knn_anchors": q_knn,
+    "agg_lineitem": q_agg_lineitem,
+    "join_orders_customer": q_join_orders_customer,
+    "events_window": q_events_window,
+    "top_orders": q_top_orders,
+    "distinct_brands": q_distinct_brands,
+    "dedup_exact": q_dedup_exact,
+    "token_stats": q_token_stats,
+    "text_quality": q_text_quality,
+    "minhash_lsh": q_minhash_lsh,
+    "simhash": q_simhash,
+    "langid": q_langid,
+    "fingerprint": q_fingerprint,
+    "ann_cosine": q_ann_cosine,
+}
+
+ORACLE_SQL = {
+    "geolocate": SQL_GEOLOCATE,
+    "merc_fwd": SQL_MERC,
+    "webmerc_fwd": SQL_WEBMERC,
+    "cart_fwd": SQL_CART,
+    "helmert_towgs84": SQL_HELMERT,
+    "datum_hop_cs2cs": SQL_DATUM_HOP,
+    "tile_assign": SQL_TILE,
+    "tile_stats": SQL_TILE_STATS,
+    "cell_assign": SQL_CELL,
+    "pip_assign": SQL_PIP,
+    "knn_anchors": SQL_KNN,
+    "agg_lineitem": SQL_AGG_LINEITEM,
+    "join_orders_customer": SQL_JOIN,
+    "events_window": SQL_EVENTS_WINDOW,
+    "top_orders": SQL_TOP_ORDERS,
+    "distinct_brands": SQL_DISTINCT_BRANDS,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "token_stats": SQL_TOKEN_STATS,
+    "text_quality": SQL_TEXT_QUALITY,
+    "ann_cosine": SQL_ANN,
+    # utm_fwd / minhash_lsh / simhash / langid / fingerprint:
+    # engine-defined hashing or high-order series — rows-only check.
+}

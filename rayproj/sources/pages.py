@@ -1,0 +1,93 @@
+"""Deterministic Common-Crawl-style page table (FIXTURES.md F1).
+
+Schema per BASELINE.json input_hint:
+(url:string, warc_ts:timestamp[us], html:binary, text:string, lang:string).
+Every column is a pure function of (seed, row_id) — any shard can be
+regenerated independently, which is what makes lineage/retry cheap.
+The ``text`` column is a deterministic extract of ``html`` and is the
+byte-identity invariant the whole pipeline must preserve per url.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+LANGS = np.array(
+    ["en", "en", "en", "en", "en", "en", "de", "de", "fr", "fr",
+     "es", "es", "it", "pt", "nl", "ru", "ja", "zh", "pl", "sv"]
+)  # Zipf-ish skew: en dominates
+
+_WORDS = (
+    "the data engine stream batch shuffle arrow ray projection mercator "
+    "grid datum helmert coordinate latitude longitude tile cell polygon "
+    "page crawl web text token index query vector hash cluster partition"
+).split()
+
+
+def _rng_for(seed: int, block: int) -> np.random.Generator:
+    return np.random.default_rng(np.random.SeedSequence([seed, block]))
+
+
+def make_pages_block(seed: int, start: int, n: int) -> pa.Table:
+    """Generate rows [start, start+n) deterministically."""
+    rng = _rng_for(seed, start)
+    row_id = np.arange(start, start + n, dtype=np.int64)
+    lang = LANGS[row_id % len(LANGS)]
+    host_hash = (row_id * np.int64(0x9E3779B97F4A7C15)) & np.int64(0xFFFFFFFF)
+    urls = [
+        f"https://{l}.example-{h:08x}.com/p/{r}"
+        for l, h, r in zip(lang, host_hash, row_id)
+    ]
+    warc_ts = np.datetime64("2024-01-01T00:00:00", "us") + row_id * np.timedelta64(997, "ms")
+
+    n_words = 20 + (row_id % 300)
+    texts = []
+    htmls = []
+    word_idx = rng.integers(0, len(_WORDS), size=int(n_words.sum()))
+    pos = 0
+    for i in range(n):
+        k = int(n_words[i])
+        words = [_WORDS[j] for j in word_idx[pos:pos + k]]
+        pos += k
+        body = " ".join(words)
+        text = f"page {row_id[i]}: {body}"
+        html = f"<html><head><title>p{row_id[i]}</title></head><body><p>{text}</p></body></html>"
+        texts.append(text)
+        htmls.append(html.encode())
+    return pa.table(
+        {
+            "url": pa.array(urls, type=pa.string()),
+            "warc_ts": pa.array(warc_ts),
+            "html": pa.array(htmls, type=pa.binary()),
+            "text": pa.array(texts, type=pa.string()),
+            "lang": pa.array(lang, type=pa.string()),
+            "row_id": pa.array(row_id, type=pa.int64()),
+        }
+    )
+
+
+def extract_text_from_html(html: bytes) -> str:
+    """The deterministic text extractor matching make_pages_block:
+    content of the <p> element. Re-running it on ``html`` must
+    reproduce ``text`` byte-identically (the per-url invariant)."""
+    s = html.decode()
+    start = s.index("<p>") + 3
+    end = s.index("</p>")
+    return s[start:end]
+
+
+def pages_dataset(n_rows: int, seed: int = 42, block_rows: int = 65536):
+    """Lazy ray.data Dataset of synthetic pages (one block per task)."""
+    import ray.data as rd
+
+    blocks = [(seed, s, min(block_rows, n_rows - s)) for s in range(0, n_rows, block_rows)]
+
+    def gen(batch) -> pa.Table:
+        s, start, n = batch["seed"][0], batch["start"][0], batch["n"][0]
+        return make_pages_block(int(s), int(start), int(n))
+
+    meta = rd.from_items(
+        [{"seed": s, "start": st, "n": n} for s, st, n in blocks]
+    ).repartition(len(blocks))
+    return meta.map_batches(gen, batch_format="pandas", batch_size=1)

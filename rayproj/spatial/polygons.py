@@ -1,0 +1,137 @@
+"""Synthetic admin-polygon layer + point-in-polygon index.
+
+Polygon layer (FIXTURES.md F4): deterministic regular k-gons seeded by
+polygon id — convex, non-degenerate, so the driver's SQL oracle can
+verify containment with a cross-product sign test while the engine
+uses the generic even-odd crossing test.
+
+PolygonIndex is the actor-held side input (pattern: the reference's
+tinshift quadtree → candidate triangles → exact test,
+/root/reference/src/transformations/tinshift_impl.hpp:405-470): a
+coarse-cell bucket map prunes candidates, then the exact test runs
+vectorized per candidate polygon over the masked point subset.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .cells import cell_id
+
+
+def make_polygons(n_polys: int = 60, seed: int = 42, n_vertices: int = 6):
+    """Deterministic convex polygon layer.
+
+    Returns dict of arrays: poly_id:int32, cx, cy, radius_deg:float64,
+    plus vertex rings verts[(P, V, 2)] (closed implicitly). Centers are
+    spread by integer arithmetic on poly_id (reproducible in SQL)."""
+    pid = np.arange(n_polys, dtype=np.int64)
+    # integer-arithmetic placement: deterministic and SQL-expressible
+    cx = ((pid * 9973 + seed) % 3400) / 10.0 - 170.0
+    cy = ((pid * 7919 + seed) % 1500) / 10.0 - 75.0
+    radius = 2.0 + (pid % 7)  # 2..8 degrees
+    ang = 2.0 * np.pi * np.arange(n_vertices) / n_vertices
+    # vertex angle offset varies per polygon (still SQL-expressible)
+    off = (pid % 12) * (2.0 * np.pi / 24.0)
+    angs = off[:, None] + ang[None, :]
+    verts = np.stack(
+        [cx[:, None] + radius[:, None] * np.cos(angs),
+         cy[:, None] + radius[:, None] * np.sin(angs)],
+        axis=2,
+    )
+    return {
+        "poly_id": pid.astype(np.int32),
+        "cx": cx,
+        "cy": cy,
+        "radius": radius.astype(np.float64),
+        "n_vertices": n_vertices,
+        "verts": verts,
+    }
+
+
+def point_in_convex_polygon(verts: np.ndarray, lon: np.ndarray, lat: np.ndarray) -> np.ndarray:
+    """Vectorized containment for one convex CCW ring (V, 2) over N points:
+    all edge cross products ≥ 0."""
+    inside = np.ones(len(lon), dtype=bool)
+    V = len(verts)
+    for i in range(V):
+        x1, y1 = verts[i]
+        x2, y2 = verts[(i + 1) % V]
+        cross = (x2 - x1) * (lat - y1) - (y2 - y1) * (lon - x1)
+        inside &= cross >= 0
+    return inside
+
+
+def point_in_ring(verts: np.ndarray, lon: np.ndarray, lat: np.ndarray) -> np.ndarray:
+    """Generic even-odd crossing test, vectorized over points."""
+    inside = np.zeros(len(lon), dtype=bool)
+    V = len(verts)
+    for i in range(V):
+        x1, y1 = verts[i]
+        x2, y2 = verts[(i + 1) % V]
+        crosses = (y1 > lat) != (y2 > lat)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = x1 + (lat - y1) * (x2 - x1) / (y2 - y1)
+        inside ^= crosses & (lon < xint)
+    return inside
+
+
+class PolygonIndex:
+    """Actor-held PIP index: coarse-cell → candidate polygon ids.
+
+    Built once in an actor's __init__ (or per worker on first batch);
+    ``assign`` is fully vectorized. At 100 TB scale the polygon layer is
+    broadcast via ray.put once and each actor builds the bucket map from
+    it — no shuffle; points never move.
+    """
+
+    def __init__(self, polys: dict, index_level: int = 4):
+        self.polys = polys
+        self.level = index_level
+        self.buckets: dict[int, list[int]] = {}
+        verts = polys["verts"]
+        n = 1 << index_level
+        for p in range(len(polys["poly_id"])):
+            vx = verts[p, :, 0]
+            vy = verts[p, :, 1]
+            x0 = int(np.floor((vx.min() + 180.0) / 360.0 * n))
+            x1 = int(np.floor((vx.max() + 180.0) / 360.0 * n))
+            y0 = int(np.floor((vy.min() + 90.0) / 180.0 * n))
+            y1 = int(np.floor((vy.max() + 90.0) / 180.0 * n))
+            for cx in range(max(x0, 0), min(x1, n - 1) + 1):
+                for cy in range(max(y0, 0), min(y1, n - 1) + 1):
+                    key = (cx << 32) | cy
+                    self.buckets.setdefault(key, []).append(p)
+
+    def assign(self, lon: np.ndarray, lat: np.ndarray) -> np.ndarray:
+        """Per-point polygon id (first matching by poly_id order), −1 if none."""
+        n = 1 << self.level
+        cx = np.clip(np.floor((lon + 180.0) / 360.0 * n), 0, n - 1).astype(np.int64)
+        cy = np.clip(np.floor((lat + 90.0) / 180.0 * n), 0, n - 1).astype(np.int64)
+        keys = (cx << 32) | cy
+        out = np.full(len(lon), -1, dtype=np.int32)
+        verts = self.polys["verts"]
+        pids = self.polys["poly_id"]
+        # iterate distinct buckets present in the batch
+        for key in np.unique(keys):
+            cands = self.buckets.get(int(key))
+            if not cands:
+                continue
+            mask = keys == key
+            idx = np.flatnonzero(mask)
+            sub_lon = lon[idx]
+            sub_lat = lat[idx]
+            un = np.full(len(idx), -1, dtype=np.int32)
+            for p in cands:
+                need = un < 0
+                if not np.any(need):
+                    break
+                hit = point_in_ring(verts[p], sub_lon[need], sub_lat[need])
+                tgt = np.flatnonzero(need)[hit]
+                un[tgt] = pids[p]
+            out[idx] = un
+        return out
+
+
+def cell_of_polys(polys: dict, level: int) -> np.ndarray:
+    return cell_id(polys["cx"], polys["cy"], level)
