@@ -171,3 +171,25 @@ def asqrt(v: np.ndarray) -> np.ndarray:
 
 def hypot(x: np.ndarray, y: np.ndarray) -> np.ndarray:
     return np.hypot(x, y)
+
+
+def authset(es: float) -> np.ndarray:
+    """Authalic→geodetic latitude series coefficients (auth.cpp:9-32)."""
+    P00, P01, P02 = 0.33333333333333333333, 0.17222222222222222222, 0.10257936507936507937
+    P10, P11, P20 = 0.06388888888888888888, 0.06640211640211640212, 0.01677689594356261023
+    apa = np.empty(3)
+    apa[0] = es * P00
+    t = es * es
+    apa[0] += t * P01
+    apa[1] = t * P10
+    t *= es
+    apa[0] += t * P02
+    apa[1] += t * P11
+    apa[2] = t * P20
+    return apa
+
+
+def authlat(beta: np.ndarray, apa: np.ndarray) -> np.ndarray:
+    """Geodetic latitude from authalic latitude (auth.cpp:33-38)."""
+    t = beta + beta
+    return beta + apa[0] * np.sin(t) + apa[1] * np.sin(t + t) + apa[2] * np.sin(t + t + t)

@@ -19,7 +19,7 @@ GIE_DIR = "/root/reference/test/gie"
 GIGS_DIR = "/root/reference/test/gigs"
 
 # Floor on passing assertions — raise when adding operators.
-MIN_OK_GIE = 515
+MIN_OK_GIE = 1000
 
 
 @pytest.fixture(scope="module", autouse=True)
