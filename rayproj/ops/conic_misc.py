@@ -1,1 +1,548 @@
-"""Placeholder — operators added incrementally."""
+"""Cassini, Equidistant Conic, Bonne, Gall, van der Grinten, Robinson,
+Swiss Oblique Mercator.
+
+Math re-derived from /root/reference/src/projections/{cass,eqdc,bonne,
+gall,vandg,robin,somerc}.cpp; per-point table indexing (robin) becomes
+np.take gathers, Newton loops become masked iterations.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from ..core.constants import M_FORTPI, M_HALFPI, M_PI, M_TWOPI, RAD_TO_DEG, DEG_TO_RAD
+from ..core.errors import (
+    ERR_CONIC_LAT_EQUAL,
+    ERR_LAT1_IS_ZERO,
+    ERR_LAT_LARGER_THAN_90,
+    ERR_LAT_OR_LON_EXCEED_LIMIT,
+    ERR_TOLERANCE_CONDITION,
+    ProjError,
+)
+from ..core.op import Coords, Operation
+from ..mathx import aasin, enfn, inv_mlfn, mlfn
+from .pseudocyl import _spherify
+from . import register
+
+EPS10 = 1e-10
+
+
+@register
+class Cass(Operation):
+    """Cassini (cass.cpp)."""
+
+    name = "cass"
+
+    def setup(self) -> None:
+        self.spherical = self.ell.es == 0.0
+        if not self.spherical:
+            self.en = enfn(self.ell.es)
+            self.m0 = float(
+                mlfn(np.array([self.phi0]), np.array([math.sin(self.phi0)]),
+                     np.array([math.cos(self.phi0)]), self.en)[0]
+            )
+
+    def _fwd(self, coo: Coords) -> None:
+        lam, phi = coo.x, coo.y
+        if self.spherical:
+            coo.x = np.arcsin(np.clip(np.cos(phi) * np.sin(lam), -1, 1))
+            coo.y = np.arctan2(np.tan(phi), np.cos(lam)) - self.phi0
+            return
+        es = self.ell.es
+        n = np.sin(phi)
+        c = np.cos(phi)
+        y = mlfn(phi, n, c, self.en)
+        n = 1.0 / np.sqrt(1.0 - es * n * n)
+        tn = np.tan(phi)
+        t = tn * tn
+        a1 = lam * c
+        c2 = c * (es * c / (1 - es))
+        a2 = a1 * a1
+        C1_, C2_, C3_ = 1 / 6.0, 1 / 120.0, 1 / 24.0
+        coo.x = n * a1 * (1.0 - a2 * t * (C1_ - (8.0 - t + 8.0 * c2) * a2 * C2_))
+        coo.y = y - self.m0 + n * tn * a2 * (0.5 + (5.0 - t + 6.0 * c2) * a2 * C3_)
+
+    def _inv(self, coo: Coords) -> None:
+        x, y = coo.x, coo.y
+        if self.spherical:
+            dd = y + self.phi0
+            coo.y = np.arcsin(np.clip(np.sin(dd) * np.cos(x), -1, 1))
+            coo.x = np.arctan2(np.tan(x), np.cos(dd))
+            return
+        es = self.ell.es
+        ph1, nonconv = inv_mlfn(self.m0 + y, es, self.en)
+        coo.set_err(nonconv, -17)
+        tn = np.tan(ph1)
+        t = tn * tn
+        n = np.sin(ph1)
+        r = 1.0 / (1.0 - es * n * n)
+        n = np.sqrt(r)
+        r = r * (1.0 - es) * n
+        dd = x / n
+        d2 = dd * dd
+        C3_, C4_, C5_ = 1 / 24.0, 1 / 3.0, 1 / 15.0
+        coo.y = ph1 - (n * tn / r) * d2 * (0.5 - (1.0 + 3.0 * t) * d2 * C3_)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            coo.x = dd * (1.0 + t * d2 * (-C4_ + (1.0 + 3.0 * t) * d2 * C5_)) / np.cos(ph1)
+
+
+@register
+class Eqdc(Operation):
+    """Equidistant Conic (eqdc.cpp)."""
+
+    name = "eqdc"
+
+    def setup(self) -> None:
+        phi1 = self.params.rad("lat_1", 0.0)
+        phi2 = self.params.rad("lat_2", 0.0)
+        if abs(phi1) > M_HALFPI or abs(phi2) > M_HALFPI:
+            raise ProjError(ERR_LAT_LARGER_THAN_90)
+        if abs(phi1 + phi2) < EPS10:
+            raise ProjError(ERR_CONIC_LAT_EQUAL)
+        self.en = enfn(self.ell.es)
+        sinphi = math.sin(phi1)
+        cosphi = math.cos(phi1)
+        n = sinphi
+        secant = abs(phi1 - phi2) >= EPS10
+        self.ellips = self.ell.es > 0.0
+        es = self.ell.es
+        if self.ellips:
+            m1 = cosphi / math.sqrt(1 - es * sinphi * sinphi)
+            ml1 = float(mlfn(np.array([phi1]), np.array([sinphi]), np.array([cosphi]), self.en)[0])
+            if secant:
+                sinphi2 = math.sin(phi2)
+                cosphi2 = math.cos(phi2)
+                m2 = cosphi2 / math.sqrt(1 - es * sinphi2 * sinphi2)
+                ml2 = float(mlfn(np.array([phi2]), np.array([sinphi2]), np.array([cosphi2]), self.en)[0])
+                if ml2 == ml1:
+                    raise ProjError(ERR_CONIC_LAT_EQUAL)
+                n = (m1 - m2) / (ml2 - ml1)
+                if n == 0:
+                    raise ProjError(ERR_CONIC_LAT_EQUAL)
+            self.c = ml1 + m1 / n
+            self.rho0 = self.c - float(
+                mlfn(np.array([self.phi0]), np.array([math.sin(self.phi0)]),
+                     np.array([math.cos(self.phi0)]), self.en)[0]
+            )
+        else:
+            if secant:
+                n = (cosphi - math.cos(phi2)) / (phi2 - phi1)
+            if n == 0:
+                raise ProjError(ERR_CONIC_LAT_EQUAL)
+            self.c = phi1 + math.cos(phi1) / n
+            self.rho0 = self.c - self.phi0
+        self.n = n
+
+    def _fwd(self, coo: Coords) -> None:
+        lam, phi = coo.x, coo.y
+        if self.ellips:
+            rho = self.c - mlfn(phi, np.sin(phi), np.cos(phi), self.en)
+        else:
+            rho = self.c - phi
+        lamn = lam * self.n
+        coo.x = rho * np.sin(lamn)
+        coo.y = self.rho0 - rho * np.cos(lamn)
+
+    def _inv(self, coo: Coords) -> None:
+        x = coo.x
+        y = self.rho0 - coo.y
+        rho = np.hypot(x, y)
+        if self.n < 0.0:
+            rho = -rho
+            x = -x
+            y = -y
+        center = rho == 0.0
+        phi = self.c - rho
+        if self.ellips:
+            phi, nonconv = inv_mlfn(phi, self.ell.es, self.en)
+            coo.set_err(nonconv & ~center, -17)
+        with np.errstate(invalid="ignore"):
+            lam = np.arctan2(x, y) / self.n
+        pole = M_HALFPI if self.n > 0.0 else -M_HALFPI
+        coo.x = np.where(center, 0.0, lam)
+        coo.y = np.where(center, pole, phi)
+
+
+@register
+class Bonne(Operation):
+    """Bonne / Werner (bonne.cpp)."""
+
+    name = "bonne"
+
+    def setup(self) -> None:
+        self.phi1 = self.params.rad("lat_1", 0.0)
+        if abs(self.phi1) < EPS10:
+            raise ProjError(ERR_LAT1_IS_ZERO)
+        self.spherical = self.ell.es == 0.0
+        if not self.spherical:
+            self.en = enfn(self.ell.es)
+            am1 = math.sin(self.phi1)
+            c = math.cos(self.phi1)
+            self.m1 = float(mlfn(np.array([self.phi1]), np.array([am1]), np.array([c]), self.en)[0])
+            self.am1 = c / (math.sqrt(1.0 - self.ell.es * am1 * am1) * am1)
+        else:
+            if abs(self.phi1) + EPS10 >= M_HALFPI:
+                self.cphi1 = 0.0
+            else:
+                self.cphi1 = 1.0 / math.tan(self.phi1)
+
+    def _fwd(self, coo: Coords) -> None:
+        lam, phi = coo.x, coo.y
+        if self.spherical:
+            rh = self.cphi1 + self.phi1 - phi
+            small = np.abs(rh) <= EPS10
+            with np.errstate(divide="ignore", invalid="ignore"):
+                E = lam * np.cos(phi) / rh
+            coo.x = np.where(small, 0.0, rh * np.sin(E))
+            coo.y = np.where(small, 0.0, self.cphi1 - rh * np.cos(E))
+        else:
+            E = np.sin(phi)
+            c = np.cos(phi)
+            rh = self.am1 + self.m1 - mlfn(phi, E, c, self.en)
+            small = np.abs(rh) <= EPS10
+            with np.errstate(divide="ignore", invalid="ignore"):
+                E = c * lam / (rh * np.sqrt(1.0 - self.ell.es * E * E))
+            coo.x = np.where(small, 0.0, rh * np.sin(E))
+            coo.y = np.where(small, 0.0, self.am1 - rh * np.cos(E))
+
+    def _inv(self, coo: Coords) -> None:
+        x = coo.x
+        if self.spherical:
+            y = self.cphi1 - coo.y
+            rh = np.hypot(x, y)
+            phi = self.cphi1 + self.phi1 - rh
+            bad = np.abs(phi) > M_HALFPI
+            coo.set_err(bad, ERR_TOLERANCE_CONDITION)
+            at_pole = np.abs(np.abs(phi) - M_HALFPI) <= EPS10
+            with np.errstate(divide="ignore", invalid="ignore"):
+                lam = rh * np.arctan2(x, y) / np.cos(phi)
+            coo.x = np.where(bad, np.inf, np.where(at_pole, 0.0, lam))
+            coo.y = np.where(bad, np.inf, phi)
+        else:
+            y = self.am1 - coo.y
+            rh = np.hypot(x, y)
+            phi, nonconv = inv_mlfn(self.am1 + self.m1 - rh, self.ell.es, self.en)
+            coo.set_err(nonconv, -17)
+            s = np.abs(phi)
+            interior = s < M_HALFPI
+            at_pole = np.abs(s - M_HALFPI) <= EPS10
+            bad = ~interior & ~at_pole
+            coo.set_err(bad, ERR_TOLERANCE_CONDITION)
+            sp = np.sin(phi)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                lam = rh * np.arctan2(x, y) * np.sqrt(1.0 - self.ell.es * sp * sp) / np.cos(phi)
+            coo.x = np.where(bad, np.inf, np.where(at_pole, 0.0, lam))
+            coo.y = np.where(bad, np.inf, phi)
+
+
+@register
+class Gall(Operation):
+    """Gall Stereographic (gall.cpp), sphere only."""
+
+    name = "gall"
+    need_ellps = False
+    XF = 0.70710678118654752440
+    YF = 1.70710678118654752440
+    RXF = 1.41421356237309504880
+    RYF = 0.58578643762690495119
+
+    def setup(self) -> None:
+        _spherify(self)
+
+    def _fwd(self, coo: Coords) -> None:
+        coo.x, coo.y = self.XF * coo.x, self.YF * np.tan(0.5 * coo.y)
+
+    def _inv(self, coo: Coords) -> None:
+        coo.x, coo.y = self.RXF * coo.x, 2.0 * np.arctan(coo.y * self.RYF)
+
+
+@register
+class Vandg(Operation):
+    """van der Grinten I (vandg.cpp), sphere only."""
+
+    name = "vandg"
+    need_ellps = False
+
+    def setup(self) -> None:
+        _spherify(self)
+
+    def _fwd(self, coo: Coords) -> None:
+        TOL = 1e-10
+        lam, phi = coo.x, coo.y
+        p2 = np.abs(phi / M_HALFPI)
+        coo.set_err((p2 - TOL) > 1.0, ERR_TOLERANCE_CONDITION)
+        p2 = np.minimum(p2, 1.0)
+        eq = np.abs(phi) <= TOL
+        merid = (np.abs(lam) <= TOL) | (np.abs(p2 - 1.0) < TOL)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            al = 0.5 * np.abs(M_PI / lam - lam / M_PI)
+            al2 = al * al
+            g = np.sqrt(np.maximum(1.0 - p2 * p2, 0.0))
+            g = g / np.where(p2 + g - 1.0 == 0, np.nan, p2 + g - 1.0)
+            g2 = g * g
+            P2 = g * (2.0 / np.where(p2 == 0, np.nan, p2) - 1.0)
+            P2 = P2 * P2
+            xnum = g - P2
+            gg = P2 + al2
+            x = M_PI * (al * xnum + np.sqrt(np.maximum(al2 * xnum * xnum - gg * (g2 - P2), 0.0))) / gg
+            x = np.where(lam < 0.0, -x, x)
+            yy = np.abs(x / M_PI)
+            yy = 1.0 - yy * (yy + 2.0 * al)
+            bad_y = yy < -TOL
+            coo.set_err(~eq & ~merid & bad_y, ERR_TOLERANCE_CONDITION)
+            y = np.sqrt(np.maximum(yy, 0.0)) * np.where(phi < 0.0, -M_PI, M_PI)
+            merid_y = M_PI * np.tan(0.5 * np.arcsin(p2))
+            merid_y = np.where(phi < 0.0, -merid_y, merid_y)
+        coo.x = np.where(eq, lam, np.where(merid, 0.0, x))
+        coo.y = np.where(eq, 0.0, np.where(merid, merid_y, y))
+
+    def _inv(self, coo: Coords) -> None:
+        TOL = 1e-10
+        THIRD = 1.0 / 3.0
+        C2_27 = 0.07407407407407407407
+        PI4_3 = 4.18879020478639098458
+        PISQ = 9.86960440108935861869
+        TPISQ = 19.73920880217871723738
+        HPISQ = 4.93480220054467930934
+        x, y = coo.x, coo.y
+        x2 = x * x
+        ay = np.abs(y)
+        on_eq = ay < TOL
+        y2 = y * y
+        r = x2 + y2
+        r2 = r * r
+        c1 = -M_PI * ay * (r + PISQ)
+        c3 = r2 + M_TWOPI * (ay * r + M_PI * (y2 + M_PI * (ay + M_HALFPI)))
+        c2 = c1 + PISQ * (r - 3.0 * y2)
+        c0 = M_PI * ay
+        with np.errstate(divide="ignore", invalid="ignore"):
+            c2 = c2 / c3
+            al = c1 / c3 - THIRD * c2 * c2
+            m = 2.0 * np.sqrt(np.maximum(-THIRD * al, 0.0))
+            d = C2_27 * c2 * c2 * c2 + (c0 * c0 - THIRD * c2 * c1) / c3
+            al_m = al * m
+            degenerate = np.abs(al_m) < 1e-16
+            coo.set_err(~on_eq & degenerate, ERR_TOLERANCE_CONDITION)
+            d = 3.0 * d / np.where(degenerate, np.nan, al_m)
+            t = np.abs(d)
+            out_of_range = (t - TOL) > 1.0
+            coo.set_err(~on_eq & out_of_range, ERR_TOLERANCE_CONDITION)
+            dd = np.where(t > 1.0, np.where(d > 0.0, 0.0, M_PI), np.arccos(np.clip(d, -1, 1)))
+            phi = M_PI * (m * np.cos(dd * THIRD + PI4_3) - THIRD * c2)
+            phi = np.where(y < 0.0, -phi, phi)
+            tt = r2 + TPISQ * (x2 - y2 + HPISQ)
+            lam = np.where(
+                np.abs(x) <= TOL, 0.0,
+                0.5 * (r - PISQ + np.where(tt <= 0.0, 0.0, np.sqrt(np.maximum(tt, 0.0)))) / x,
+            )
+            # equator case
+            t_eq = x2 * x2 + TPISQ * (x2 + HPISQ)
+            lam_eq = np.where(np.abs(x) <= TOL, 0.0, 0.5 * (x2 - PISQ + np.sqrt(t_eq)) / x)
+        coo.x = np.where(on_eq, lam_eq, lam)
+        coo.y = np.where(on_eq, 0.0, phi)
+
+
+_ROBIN_X = np.array([
+    [1.0, 2.2199e-17, -7.15515e-05, 3.1103e-06],
+    [0.9986, -0.000482243, -2.4897e-05, -1.3309e-06],
+    [0.9954, -0.00083103, -4.48605e-05, -9.86701e-07],
+    [0.99, -0.00135364, -5.9661e-05, 3.6777e-06],
+    [0.9822, -0.00167442, -4.49547e-06, -5.72411e-06],
+    [0.973, -0.00214868, -9.03571e-05, 1.8736e-08],
+    [0.96, -0.00305085, -9.00761e-05, 1.64917e-06],
+    [0.9427, -0.00382792, -6.53386e-05, -2.6154e-06],
+    [0.9216, -0.00467746, -0.00010457, 4.81243e-06],
+    [0.8962, -0.00536223, -3.23831e-05, -5.43432e-06],
+    [0.8679, -0.00609363, -0.000113898, 3.32484e-06],
+    [0.835, -0.00698325, -6.40253e-05, 9.34959e-07],
+    [0.7986, -0.00755338, -5.00009e-05, 9.35324e-07],
+    [0.7597, -0.00798324, -3.5971e-05, -2.27626e-06],
+    [0.7186, -0.00851367, -7.01149e-05, -8.6303e-06],
+    [0.6732, -0.00986209, -0.000199569, 1.91974e-05],
+    [0.6213, -0.010418, 8.83923e-05, 6.24051e-06],
+    [0.5722, -0.00906601, 0.000182, 6.24051e-06],
+    [0.5322, -0.00677797, 0.000275608, 6.24051e-06],
+], dtype=np.float32).astype(np.float64)
+
+_ROBIN_Y = np.array([
+    [-5.20417e-18, 0.0124, 1.21431e-18, -8.45284e-11],
+    [0.062, 0.0124, -1.26793e-09, 4.22642e-10],
+    [0.124, 0.0124, 5.07171e-09, -1.60604e-09],
+    [0.186, 0.0123999, -1.90189e-08, 6.00152e-09],
+    [0.248, 0.0124002, 7.10039e-08, -2.24e-08],
+    [0.31, 0.0123992, -2.64997e-07, 8.35986e-08],
+    [0.372, 0.0124029, 9.88983e-07, -3.11994e-07],
+    [0.434, 0.0123893, -3.69093e-06, -4.35621e-07],
+    [0.4958, 0.0123198, -1.02252e-05, -3.45523e-07],
+    [0.5571, 0.0121916, -1.54081e-05, -5.82288e-07],
+    [0.6176, 0.0119938, -2.41424e-05, -5.25327e-07],
+    [0.6769, 0.011713, -3.20223e-05, -5.16405e-07],
+    [0.7346, 0.0113541, -3.97684e-05, -6.09052e-07],
+    [0.7903, 0.0109107, -4.89042e-05, -1.04739e-06],
+    [0.8435, 0.0103431, -6.4615e-05, -1.40374e-09],
+    [0.8936, 0.00969686, -6.4636e-05, -8.547e-06],
+    [0.9394, 0.00840947, -0.000192841, -4.2106e-06],
+    [0.9761, 0.00616527, -0.000256, -4.2106e-06],
+    [1.0, 0.00328947, -0.000319159, -4.2106e-06],
+], dtype=np.float32).astype(np.float64)
+
+
+def _rv(tab, i, z):
+    c0 = tab[i, 0]
+    c1 = tab[i, 1]
+    c2 = tab[i, 2]
+    c3 = tab[i, 3]
+    return c0 + z * (c1 + z * (c2 + z * c3))
+
+
+def _rdv(tab, i, z):
+    return tab[i, 1] + 2 * z * tab[i, 2] + z * z * 3.0 * tab[i, 3]
+
+
+@register
+class Robin(Operation):
+    """Robinson (robin.cpp): tabulated cubic splines, np.take gathers."""
+
+    name = "robin"
+    need_ellps = False
+    FXC = 0.8487
+    FYC = 1.3523
+    C1 = 11.45915590261646417544
+    RC1 = 0.08726646259971647884
+    NODES = 18
+
+    def setup(self) -> None:
+        _spherify(self)
+
+    def _fwd(self, coo: Coords) -> None:
+        lam, phi = coo.x, coo.y
+        dphi = np.abs(phi)
+        i = np.floor(dphi * self.C1 + 1e-15).astype(np.int64)
+        bad = ~np.isfinite(phi) | (i < 0)
+        coo.set_err(bad, ERR_TOLERANCE_CONDITION)
+        i = np.clip(i, 0, self.NODES)
+        z = RAD_TO_DEG * (dphi - self.RC1 * i)
+        x = _rv(_ROBIN_X, i, z) * self.FXC * lam
+        y = _rv(_ROBIN_Y, i, z) * self.FYC
+        coo.x = np.where(bad, np.inf, x)
+        coo.y = np.where(bad, np.inf, np.where(phi < 0.0, -y, y))
+
+    def _inv(self, coo: Coords) -> None:
+        x, y = coo.x, coo.y
+        lam = x / self.FXC
+        phi_t = np.abs(y / self.FYC)
+        pathological = phi_t >= 1.0
+        too_big = phi_t > 1.000001
+        coo.set_err(too_big, ERR_TOLERANCE_CONDITION)
+        # general case: find table interval by the Y-value
+        i = np.clip(np.floor(phi_t * self.NODES).astype(np.int64), 0, self.NODES - 1)
+        for _ in range(3):  # settle interval like the reference's walk loop
+            dec = _ROBIN_Y[i, 0] > phi_t
+            inc = _ROBIN_Y[np.minimum(i + 1, self.NODES), 0] <= phi_t
+            i = np.clip(i - dec.astype(np.int64) + inc.astype(np.int64), 0, self.NODES - 1)
+        t = 5.0 * (phi_t - _ROBIN_Y[i, 0]) / (_ROBIN_Y[np.minimum(i + 1, self.NODES), 0] - _ROBIN_Y[i, 0])
+        active = np.isfinite(t) & ~pathological
+        for _ in range(100):
+            if not np.any(active):
+                break
+            t1 = (_rv(_ROBIN_Y, i[active], t[active]) - phi_t[active]) / _rdv(
+                _ROBIN_Y, i[active], t[active]
+            )
+            t[active] = t[active] - t1
+            done = np.abs(t1) < 1e-10
+            idx = np.flatnonzero(active)
+            active[idx[done]] = False
+        phi = (5 * i + t) * DEG_TO_RAD
+        phi = np.where(y < 0.0, -phi, phi)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            lam_g = lam / _rv(_ROBIN_X, i, t)
+        phi = np.where(pathological, np.where(y < 0.0, -M_HALFPI, M_HALFPI), phi)
+        lam_g = np.where(pathological, lam / _ROBIN_X[self.NODES, 0], lam_g)
+        out_of_range = np.abs(lam_g) > M_PI
+        coo.set_err(out_of_range & ~too_big, ERR_LAT_OR_LON_EXCEED_LIMIT)
+        coo.x = np.where(out_of_range | too_big, np.inf, lam_g)
+        coo.y = np.where(out_of_range | too_big, np.inf, phi)
+
+
+@register
+class Somerc(Operation):
+    """Swiss Oblique Mercator (somerc.cpp)."""
+
+    name = "somerc"
+
+    def setup(self) -> None:
+        e, es, rone_es = self.ell.e, self.ell.es, self.ell.rone_es
+        self.hlf_e = 0.5 * e
+        cp = math.cos(self.phi0) ** 2
+        self.c = math.sqrt(1 + es * cp * cp * rone_es)
+        sp = math.sin(self.phi0)
+        self.sinp0 = sp / self.c
+        phip0 = math.asin(max(-1.0, min(1.0, self.sinp0)))
+        self.cosp0 = math.cos(phip0)
+        spe = sp * e
+        self.K = math.log(math.tan(M_FORTPI + 0.5 * phip0)) - self.c * (
+            math.log(math.tan(M_FORTPI + 0.5 * self.phi0))
+            - self.hlf_e * math.log((1.0 + spe) / (1.0 - spe))
+        )
+        self.kR = self.k0 * math.sqrt(self.ell.one_es) / (1.0 - spe * spe)
+
+    def _fwd(self, coo: Coords) -> None:
+        e = self.ell.e
+        lam, phi = coo.x, coo.y
+        sp = e * np.sin(phi)
+        phip = (
+            2.0 * np.arctan(
+                np.exp(
+                    self.c * (
+                        np.log(np.tan(M_FORTPI + 0.5 * phi))
+                        - self.hlf_e * np.log((1.0 + sp) / (1.0 - sp))
+                    )
+                    + self.K
+                )
+            )
+            - M_HALFPI
+        )
+        lamp = self.c * lam
+        cp = np.cos(phip)
+        phipp, err1 = aasin(self.cosp0 * np.sin(phip) - self.sinp0 * cp * np.cos(lamp))
+        coo.set_err(err1, -19)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            lampp, err2 = aasin(cp * np.sin(lamp) / np.cos(phipp))
+        coo.set_err(err2, -19)
+        coo.x = self.kR * lampp
+        coo.y = self.kR * np.log(np.tan(M_FORTPI + 0.5 * phipp))
+
+    def _inv(self, coo: Coords) -> None:
+        e = self.ell.e
+        x, y = coo.x, coo.y
+        phipp = 2.0 * (np.arctan(np.exp(y / self.kR)) - M_FORTPI)
+        lampp = x / self.kR
+        cp = np.cos(phipp)
+        phip, err1 = aasin(self.cosp0 * np.sin(phipp) + self.sinp0 * cp * np.cos(lampp))
+        coo.set_err(err1, -19)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            lamp, err2 = aasin(cp * np.sin(lampp) / np.cos(phip))
+        coo.set_err(err2, -19)
+        con = (self.K - np.log(np.tan(M_FORTPI + 0.5 * phip))) / self.c
+        active = np.isfinite(phip)
+        converged = ~active
+        for _ in range(6):
+            if not np.any(active):
+                break
+            p = phip[active]
+            esp = e * np.sin(p)
+            delp = (
+                (con[active] + np.log(np.tan(M_FORTPI + 0.5 * p))
+                 - self.hlf_e * np.log((1.0 + esp) / (1.0 - esp)))
+                * (1.0 - esp * esp) * np.cos(p) * self.ell.rone_es
+            )
+            phip[active] = p - delp
+            done = np.abs(delp) < 1e-10
+            idx = np.flatnonzero(active)
+            converged[idx[done]] = True
+            active[idx[done]] = False
+        coo.set_err(~converged & np.isfinite(phip), ERR_TOLERANCE_CONDITION)
+        coo.x = lamp / self.c
+        coo.y = phip
