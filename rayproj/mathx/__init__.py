@@ -193,3 +193,60 @@ def authlat(beta: np.ndarray, apa: np.ndarray) -> np.ndarray:
     """Geodetic latitude from authalic latitude (auth.cpp:33-38)."""
     t = beta + beta
     return beta + apa[0] * np.sin(t) + apa[1] * np.sin(t + t) + apa[2] * np.sin(t + t + t)
+
+
+class Gauss:
+    """Gaussian sphere mapping (gauss.cpp): ellipsoid ↔ conformal sphere."""
+
+    def __init__(self, e: float, phi0: float):
+        import math as _m
+
+        es = e * e
+        self.e = e
+        sphi = _m.sin(phi0)
+        cphi2 = _m.cos(phi0) ** 2
+        self.rc = _m.sqrt(1.0 - es) / (1.0 - es * sphi * sphi)
+        self.C = _m.sqrt(1.0 + es * cphi2 * cphi2 / (1.0 - es))
+        self.chi = _m.asin(sphi / self.C)
+        self.ratexp = 0.5 * self.C * e
+        srat0 = ((1.0 - e * sphi) / (1.0 + e * sphi)) ** self.ratexp
+        if 0.5 * phi0 + M_FORTPI < 1e-10:
+            self.K = 1.0 / srat0
+        else:
+            self.K = _m.tan(0.5 * self.chi + M_FORTPI) / (
+                _m.tan(0.5 * phi0 + M_FORTPI) ** self.C * srat0
+            )
+
+    def _srat(self, esinp, ratexp):
+        return np.power((1.0 - esinp) / (1.0 + esinp), ratexp)
+
+    def fwd(self, lam: np.ndarray, phi: np.ndarray):
+        sphi = 2.0 * np.arctan(
+            self.K
+            * np.power(np.tan(0.5 * phi + M_FORTPI), self.C)
+            * self._srat(self.e * np.sin(phi), self.ratexp)
+        ) - M_HALFPI
+        return self.C * lam, sphi
+
+    def inv(self, slam: np.ndarray, sphi: np.ndarray):
+        """Fixed-point inverse (gauss.cpp:86-105), max 20 iters, tol 1e-14.
+        Returns (lam, phi, nonconverged)."""
+        lam = slam / self.C
+        num = np.power(np.tan(0.5 * sphi + M_FORTPI) / self.K, 1.0 / self.C)
+        cur = sphi.copy()
+        phi = cur.copy()
+        active = np.isfinite(sphi)
+        converged = ~active
+        for _ in range(20):
+            if not np.any(active):
+                break
+            p = 2.0 * np.arctan(
+                num[active] * self._srat(self.e * np.sin(cur[active]), -0.5 * self.e)
+            ) - M_HALFPI
+            done = np.abs(p - cur[active]) < 1e-14
+            phi[active] = p
+            cur[active] = p
+            idx = np.flatnonzero(active)
+            converged[idx[done]] = True
+            active[idx[done]] = False
+        return lam, phi, ~converged & np.isfinite(sphi)

@@ -546,3 +546,161 @@ class Somerc(Operation):
         coo.set_err(~converged & np.isfinite(phip), ERR_TOLERANCE_CONDITION)
         coo.x = lamp / self.c
         coo.y = phip
+
+
+@register
+class Sterea(Operation):
+    """Oblique Stereographic Alternative (sterea.cpp) via the Gaussian
+    sphere (gauss.cpp)."""
+
+    name = "sterea"
+
+    def setup(self) -> None:
+        from ..mathx import Gauss
+
+        self.gauss = Gauss(self.ell.e, self.phi0)
+        self.phic0 = self.gauss.chi
+        self.sinc0 = math.sin(self.phic0)
+        self.cosc0 = math.cos(self.phic0)
+        self.R2 = 2.0 * self.gauss.rc
+
+    def _fwd(self, coo: Coords) -> None:
+        lam, phi = self.gauss.fwd(coo.x, coo.y)
+        sinc = np.sin(phi)
+        cosc = np.cos(phi)
+        cosl = np.cos(lam)
+        denom = 1.0 + self.sinc0 * sinc + self.cosc0 * cosc * cosl
+        coo.set_err(denom == 0.0, ERR_TOLERANCE_CONDITION)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            k = self.k0 * self.R2 / denom
+        coo.x = k * cosc * np.sin(lam)
+        coo.y = k * (self.cosc0 * sinc - self.sinc0 * cosc * cosl)
+
+    def _inv(self, coo: Coords) -> None:
+        x = coo.x / self.k0
+        y = coo.y / self.k0
+        rho = np.hypot(x, y)
+        center = rho == 0.0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            c = 2.0 * np.arctan2(rho, self.R2)
+            sinc = np.sin(c)
+            cosc = np.cos(c)
+            phi = np.arcsin(np.clip(cosc * self.sinc0 + y * sinc * self.cosc0 / rho, -1, 1))
+            lam = np.arctan2(x * sinc, rho * self.cosc0 * cosc - y * self.sinc0 * sinc)
+        phi = np.where(center, self.phic0, phi)
+        lam = np.where(center, 0.0, lam)
+        lam2, phi2, nonconv = self.gauss.inv(lam, phi)
+        coo.set_err(nonconv, -17)
+        coo.x, coo.y = lam2, phi2
+
+
+@register
+class Poly(Operation):
+    """American Polyconic (poly.cpp)."""
+
+    name = "poly"
+    TOL = 1e-10
+    CONV = 1e-10
+
+    def setup(self) -> None:
+        self.spherical = self.ell.es == 0.0
+        if not self.spherical:
+            self.en = enfn(self.ell.es)
+            self.ml0 = float(
+                mlfn(np.array([self.phi0]), np.array([math.sin(self.phi0)]),
+                     np.array([math.cos(self.phi0)]), self.en)[0]
+            )
+        else:
+            self.ml0 = -self.phi0
+
+    def _fwd(self, coo: Coords) -> None:
+        lam, phi = coo.x, coo.y
+        on_eq = np.abs(phi) <= self.TOL
+        with np.errstate(divide="ignore", invalid="ignore"):
+            if self.spherical:
+                cot = 1.0 / np.tan(phi)
+                E = lam * np.sin(phi)
+                x = np.sin(E) * cot
+                y = phi - self.phi0 + cot * (1.0 - np.cos(E))
+                y_eq = self.ml0
+            else:
+                sp = np.sin(phi)
+                cp = np.cos(phi)
+                ms = np.where(np.abs(cp) > self.TOL,
+                              (cp / np.sqrt(1.0 - self.ell.es * sp * sp)) / sp, 0.0)
+                E = lam * sp
+                x = ms * np.sin(E)
+                y = (mlfn(phi, sp, cp, self.en) - self.ml0) + ms * (1.0 - np.cos(E))
+                y_eq = -self.ml0
+        coo.x = np.where(on_eq, lam, x)
+        coo.y = np.where(on_eq, y_eq, y)
+
+    def _inv(self, coo: Coords) -> None:
+        if self.spherical:
+            y = self.phi0 + coo.y
+            x = coo.x
+            on_eq = np.abs(y) <= self.TOL
+            B = x * x + y * y
+            phi = y.copy()
+            active = np.isfinite(phi) & ~on_eq
+            converged = ~active
+            for _ in range(10):
+                if not np.any(active):
+                    break
+                p = phi[active]
+                tp = np.tan(p)
+                dphi = (y[active] * (p * tp + 1.0) - p - 0.5 * (p * p + B[active]) * tp) / (
+                    (p - y[active]) / tp - 1.0
+                )
+                phi[active] = p - dphi
+                done = ~(np.abs(dphi) > self.CONV)
+                idx = np.flatnonzero(active)
+                converged[idx[done]] = True
+                active[idx[done]] = False
+            coo.set_err(~converged & ~on_eq & np.isfinite(phi), ERR_TOLERANCE_CONDITION)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                lam = np.arcsin(np.clip(x * np.tan(phi), -1, 1)) / np.sin(phi)
+            coo.x = np.where(on_eq, x, lam)
+            coo.y = np.where(on_eq, 0.0, phi)
+            return
+        es, one_es = self.ell.es, self.ell.one_es
+        y = coo.y + self.ml0
+        x = coo.x
+        on_eq = np.abs(y) <= self.TOL
+        r = y * y + x * x
+        phi = y.copy()
+        active = np.isfinite(phi) & ~on_eq
+        converged = ~active
+        bad = np.zeros(phi.shape, dtype=bool)
+        for _ in range(20):
+            if not np.any(active):
+                break
+            p = phi[active]
+            sp = np.sin(p)
+            cp = np.cos(p)
+            s2ph = sp * cp
+            degenerate = np.abs(cp) < 1e-12
+            mlp = np.sqrt(1.0 - es * sp * sp)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                c = sp * mlp / cp
+                ml = mlfn(p, sp, cp, self.en)
+                mlb = ml * ml + r[active]
+                mlp3 = one_es / (mlp * mlp * mlp)
+                dPhi = (ml + ml + c * mlb - 2.0 * y[active] * (c * ml + 1.0)) / (
+                    es * s2ph * (mlb - 2.0 * y[active] * ml) / c
+                    + 2.0 * (y[active] - ml) * (c * mlp3 - 1.0 / s2ph)
+                    - mlp3 - mlp3
+                )
+            phi[active] = p + np.where(degenerate, 0.0, dPhi)
+            done = (np.abs(dPhi) <= 1e-12) | degenerate
+            idx = np.flatnonzero(active)
+            bad[idx[degenerate]] = True
+            converged[idx[done & ~degenerate]] = True
+            active[idx[done]] = False
+        coo.set_err(bad, ERR_TOLERANCE_CONDITION)
+        coo.set_err(~converged & ~bad & ~on_eq & np.isfinite(phi), ERR_TOLERANCE_CONDITION)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            c = np.sin(phi)
+            lam = np.arcsin(np.clip(x * np.tan(phi) * np.sqrt(1.0 - es * c * c), -1, 1)) / np.sin(phi)
+        coo.x = np.where(on_eq, x, lam)
+        coo.y = np.where(on_eq, 0.0, phi)
