@@ -704,3 +704,216 @@ class Poly(Operation):
             lam = np.arcsin(np.clip(x * np.tan(phi) * np.sqrt(1.0 - es * c * c), -1, 1)) / np.sin(phi)
         coo.x = np.where(on_eq, x, lam)
         coo.y = np.where(on_eq, 0.0, phi)
+
+
+@register
+class Krovak(Operation):
+    """Krovak (krovak.cpp): fixed Bessel ellipsoid, Czech axis signs."""
+
+    name = "krovak"
+    UQ = 1.04216856380474
+    S0 = 1.37008346281555
+
+    def setup(self) -> None:
+        from ..core.ellps import Ellipsoid
+
+        # krovak.cpp pins Bessel regardless of the given ellipsoid —
+        # but stomps only P->a/P->es, leaving P->ra stale (the inverse
+        # divides by the ORIGINAL ellipsoid's a; see inv.cpp:80-84's
+        # CalCOFI note). Replicate that asymmetry bit-for-bit.
+        stale_ra = self.ell.ra
+        self.ell = Ellipsoid(a=6377397.155, es=0.006674372230614).derive()
+        self.ell.ra = stale_ra
+        if not self.params.has("lat_0"):
+            self.phi0 = 0.863937979737193
+        if not self.params.has("lon_0"):
+            self.lam0 = 0.7417649320975901 - 0.308341501185665
+        if not self.params.has("k") and not self.params.has("k_0"):
+            self.k0 = 0.9999
+        self.czech = 1.0 if self.params.has("czech") else -1.0
+        e, es = self.ell.e, self.ell.es
+        self.alpha = math.sqrt(1.0 + (es * math.cos(self.phi0) ** 4) / (1.0 - es))
+        u0 = math.asin(math.sin(self.phi0) / self.alpha)
+        g = ((1.0 + e * math.sin(self.phi0)) / (1.0 - e * math.sin(self.phi0))) ** (
+            self.alpha * e / 2.0
+        )
+        t0 = math.tan(self.phi0 / 2.0 + M_FORTPI)
+        if t0 == 0.0:
+            from ..core.errors import ERR_INVALID_ARG
+
+            raise ProjError(ERR_INVALID_ARG, "krovak lat_0")
+        self.kk = math.tan(u0 / 2.0 + M_FORTPI) / t0 ** self.alpha * g
+        n0 = math.sqrt(1.0 - es) / (1.0 - es * math.sin(self.phi0) ** 2)
+        self.n = math.sin(self.S0)
+        self.rho0 = self.k0 * n0 / math.tan(self.S0)
+        self.ad = M_HALFPI - self.UQ
+
+    def _fwd(self, coo: Coords) -> None:
+        e = self.ell.e
+        lam, phi = coo.x, coo.y
+        gfi = np.power((1.0 + e * np.sin(phi)) / (1.0 - e * np.sin(phi)), self.alpha * e / 2.0)
+        u = 2.0 * (np.arctan(self.kk * np.power(np.tan(phi / 2.0 + M_FORTPI), self.alpha) / gfi) - M_FORTPI)
+        deltav = -lam * self.alpha
+        s = np.arcsin(np.clip(np.cos(self.ad) * np.sin(u) + np.sin(self.ad) * np.cos(u) * np.cos(deltav), -1, 1))
+        cos_s = np.cos(s)
+        degenerate = cos_s < 1e-12
+        with np.errstate(divide="ignore", invalid="ignore"):
+            d = np.arcsin(np.clip(np.cos(u) * np.sin(deltav) / cos_s, -1, 1))
+        eps_ = self.n * d
+        rho = self.rho0 * math.tan(self.S0 / 2.0 + M_FORTPI) ** self.n / np.power(
+            np.tan(s / 2.0 + M_FORTPI), self.n
+        )
+        coo.x = np.where(degenerate, 0.0, rho * np.sin(eps_) * self.czech)
+        coo.y = np.where(degenerate, 0.0, rho * np.cos(eps_) * self.czech)
+
+    def _inv(self, coo: Coords) -> None:
+        e = self.ell.e
+        # swap per krovak.cpp inverse
+        x = coo.y * self.czech
+        y = coo.x * self.czech
+        rho = np.sqrt(x * x + y * y)
+        eps_ = np.arctan2(y, x)
+        d = eps_ / math.sin(self.S0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            s = np.where(
+                rho == 0.0,
+                M_HALFPI,
+                2.0 * (np.arctan(np.power(self.rho0 / rho, 1.0 / self.n)
+                                 * math.tan(self.S0 / 2.0 + M_FORTPI)) - M_FORTPI),
+            )
+        u = np.arcsin(np.clip(np.cos(self.ad) * np.sin(s) - np.sin(self.ad) * np.cos(s) * np.cos(d), -1, 1))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            deltav = np.arcsin(np.clip(np.cos(s) * np.sin(d) / np.cos(u), -1, 1))
+        lam = -deltav / self.alpha  # lam0 added back in finalize
+        fi1 = u.copy()
+        phi = u.copy()
+        active = np.isfinite(u)
+        converged = ~active
+        base = np.power(np.tan(u / 2.0 + M_FORTPI), 1.0 / self.alpha) * self.kk ** (-1.0 / self.alpha)
+        for _ in range(100):
+            if not np.any(active):
+                break
+            f = fi1[active]
+            p = 2.0 * (np.arctan(base[active] * np.power((1.0 + e * np.sin(f)) / (1.0 - e * np.sin(f)), e / 2.0)) - M_FORTPI)
+            done = np.abs(f - p) < 1e-15
+            phi[active] = p
+            fi1[active] = p
+            idx = np.flatnonzero(active)
+            converged[idx[done]] = True
+            active[idx[done]] = False
+        coo.set_err(~converged & np.isfinite(u), -53)
+        coo.x = lam
+        coo.y = phi
+
+
+@register
+class Tcea(Operation):
+    """Transverse Cylindrical Equal Area (tcea.cpp), sphere only."""
+
+    name = "tcea"
+    need_ellps = False
+
+    def setup(self) -> None:
+        _spherify(self)
+
+    def _fwd(self, coo: Coords) -> None:
+        lam, phi = coo.x, coo.y
+        coo.x = np.cos(phi) * np.sin(lam) / self.k0
+        coo.y = self.k0 * (np.arctan2(np.tan(phi), np.cos(lam)) - self.phi0)
+
+    def _inv(self, coo: Coords) -> None:
+        y = coo.y / self.k0 + self.phi0
+        x = coo.x * self.k0
+        t = np.sqrt(np.maximum(1.0 - x * x, 0.0))
+        coo.y = np.arcsin(np.clip(t * np.sin(y), -1, 1))
+        coo.x = np.arctan2(x, t * np.cos(y))
+
+
+_NZMG_BF = np.array([
+    0.7557853228 + 0.0j,
+    0.249204646 + 0.003371507j,
+    -0.001541739 + 0.041058560j,
+    -0.10162907 + 0.01727609j,
+    -0.26623489 - 0.36249218j,
+    -0.6870983 - 1.1651967j,
+])
+_NZMG_TPSI = np.array([0.6399175073, -0.1358797613, 0.063294409, -0.02526853,
+                       0.0117879, -0.0055161, 0.0026906, -0.001333, 0.00067, -0.00034])
+_NZMG_TPHI = np.array([1.5627014243, 0.5185406398, -0.03333098, -0.1052906,
+                       -0.0368594, 0.007317, 0.01220, 0.00394, -0.0013])
+
+
+@register
+class Nzmg(Operation):
+    """New Zealand Map Grid (nzmg.cpp): complex 6th-degree polynomial on
+    the International ellipsoid; inverse = complex Newton (vectorized
+    with NumPy complex128)."""
+
+    name = "nzmg"
+    SEC5_TO_RAD = 0.4848136811095359935899141023
+    RAD_TO_SEC5 = 2.062648062470963551564733573
+
+    def setup(self) -> None:
+        from ..core.ellps import Ellipsoid
+
+        self.ell = Ellipsoid(a=6378388.0, es=self.ell.es if False else 0.006722670022333
+                             ).derive() if False else self.ell
+        # nzmg.cpp only forces a (keeps given es); emulate exactly:
+        import dataclasses
+
+        self.ell = dataclasses.replace(self.ell)
+        self.ell.a = 6378388.0
+        self.ell.ra = 1.0 / 6378388.0
+        self.lam0 = math.radians(173.0)
+        self.phi0 = math.radians(-41.0)
+        self.x0 = 2510000.0
+        self.y0 = 6023150.0
+
+    def _fwd(self, coo: Coords) -> None:
+        lam, phi = coo.x, coo.y
+        dphi = (phi - self.phi0) * self.RAD_TO_SEC5
+        psi = np.zeros_like(dphi)
+        for c in _NZMG_TPSI[::-1]:
+            psi = c + dphi * psi
+        psi = psi * dphi
+        p = psi + 1j * lam
+        z = np.zeros_like(p)
+        for c in _NZMG_BF[::-1]:
+            z = c + p * z
+        z = z * p
+        coo.x = z.imag
+        coo.y = z.real
+
+    def _inv(self, coo: Coords) -> None:
+        target = coo.y + 1j * coo.x
+        p = target.copy()
+        active = np.isfinite(coo.x) & np.isfinite(coo.y)
+        converged = ~active
+        for _ in range(20):
+            if not np.any(active):
+                break
+            pa = p[active]
+            f = np.zeros_like(pa)
+            fp = np.zeros_like(pa)
+            for c in _NZMG_BF[::-1]:
+                fp = f + pa * fp
+                f = c + pa * f
+            # f = poly sum c_k p^{k} (without the final *p); actual value = f*p
+            val = f * pa
+            der = f + pa * fp
+            dp = -(val - target[active]) / der
+            p[active] = pa + dp
+            done = (np.abs(dp.real) + np.abs(dp.imag)) <= 1e-10
+            idx = np.flatnonzero(active)
+            converged[idx[done]] = True
+            active[idx[done]] = False
+        bad = ~converged
+        coo.set_err(bad & np.isfinite(coo.x), -53)
+        lam = p.imag
+        pr = p.real
+        phi = np.zeros_like(pr)
+        for c in _NZMG_TPHI[::-1]:
+            phi = c + pr * phi
+        phi = self.phi0 + pr * phi * self.SEC5_TO_RAD
+        coo.x = np.where(bad, np.inf, lam)
+        coo.y = np.where(bad, np.inf, phi)
