@@ -917,3 +917,186 @@ class Nzmg(Operation):
         phi = self.phi0 + pr * phi * self.SEC5_TO_RAD
         coo.x = np.where(bad, np.inf, lam)
         coo.y = np.where(bad, np.inf, phi)
+
+
+@register
+class Omerc(Operation):
+    """Oblique Mercator (omerc.cpp): alpha/gamma+lonc or two-point form."""
+
+    name = "omerc"
+    TOLC = 1e-7
+
+    def setup(self) -> None:
+        from ..core.errors import (
+            ERR_INVALID_ECCENTRICITY,
+            ERR_LAT_0_OR_ALPHA_EQ_90,
+            ERR_LAT_LARGER_THAN_90,
+        )
+        from ..mathx import adjlon as _adjlon
+
+        p = self.params
+        e, es, one_es = self.ell.e, self.ell.es, self.ell.one_es
+        self.no_rot = p.bool_("no_rot", False)
+        alp = p.has("alpha")
+        gam = p.has("gamma")
+        alpha_c = p.rad("alpha", 0.0)
+        gamma = p.rad("gamma", 0.0)
+        no_off = False
+        lam1 = phi1 = lam2 = phi2 = 0.0
+        if alp or gam:
+            lamc = p.rad("lonc", 0.0)
+            no_off = p.has("no_off") or p.has("no_uoff")
+        else:
+            lam1 = p.rad("lon_1", 0.0)
+            phi1 = p.rad("lat_1", 0.0)
+            lam2 = p.rad("lon_2", 0.0)
+            phi2 = p.rad("lat_2", 0.0)
+            if abs(phi1) > M_HALFPI or abs(phi2) > M_HALFPI:
+                raise ProjError(ERR_LAT_LARGER_THAN_90)
+            con = abs(phi1)
+            if (
+                abs(phi1 - phi2) <= self.TOLC or con <= self.TOLC
+                or abs(con - M_HALFPI) <= self.TOLC
+                or abs(abs(self.phi0) - M_HALFPI) <= self.TOLC
+                or abs(abs(phi2) - M_HALFPI) <= self.TOLC
+            ):
+                raise ProjError(ERR_LAT_0_OR_ALPHA_EQ_90)
+        com = math.sqrt(one_es)
+
+        def tsfn_s(phi):
+            sp = math.sin(phi)
+            con_ = e * sp
+            return math.tan(0.5 * (M_HALFPI - phi)) / ((1.0 - con_) / (1.0 + con_)) ** (0.5 * e)
+
+        if abs(self.phi0) > 1e-10:
+            sinph0 = math.sin(self.phi0)
+            cosph0 = math.cos(self.phi0)
+            con = 1.0 - es * sinph0 * sinph0
+            B = cosph0 * cosph0
+            B = math.sqrt(1.0 + es * B * B / one_es)
+            A = B * self.k0 * com / con
+            D = B * com / (cosph0 * math.sqrt(con))
+            F = D * D - 1.0
+            if F <= 0.0:
+                F = 0.0
+            else:
+                F = math.sqrt(F)
+                if self.phi0 < 0.0:
+                    F = -F
+            F = F + D
+            E = F * tsfn_s(self.phi0) ** B
+        else:
+            B = 1.0 / com
+            A = self.k0
+            E = D = F = 1.0
+
+        if alp or gam:
+            if alp:
+                gamma0 = math.asin(max(-1, min(1, math.sin(alpha_c) / D)))
+                if not gam:
+                    gamma = alpha_c
+            else:
+                gamma0 = gamma
+                alpha_c = math.asin(max(-1, min(1, D * math.sin(gamma0))))
+            if abs(abs(self.phi0) - M_HALFPI) <= self.TOLC:
+                raise ProjError(ERR_LAT_0_OR_ALPHA_EQ_90)
+            self.lam0 = lamc - math.asin(
+                max(-1, min(1, 0.5 * (F - 1.0 / F) * math.tan(gamma0)))
+            ) / B
+        else:
+            H = tsfn_s(phi1) ** B
+            L = tsfn_s(phi2) ** B
+            F = E / H
+            pp = (L - H) / (L + H)
+            if pp == 0:
+                raise ProjError(ERR_INVALID_ECCENTRICITY)
+            J = E * E
+            J = (J - L * H) / (J + L * H)
+            con = lam1 - lam2
+            if con < -M_PI:
+                lam2 -= M_TWOPI
+            elif con > M_PI:
+                lam2 += M_TWOPI
+            self.lam0 = float(_adjlon(np.array([
+                0.5 * (lam1 + lam2)
+                - math.atan(J * math.tan(0.5 * B * (lam1 - lam2)) / pp) / B
+            ]))[0])
+            denom = F - 1.0 / F
+            if denom == 0:
+                raise ProjError(ERR_INVALID_ECCENTRICITY)
+            gamma0 = math.atan(2.0 * math.sin(B * float(_adjlon(np.array([lam1 - self.lam0]))[0])) / denom)
+            gamma = alpha_c = math.asin(max(-1, min(1, D * math.sin(gamma0))))
+
+        self.singam = math.sin(gamma0)
+        self.cosgam = math.cos(gamma0)
+        self.sinrot = math.sin(gamma)
+        self.cosrot = math.cos(gamma)
+        self.rB = 1.0 / B
+        self.ArB = A * self.rB
+        self.BrA = 1.0 / self.ArB
+        self.A, self.B, self.E = A, B, E
+        if no_off:
+            self.u_0 = 0.0
+        else:
+            self.u_0 = abs(self.ArB * math.atan(math.sqrt(D * D - 1.0) / math.cos(alpha_c)))
+            if self.phi0 < 0.0:
+                self.u_0 = -self.u_0
+        F2 = 0.5 * gamma0
+        self.v_pole_n = self.ArB * math.log(math.tan(M_FORTPI - F2))
+        self.v_pole_s = self.ArB * math.log(math.tan(M_FORTPI + F2))
+
+    def _fwd(self, coo: Coords) -> None:
+        from ..mathx import tsfn
+
+        lam, phi = coo.x, coo.y
+        e = self.ell.e
+        at_pole = np.abs(np.abs(phi) - M_HALFPI) <= 1e-10
+        with np.errstate(divide="ignore", invalid="ignore"):
+            W = self.E / np.power(tsfn(phi, np.sin(phi), e), self.B)
+            one_div_W = 1.0 / W
+            S = 0.5 * (W - one_div_W)
+            T = 0.5 * (W + one_div_W)
+            V = np.sin(self.B * lam)
+            U = (S * self.singam - V * self.cosgam) / T
+            singular = np.abs(np.abs(U) - 1.0) < 1e-10
+            coo.set_err(~at_pole & singular, ERR_TOLERANCE_CONDITION)
+            v = 0.5 * self.ArB * np.log((1.0 - U) / (1.0 + U))
+            temp = np.cos(self.B * lam)
+            u = np.where(
+                np.abs(temp) < self.TOLC,
+                self.A * lam,
+                self.ArB * np.arctan2(S * self.cosgam + V * self.singam, temp),
+            )
+        v = np.where(at_pole, np.where(phi > 0, self.v_pole_n, self.v_pole_s), v)
+        u = np.where(at_pole, self.ArB * phi, u)
+        if self.no_rot:
+            coo.x, coo.y = u, v
+        else:
+            u = u - self.u_0
+            coo.x = v * self.cosrot + u * self.sinrot
+            coo.y = u * self.cosrot - v * self.sinrot
+
+    def _inv(self, coo: Coords) -> None:
+        from ..mathx import phi2 as phi2fn
+
+        x, y = coo.x, coo.y
+        e = self.ell.e
+        if self.no_rot:
+            v, u = y, x
+        else:
+            v = x * self.cosrot - y * self.sinrot
+            u = y * self.cosrot + x * self.sinrot + self.u_0
+        Qp = np.exp(-self.BrA * v)
+        coo.set_err(Qp == 0, -15)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            Sp = 0.5 * (Qp - 1.0 / Qp)
+            Tp = 0.5 * (Qp + 1.0 / Qp)
+            Vp = np.sin(self.BrA * u)
+            Up = (Vp * self.cosgam + Sp * self.singam) / Tp
+            at_pole = np.abs(np.abs(Up) - 1.0) < 1e-10
+            base = self.E / np.sqrt((1.0 + Up) / (1.0 - Up))
+            phi, nonconv = phi2fn(np.power(base, 1.0 / self.B), e)
+            coo.set_err(~at_pole & nonconv, ERR_TOLERANCE_CONDITION)
+            lam = -self.rB * np.arctan2(Sp * self.cosgam - Vp * self.singam, np.cos(self.BrA * u))
+        coo.x = np.where(at_pole, 0.0, lam)
+        coo.y = np.where(at_pole, np.where(Up < 0, -M_HALFPI, M_HALFPI), phi)
