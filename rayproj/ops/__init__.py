@@ -18,6 +18,7 @@ def register(cls):
 def load_all() -> None:
     """Import all operator modules (populates REGISTRY)."""
     from . import (  # noqa: F401
+        adams,
         aea,
         affine,
         axisswap,

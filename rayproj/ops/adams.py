@@ -1,0 +1,217 @@
+"""Adams square projections: guyou, peirce_q, adams_hemi, adams_ws1/2.
+
+Math re-derived from /root/reference/src/projections/adams.cpp:
+elliptic integral via 7-term Chebyshev evaluation (ell_int_5, :40-63),
+the shared a/b angle construction per mode (:66-133), and the
+adams_ws2 inverse via the generic Jacobian-free Newton
+(generic_inverse.cpp:44-114) — vectorized with masked updates.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..core.constants import M_HALFPI, M_PI
+from ..core.errors import ERR_TOLERANCE_CONDITION
+from ..core.op import Coords, Operation
+from ..mathx import aacos, aasin
+from .pseudocyl import _spherify
+from . import register
+
+TOL = 1e-9
+RSQRT2 = 0.7071067811865475244008443620
+M_2_PI = 2.0 / M_PI
+
+_C0 = 2.19174570831038
+_C = np.array([
+    -8.58691003636495e-07,
+    2.02692115653689e-07,
+    3.12960480765314e-05,
+    5.30394739921063e-05,
+    -0.0012804644680613,
+    -0.00575574836830288,
+    0.0914203033408211,
+])
+
+
+def ell_int_5(phi: np.ndarray) -> np.ndarray:
+    """Elliptic integral of the first kind at k = 1/√2 (Chebyshev sum)."""
+    y = phi * M_2_PI
+    y = 2.0 * y * y - 1.0
+    y2 = 2.0 * y
+    d1 = np.zeros_like(phi)
+    d2 = np.zeros_like(phi)
+    for c in _C:
+        temp = d1
+        d1 = y2 * d1 - d2 + c
+        d2 = temp
+    return phi * (y * d1 - d2 + 0.5 * _C0)
+
+
+class _AdamsBase(Operation):
+    need_ellps = False
+    mode = ""
+
+    def setup(self) -> None:
+        _spherify(self)
+
+    def _fwd_arrays(self, lam: np.ndarray, phi: np.ndarray):
+        """Returns (x, y, err_mask). Mirrors adams_forward per mode."""
+        err = np.zeros(lam.shape, dtype=bool)
+        special = np.zeros(lam.shape, dtype=bool)
+        spec_x = np.zeros_like(lam)
+        spec_y = np.zeros_like(lam)
+        if self.mode == "guyou":
+            err |= (np.abs(lam) - TOL) > M_HALFPI
+            at_pole = np.abs(np.abs(phi) - M_HALFPI) < TOL
+            special = at_pole & ~err
+            spec_y = np.where(phi < 0, -1.85407, 1.85407)
+            sl = np.sin(lam)
+            sp = np.sin(phi)
+            cp = np.cos(phi)
+            a, e1 = aacos((cp * sl - sp) * RSQRT2)
+            b, e2 = aacos((cp * sl + sp) * RSQRT2)
+            sm = lam < 0.0
+            sn = phi < 0.0
+        elif self.mode == "peirce_q":
+            err |= phi < -TOL
+            sl = np.sin(lam)
+            cl = np.cos(lam)
+            cp = np.cos(phi)
+            a, e1 = aacos(cp * (sl + cl) * RSQRT2)
+            b, e2 = aacos(cp * (sl - cl) * RSQRT2)
+            sm = sl < 0.0
+            sn = cl > 0.0
+        elif self.mode == "adams_hemi":
+            sp = np.sin(phi)
+            err |= (np.abs(lam) - TOL) > M_HALFPI
+            av = np.cos(phi) * np.sin(lam)
+            sm = (sp + av) < 0.0
+            sn = (sp - av) < 0.0
+            a, e1 = aacos(av)
+            b = M_HALFPI - phi
+            e2 = np.zeros_like(err)
+        elif self.mode == "adams_ws1":
+            sp = np.tan(0.5 * phi)
+            asn, _ = aasin(sp)
+            bv = np.cos(asn) * np.sin(0.5 * lam)
+            a, e1 = aacos((bv - sp) * RSQRT2)
+            b, e2 = aacos((bv + sp) * RSQRT2)
+            sm = lam < 0.0
+            sn = phi < 0.0
+        else:  # adams_ws2
+            spp = np.tan(0.5 * phi)
+            asn, _ = aasin(spp)
+            av = np.cos(asn) * np.sin(0.5 * lam)
+            sm = (spp + av) < 0.0
+            sn = (spp - av) < 0.0
+            b, e1 = aacos(spp)
+            a, e2 = aacos(av)
+        m, _ = aasin(np.sqrt(1.0 + np.minimum(0.0, np.cos(a + b))))
+        m = np.where(sm, -m, m)
+        n, _ = aasin(np.sqrt(np.abs(1.0 - np.maximum(0.0, np.cos(a - b)))))
+        n = np.where(sn, -n, n)
+        x = ell_int_5(m)
+        y = ell_int_5(n)
+        if self.mode in ("adams_hemi", "adams_ws2"):
+            x, y = RSQRT2 * (x - y), RSQRT2 * (x + y)
+        x = np.where(special, spec_x, x)
+        y = np.where(special, spec_y, y)
+        x = np.where(err, np.inf, x)
+        y = np.where(err, np.inf, y)
+        return x, y, err
+
+    def _fwd(self, coo: Coords) -> None:
+        x, y, err = self._fwd_arrays(coo.x, coo.y)
+        coo.set_err(err, ERR_TOLERANCE_CONDITION)
+        coo.x, coo.y = x, y
+
+
+@register
+class Guyou(_AdamsBase):
+    name = "guyou"
+    mode = "guyou"
+
+
+@register
+class PeirceQ(_AdamsBase):
+    name = "peirce_q"
+    mode = "peirce_q"
+
+
+@register
+class AdamsHemi(_AdamsBase):
+    name = "adams_hemi"
+    mode = "adams_hemi"
+
+
+@register
+class AdamsWs1(_AdamsBase):
+    name = "adams_ws1"
+    mode = "adams_ws1"
+
+
+@register
+class AdamsWs2(_AdamsBase):
+    name = "adams_ws2"
+    mode = "adams_ws2"
+
+    def _inv(self, coo: Coords) -> None:
+        """Vectorized generic 2D Newton (generic_inverse.cpp:44-114)."""
+        X, Y = coo.x, coo.y
+        phi = np.clip(Y / 2.62181347, -1.0, 1.0) * M_HALFPI
+        with np.errstate(divide="ignore", invalid="ignore"):
+            lam = np.where(
+                np.abs(phi) >= M_HALFPI,
+                0.0,
+                np.clip(X / 2.62205760 / np.cos(phi), -1.0, 1.0) * M_PI,
+            )
+        dl_X = np.zeros_like(X)
+        dl_Y = np.zeros_like(X)
+        dp_X = np.zeros_like(X)
+        dp_Y = np.zeros_like(X)
+        active = np.isfinite(X) & np.isfinite(Y)
+        converged = ~active
+        for _ in range(15):
+            if not np.any(active):
+                break
+            la, pa = lam[active], phi[active]
+            xa, ya, _ = self._fwd_arrays(la, pa)
+            deltaX = xa - X[active]
+            deltaY = ya - Y[active]
+            done = (np.abs(deltaX) < 1e-10) & (np.abs(deltaY) < 1e-10)
+            # recompute the Jacobian every pass: the reference's
+            # skip-when-close shortcut can limit-cycle at ~1e-9 with a
+            # stale Jacobian; always-fresh converges to exact zero
+            recompute = ~done
+            if np.any(recompute):
+                dLam = np.where(la > 0, -1e-6, 1e-6)
+                x2, y2, _ = self._fwd_arrays(la + dLam, pa)
+                dXl = (x2 - xa) / dLam
+                dYl = (y2 - ya) / dLam
+                dPhi = np.where(pa > 0, -1e-6, 1e-6)
+                x3, y3, _ = self._fwd_arrays(la, pa + dPhi)
+                dXp = (x3 - xa) / dPhi
+                dYp = (y3 - ya) / dPhi
+                det = dXl * dYp - dXp * dYl
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    nl_X = np.where(det != 0, dYp / det, dl_X[active])
+                    nl_Y = np.where(det != 0, -dXp / det, dl_Y[active])
+                    np_X = np.where(det != 0, -dYl / det, dp_X[active])
+                    np_Y = np.where(det != 0, dXl / det, dp_Y[active])
+                upd = recompute
+                tmp = dl_X[active]; tmp[upd] = nl_X[upd]; dl_X[active] = tmp
+                tmp = dl_Y[active]; tmp[upd] = nl_Y[upd]; dl_Y[active] = tmp
+                tmp = dp_X[active]; tmp[upd] = np_X[upd]; dp_X[active] = tmp
+                tmp = dp_Y[active]; tmp[upd] = np_Y[upd]; dp_Y[active] = tmp
+            delta_lam = np.clip(deltaX * dl_X[active] + deltaY * dl_Y[active], -0.3, 0.3)
+            delta_phi = np.clip(deltaX * dp_X[active] + deltaY * dp_Y[active], -0.3, 0.3)
+            la = np.where(X[active] != 0, np.clip(la - delta_lam, -M_PI, M_PI), la)
+            pa = np.where(Y[active] != 0, np.clip(pa - delta_phi, -M_HALFPI, M_HALFPI), pa)
+            lam[active] = la
+            phi[active] = pa
+            idx = np.flatnonzero(active)
+            converged[idx[done]] = True
+            active[idx[done]] = False
+        coo.set_err(~converged & np.isfinite(X), -53)
+        coo.x, coo.y = lam, phi
