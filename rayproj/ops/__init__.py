@@ -31,6 +31,7 @@ def load_all() -> None:
         latlong,
         lcc,
         merc,
+        misc_sph,
         misc_world,
         molodensky,
         pipeline,
