@@ -591,3 +591,596 @@ class Wintri(_AitoffBase):
                 raise ProjError(-22)
         else:
             self.cosphi1 = 0.636619772367581343
+
+
+# --- polynomial-latitude cylindricals (natearth family) --------------------
+
+
+class _PolyLatBase(_Sph):
+    """y = φ·polynomial; inverse via Newton (natearth.cpp pattern)."""
+
+    MAX_Y = 0.0
+    EPS_N = 1e-11
+    MAX_ITER = 100
+
+    def _fy(self, phi):
+        raise NotImplementedError
+
+    def _fy_der(self, phi):
+        raise NotImplementedError
+
+    def _fx_scale(self, phi):
+        raise NotImplementedError
+
+    def _fwd(self, coo: Coords) -> None:
+        lam, phi = coo.x, coo.y
+        coo.x = lam * self._fx_scale(phi)
+        coo.y = self._fy(phi)
+
+    def _inv(self, coo: Coords) -> None:
+        x = coo.x
+        y = np.clip(coo.y, -self.MAX_Y, self.MAX_Y)
+        yc = y.copy()
+        active = np.isfinite(yc)
+        converged = ~active
+        for _ in range(self.MAX_ITER):
+            if not np.any(active):
+                break
+            p = yc[active]
+            tol = (self._fy(p) - y[active]) / self._fy_der(p)
+            yc[active] = p - tol
+            done = np.abs(tol) < self.EPS_N
+            idx = np.flatnonzero(active)
+            converged[idx[done]] = True
+            active[idx[done]] = False
+        coo.set_err(~converged & np.isfinite(y), -53)
+        coo.y = yc
+        with np.errstate(divide="ignore", invalid="ignore"):
+            coo.x = x / self._fx_scale(yc)
+
+
+@register
+class Natearth(_PolyLatBase):
+    name = "natearth"
+    A = (0.8707, -0.131979, -0.013791, 0.003971, -0.001529)
+    B = (1.007226, 0.015085, -0.044475, 0.028874, -0.005916)
+    MAX_Y = 0.8707 * 0.52 * M_PI
+
+    def _fx_scale(self, phi):
+        A0, A1, A2, A3, A4 = self.A
+        p2 = phi * phi
+        return A0 + p2 * (A1 + p2 * (A2 + p2 * p2 * p2 * (A3 + p2 * A4)))
+
+    def _fy(self, phi):
+        B0, B1, B2, B3, B4 = self.B
+        p2 = phi * phi
+        p4 = p2 * p2
+        return phi * (B0 + p2 * (B1 + p4 * (B2 + B3 * p2 + B4 * p4)))
+
+    def _fy_der(self, phi):
+        B0, B1, B2, B3, B4 = self.B
+        p2 = phi * phi
+        p4 = p2 * p2
+        return B0 + p2 * (3 * B1 + p4 * (7 * B2 + 9 * B3 * p2 + 11 * B4 * p4))
+
+
+@register
+class Natearth2(_PolyLatBase):
+    name = "natearth2"
+    A = (0.84719, -0.13063, -0.04515, 0.05494, -0.02326, 0.00331)
+    B = (1.01183, -0.02625, 0.01926, -0.00396)
+    MAX_Y = 0.84719 * 0.535117535153096 * M_PI
+
+    def _fx_scale(self, phi):
+        A0, A1, A2, A3, A4, A5 = self.A
+        p2 = phi * phi
+        p4 = p2 * p2
+        p6 = p2 * p4
+        return A0 + A1 * p2 + p6 * p6 * (A2 + A3 * p2 + A4 * p4 + A5 * p6)
+
+    def _fy(self, phi):
+        B0, B1, B2, B3 = self.B
+        p2 = phi * phi
+        p4 = p2 * p2
+        return phi * (B0 + p4 * p4 * (B1 + B2 * p2 + B3 * p4))
+
+    def _fy_der(self, phi):
+        B0, B1, B2, B3 = self.B
+        p2 = phi * phi
+        p4 = p2 * p2
+        return B0 + p4 * p4 * (9 * B1 + 11 * B2 * p2 + 13 * B3 * p4)
+
+
+@register
+class Patterson(_PolyLatBase):
+    name = "patterson"
+    K = (1.0148, 0.23185, -0.14499, 0.02406)
+    MAX_Y = 1.790857183
+
+    def _fx_scale(self, phi):
+        return np.ones_like(phi) if isinstance(phi, np.ndarray) else 1.0
+
+    def _fy(self, phi):
+        K1, K2, K3, K4 = self.K
+        p2 = phi * phi
+        return phi * (K1 + p2 * p2 * (K2 + p2 * (K3 + K4 * p2)))
+
+    def _fy_der(self, phi):
+        K1, K2, K3, K4 = self.K
+        p2 = phi * phi
+        return K1 + p2 * p2 * (5 * K2 + p2 * (7 * K3 + 9 * K4 * p2))
+
+
+@register
+class Comill(_PolyLatBase):
+    name = "comill"
+    K = (0.9902, 0.1604, -0.03054)
+    MAX_Y = 0.6000207669862655 * M_PI
+
+    def _fx_scale(self, phi):
+        return np.ones_like(phi) if isinstance(phi, np.ndarray) else 1.0
+
+    def _fy(self, phi):
+        K1, K2, K3 = self.K
+        p2 = phi * phi
+        return phi * (K1 + p2 * (K2 + K3 * p2))
+
+    def _fy_der(self, phi):
+        K1, K2, K3 = self.K
+        p2 = phi * phi
+        return K1 + p2 * (3 * K2 + 5 * K3 * p2)
+
+
+@register
+class Eqearth(Operation):
+    """Equal Earth (eqearth.cpp) — sphere & ellipsoid (authalic)."""
+
+    name = "eqearth"
+    A1, A2, A3, A4 = 1.340264, -0.081106, 0.000893, 0.003796
+    M = math.sqrt(3.0) / 2.0
+    MAX_Y = 1.3173627591574
+
+    def setup(self) -> None:
+        from ..mathx import authset, qsfn
+
+        self.rqda = 1.0
+        if self.ell.es != 0.0:
+            self.apa = authset(self.ell.es)
+            self.qp = float(qsfn(np.array([1.0]), self.ell.e, self.ell.one_es)[0])
+            self.rqda = math.sqrt(0.5 * self.qp)
+
+    def _fwd(self, coo: Coords) -> None:
+        from ..mathx import qsfn
+
+        lam, phi = coo.x, coo.y
+        sbeta = np.sin(phi)
+        if self.ell.es != 0.0:
+            sbeta = qsfn(sbeta, self.ell.e, 1.0 - self.ell.es) / self.qp
+            sbeta = np.clip(sbeta, -1.0, 1.0)
+        psi = np.arcsin(self.M * sbeta)
+        psi2 = psi * psi
+        psi6 = psi2 * psi2 * psi2
+        A1, A2, A3, A4 = self.A1, self.A2, self.A3, self.A4
+        coo.x = self.rqda * lam * np.cos(psi) / (
+            self.M * (A1 + 3 * A2 * psi2 + psi6 * (7 * A3 + 9 * A4 * psi2))
+        )
+        coo.y = self.rqda * psi * (A1 + A2 * psi2 + psi6 * (A3 + A4 * psi2))
+
+    def _inv(self, coo: Coords) -> None:
+        from ..mathx import authlat
+
+        A1, A2, A3, A4 = self.A1, self.A2, self.A3, self.A4
+        x = coo.x / self.rqda
+        y = np.clip(coo.y / self.rqda, -self.MAX_Y, self.MAX_Y)
+        yc = y.copy()
+        active = np.isfinite(yc)
+        converged = ~active
+        for _ in range(12):
+            if not np.any(active):
+                break
+            p = yc[active]
+            p2 = p * p
+            p6 = p2 * p2 * p2
+            f = p * (A1 + A2 * p2 + p6 * (A3 + A4 * p2)) - y[active]
+            fder = A1 + 3 * A2 * p2 + p6 * (7 * A3 + 9 * A4 * p2)
+            tol = f / fder
+            yc[active] = p - tol
+            done = np.abs(tol) < 1e-11
+            idx = np.flatnonzero(active)
+            converged[idx[done]] = True
+            active[idx[done]] = False
+        coo.set_err(~converged & np.isfinite(y), -53)
+        y2 = yc * yc
+        y6 = y2 * y2 * y2
+        with np.errstate(divide="ignore", invalid="ignore"):
+            lam = self.M * x * (A1 + 3 * A2 * y2 + y6 * (7 * A3 + 9 * A4 * y2)) / np.cos(yc)
+        phi = np.arcsin(np.clip(np.sin(yc) / self.M, -1, 1))
+        if self.ell.es != 0.0:
+            phi = authlat(phi, self.apa)
+        coo.x, coo.y = lam, phi
+
+
+@register
+class Nell(_Sph):
+    name = "nell"
+
+    def _fwd(self, coo: Coords) -> None:
+        lam, phi0 = coo.x, coo.y
+        k = 2.0 * np.sin(phi0)
+        p2 = phi0 * phi0
+        phi = phi0 * (1.00371 + p2 * (-0.0935382 + p2 * -0.011412))
+        active = np.isfinite(phi)
+        for _ in range(10):
+            if not np.any(active):
+                break
+            p = phi[active]
+            V = (p + np.sin(p) - k[active]) / (1.0 + np.cos(p))
+            phi[active] = p - V
+            done = np.abs(V) < 1e-7
+            idx = np.flatnonzero(active)
+            active[idx[done]] = False
+        coo.x = 0.5 * lam * (1.0 + np.cos(phi))
+        coo.y = phi
+
+    def _inv(self, coo: Coords) -> None:
+        x, y = coo.x, coo.y
+        coo.x = 2.0 * x / (1.0 + np.cos(y))
+        phi, err = aasin(0.5 * (y + np.sin(y)))
+        coo.set_err(err, -19)
+        coo.y = phi
+
+
+@register
+class NellH(_Sph):
+    name = "nell_h"
+
+    def _fwd(self, coo: Coords) -> None:
+        lam, phi = coo.x, coo.y
+        coo.x = 0.5 * lam * (1.0 + np.cos(phi))
+        coo.y = 2.0 * (phi - np.tan(0.5 * phi))
+
+    def _inv(self, coo: Coords) -> None:
+        x, y = coo.x, coo.y
+        p = 0.5 * y
+        phi = np.zeros_like(y)
+        active = np.isfinite(y)
+        n_left = np.full(y.shape, 9, dtype=np.int32)
+        for _ in range(9):
+            if not np.any(active):
+                break
+            ph = phi[active]
+            c = np.cos(0.5 * ph)
+            V = (ph - np.tan(ph / 2) - p[active]) / (1.0 - 0.5 / (c * c))
+            phi[active] = ph - V
+            n_left[active] -= 1
+            done = np.abs(V) < 1e-7
+            idx = np.flatnonzero(active)
+            active[idx[done]] = False
+        exhausted = (n_left <= 0) & np.isfinite(y)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            lam = np.where(exhausted, 2.0 * x, 2.0 * x / (1.0 + np.cos(phi)))
+        coo.y = np.where(exhausted, np.where(p < 0.0, -M_HALFPI, M_HALFPI), phi)
+        coo.x = lam
+
+
+@register
+class MbtFps(_Sph):
+    name = "mbt_fps"
+    C1, C2, C3 = 0.45503, 1.36509, 1.41546
+    C_x, C_y = 0.22248, 1.44492
+
+    def _fwd(self, coo: Coords) -> None:
+        lam, phi = coo.x, coo.y.copy()
+        k = self.C3 * np.sin(phi)
+        active = np.isfinite(phi)
+        for _ in range(10):
+            if not np.any(active):
+                break
+            p = phi[active]
+            t = p / self.C2
+            V = (self.C1 * np.sin(t) + np.sin(p) - k[active]) / (
+                (self.C1 / self.C2) * np.cos(t) + np.cos(p)
+            )
+            phi[active] = p - V
+            done = np.abs(V) < 1e-7
+            idx = np.flatnonzero(active)
+            active[idx[done]] = False
+        t = phi / self.C2
+        with np.errstate(divide="ignore", invalid="ignore"):
+            coo.x = self.C_x * lam * (1.0 + 3.0 * np.cos(phi) / np.cos(t))
+        coo.y = self.C_y * np.sin(t)
+
+    def _inv(self, coo: Coords) -> None:
+        x, y = coo.x, coo.y
+        t, err = aasin(y / self.C_y)
+        coo.set_err(err, -19)
+        phi = self.C2 * t
+        with np.errstate(divide="ignore", invalid="ignore"):
+            lam = x / (self.C_x * (1.0 + 3.0 * np.cos(phi) / np.cos(t)))
+        phi2, err2 = aasin((self.C1 * np.sin(t) + np.sin(phi)) / self.C3)
+        coo.set_err(err2, -19)
+        coo.x, coo.y = lam, phi2
+
+
+@register
+class Mbtfpp(_Sph):
+    name = "mbtfpp"
+    CSy = 0.95257934441568037152
+    FXC = 0.92582009977255146156
+    FYC = 3.40168025708304504493
+
+    def _fwd(self, coo: Coords) -> None:
+        lam, phi = coo.x, coo.y
+        phi = np.arcsin(np.clip(self.CSy * np.sin(phi), -1, 1))
+        coo.x = self.FXC * lam * (2.0 * np.cos((2.0 / 3.0) * phi) - 1.0)
+        coo.y = self.FYC * np.sin(phi / 3.0)
+
+    def _inv(self, coo: Coords) -> None:
+        x, y = coo.x, coo.y
+        phi = y / self.FYC
+        over1 = np.abs(phi) >= 1.0
+        coo.set_err(np.abs(phi) > 1.0000001, ERR_TOLERANCE_CONDITION)
+        phi = np.where(over1, np.where(phi < 0, -M_HALFPI, M_HALFPI),
+                       np.arcsin(np.clip(phi, -1, 1)))
+        phi = phi * 3.0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            lam = x / (self.FXC * (2.0 * np.cos((2.0 / 3.0) * phi) - 1.0))
+        sp = np.sin(phi) / self.CSy
+        over2 = np.abs(sp) >= 1.0
+        coo.set_err(np.abs(sp) > 1.0000001, ERR_TOLERANCE_CONDITION)
+        phi = np.where(over2, np.where(sp < 0, -M_HALFPI, M_HALFPI),
+                       np.arcsin(np.clip(sp, -1, 1)))
+        coo.x, coo.y = lam, phi
+
+
+@register
+class Mbtfpq(_Sph):
+    name = "mbtfpq"
+    C = 1.70710678118654752440
+    FYC = 1.87475828462269495505
+    RYC = 0.53340209679417701685
+    FXC = 0.31245971410378249250
+
+    def _fwd(self, coo: Coords) -> None:
+        lam, phi = coo.x, coo.y.copy()
+        c = self.C * np.sin(phi)
+        active = np.isfinite(phi)
+        for _ in range(20):
+            if not np.any(active):
+                break
+            p = phi[active]
+            th1 = (np.sin(0.5 * p) + np.sin(p) - c[active]) / (
+                0.5 * np.cos(0.5 * p) + np.cos(p)
+            )
+            phi[active] = p - th1
+            done = np.abs(th1) < 1e-7
+            idx = np.flatnonzero(active)
+            active[idx[done]] = False
+        with np.errstate(divide="ignore", invalid="ignore"):
+            coo.x = self.FXC * lam * (1.0 + 2.0 * np.cos(phi) / np.cos(0.5 * phi))
+        coo.y = self.FYC * np.sin(0.5 * phi)
+
+    def _inv(self, coo: Coords) -> None:
+        x, y = coo.x, coo.y
+        phi = self.RYC * y
+        over = np.abs(phi) > 1.0
+        coo.set_err(np.abs(phi) > 1.000001, ERR_TOLERANCE_CONDITION)
+        t = np.where(over, np.where(phi < 0, -1.0, 1.0), phi)
+        phi = np.where(over, np.where(phi < 0, -M_PI, M_PI), 2.0 * np.arcsin(np.clip(t, -1, 1)))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            lam = x / (self.FXC * (1.0 + 2.0 * np.cos(phi) / np.cos(0.5 * phi)))
+        sp = (np.sin(0.5 * phi) + np.sin(phi)) / self.C
+        over2 = np.abs(sp) > 1.0
+        coo.set_err(np.abs(sp) > 1.000001, ERR_TOLERANCE_CONDITION)
+        phi = np.where(over2, np.where(sp < 0, -M_HALFPI, M_HALFPI),
+                       np.arcsin(np.clip(sp, -1, 1)))
+        coo.x, coo.y = lam, phi
+
+
+class _StsBase(_Sph):
+    """sts.cpp family: x = C_x·λ·cosφ·…, y = C_y·sin/tan(C_p·φ)."""
+
+    p_q_mode = (2.0, 2.0, False)
+
+    def setup(self) -> None:
+        super().setup()
+        p, q, mode = self.p_q_mode
+        self.C_x = q / p
+        self.C_y = p
+        self.C_p = 1.0 / q
+        self.tan_mode = mode
+
+    def _fwd(self, coo: Coords) -> None:
+        lam, phi = coo.x, coo.y
+        x = self.C_x * lam * np.cos(phi)
+        pp = phi * self.C_p
+        c = np.cos(pp)
+        if self.tan_mode:
+            coo.x = x * c * c
+            coo.y = self.C_y * np.tan(pp)
+        else:
+            with np.errstate(divide="ignore", invalid="ignore"):
+                coo.x = x / c
+            coo.y = self.C_y * np.sin(pp)
+
+    def _inv(self, coo: Coords) -> None:
+        x = coo.x
+        yy = coo.y / self.C_y
+        if self.tan_mode:
+            pp = np.arctan(yy)
+        else:
+            pp, err = aasin(yy)
+            coo.set_err(err, -19)
+        c = np.cos(pp)
+        phi = pp / self.C_p
+        with np.errstate(divide="ignore", invalid="ignore"):
+            lam = x / (self.C_x * np.cos(phi))
+            if self.tan_mode:
+                lam = lam / (c * c)
+            else:
+                lam = lam * c
+        coo.x, coo.y = lam, phi
+
+
+@register
+class Fouc(_StsBase):
+    name = "fouc"
+    p_q_mode = (2.0, 2.0, True)
+
+
+@register
+class Kav5(_StsBase):
+    name = "kav5"
+    p_q_mode = (1.50488, 1.35439, False)
+
+
+@register
+class QuaAut(_StsBase):
+    name = "qua_aut"
+    p_q_mode = (2.0, 2.0, False)
+
+
+@register
+class MbtS(_StsBase):
+    name = "mbt_s"
+    p_q_mode = (1.48875, 1.36509, False)
+
+
+@register
+class Urmfps(_Sph):
+    name = "urmfps"
+    C_x = 0.8773826753
+    Cy = 1.139753528477
+    n_default = None
+
+    def setup(self) -> None:
+        super().setup()
+        if self.n_default is not None:
+            self.n = self.n_default
+        elif self.params.has("n"):
+            self.n = self.params.float_("n")
+            if self.n <= 0.0 or self.n > 1.0:
+                raise ProjError(ERR_N_OUT_OF_RANGE)
+        else:
+            raise ProjError(ERR_N_OUT_OF_RANGE)
+        self.C_y = self.Cy / self.n
+
+    def _fwd(self, coo: Coords) -> None:
+        phi, err = aasin(self.n * np.sin(coo.y))
+        coo.set_err(err, -19)
+        coo.x = self.C_x * coo.x * np.cos(phi)
+        coo.y = self.C_y * phi
+
+    def _inv(self, coo: Coords) -> None:
+        y = coo.y / self.C_y
+        phi, err = aasin(np.sin(y) / self.n)
+        coo.set_err(err, -19)
+        coo.x = coo.x / (self.C_x * np.cos(y))
+        coo.y = phi
+
+
+@register
+class Wag1(Urmfps):
+    name = "wag1"
+    n_default = 0.8660254037844386467637231707
+
+
+@register
+class Urm5(_Sph):
+    name = "urm5"
+
+    def setup(self) -> None:
+        super().setup()
+        if self.params.has("n"):
+            self.n = self.params.float_("n")
+            if self.n <= 0.0 or self.n > 1.0:
+                raise ProjError(ERR_N_OUT_OF_RANGE)
+        else:
+            raise ProjError(ERR_N_OUT_OF_RANGE)
+        self.q3 = self.params.float_("q", 0.0) / 3.0
+        alpha = self.params.rad("alpha", 0.0)
+        t = self.n * math.sin(alpha)
+        denom = math.sqrt(1.0 - t * t)
+        if denom == 0:
+            from ..core.errors import ERR_LAT_0_OR_ALPHA_EQ_90
+
+            raise ProjError(ERR_LAT_0_OR_ALPHA_EQ_90)
+        self.m = math.cos(alpha) / denom
+        self.rmn = 1.0 / (self.m * self.n)
+
+    def _fwd(self, coo: Coords) -> None:
+        phi, err = aasin(self.n * np.sin(coo.y))
+        coo.set_err(err, -19)
+        t = phi * phi
+        coo.x = self.m * coo.x * np.cos(phi)
+        coo.y = phi * (1.0 + t * self.q3) * self.rmn
+
+
+@register
+class Times(_Sph):
+    name = "times"
+
+    def _fwd(self, coo: Coords) -> None:
+        T = np.tan(coo.y / 2.0)
+        S = np.sin((M_PI / 4.0) * T)
+        S2 = S * S
+        coo.x = coo.x * (0.74482 - 0.34588 * S2)
+        coo.y = 1.70711 * T
+
+    def _inv(self, coo: Coords) -> None:
+        T = coo.y / 1.70711
+        S = np.sin((M_PI / 4.0) * T)
+        S2 = S * S
+        coo.x = coo.x / (0.74482 - 0.34588 * S2)
+        coo.y = 2.0 * np.arctan(T)
+
+
+@register
+class Tobmerc(Operation):
+    """Tobler-Mercator (tobmerc.cpp), spherical."""
+
+    name = "tobmerc"
+
+    def _fwd(self, coo: Coords) -> None:
+        lam, phi = coo.x, coo.y
+        at_pole = np.abs(np.abs(phi) - M_HALFPI) <= 1e-10
+        coo.set_err(at_pole, ERR_TOLERANCE_CONDITION)
+        cosphi = np.cos(phi)
+        coo.x = self.k0 * lam * cosphi * cosphi
+        small = np.abs(phi) <= np.finfo(np.float64).eps
+        with np.errstate(divide="ignore", invalid="ignore"):
+            y = np.log(np.tan(M_PI / 4.0 + 0.5 * phi))
+        coo.y = self.k0 * np.where(small, np.log1p(phi), y)
+
+    def _inv(self, coo: Coords) -> None:
+        phi = np.arctan(np.sinh(coo.y / self.k0))
+        cosphi = np.cos(phi)
+        coo.x = coo.x / self.k0 / (cosphi * cosphi)
+        coo.y = phi
+
+
+@register
+class Cc(_Sph):
+    name = "cc"
+
+    def _fwd(self, coo: Coords) -> None:
+        at_pole = np.abs(np.abs(coo.y) - M_HALFPI) <= 1e-10
+        coo.set_err(at_pole, ERR_TOLERANCE_CONDITION)
+        coo.y = np.tan(coo.y)
+
+    def _inv(self, coo: Coords) -> None:
+        coo.y = np.arctan(coo.y)
+
+
+@register
+class Tcc(_Sph):
+    name = "tcc"
+
+    def _fwd(self, coo: Coords) -> None:
+        lam, phi = coo.x, coo.y
+        b = np.cos(phi) * np.sin(lam)
+        bt = 1.0 - b * b
+        coo.set_err(bt < 1e-10, ERR_TOLERANCE_CONDITION)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            coo.x = b / np.sqrt(np.maximum(bt, 0.0))
+        coo.y = np.arctan2(np.tan(phi), np.cos(lam))
