@@ -28,7 +28,11 @@ REPLICA_TARGET = int(os.environ.get("BENCH_ROWS", "16000000"))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-N_BLOCKS = int(os.environ.get("BENCH_BLOCKS", "64"))  # constant across CPU levels
+# Constant across CPU levels; sized so per-block numpy temporaries stay
+# well under glibc's 32 MB dynamic-mmap-threshold cap — above it every
+# temporary is a fresh mmap and this sandbox's lazy paging serializes
+# all workers on host page faults (measured 3-4x slowdown).
+N_BLOCKS = int(os.environ.get("BENCH_BLOCKS", str(max(16, min(512, REPLICA_TARGET // 1_000_000)))))
 
 
 def _bench_input(n_target: int):
@@ -131,6 +135,9 @@ def run_queries() -> dict:
 
 
 def main() -> None:
+    # let glibc keep reusing large numpy buffers on the heap instead of
+    # mmap/munmap churn (workers inherit this env)
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "134217728")
     import ray
 
     ray.init(
@@ -173,7 +180,7 @@ def main() -> None:
 def scaling() -> None:
     # enough compute that Ray Data's ~2s fixed executor overhead is
     # amortized — the criterion measures the scalable part of the job
-    rows = os.environ.get("BENCH_SCALING_ROWS", "256000000")
+    rows = os.environ.get("BENCH_SCALING_ROWS", "192000000")
 
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_SKIP_QUERIES="1",

@@ -1184,3 +1184,351 @@ class Tcc(_Sph):
         with np.errstate(divide="ignore", invalid="ignore"):
             coo.x = b / np.sqrt(np.maximum(bt, 0.0))
         coo.y = np.arctan2(np.tan(phi), np.cos(lam))
+
+
+@register
+class Putp2(_Sph):
+    name = "putp2"
+    C_x, C_y, C_p = 1.89490, 1.71848, 0.6141848493043784
+
+    def _fwd(self, coo: Coords) -> None:
+        lam, phi0 = coo.x, coo.y
+        p = self.C_p * np.sin(phi0)
+        p2 = phi0 * phi0
+        phi = phi0 * (0.615709 + p2 * (0.00909953 + p2 * 0.0046292))
+        active = np.isfinite(phi)
+        n_left = np.full(phi.shape, 10, dtype=np.int32)
+        for _ in range(10):
+            if not np.any(active):
+                break
+            ph = phi[active]
+            c = np.cos(ph)
+            s = np.sin(ph)
+            V = (ph + s * (c - 1.0) - p[active]) / (1.0 + c * (c - 1.0) - s * s)
+            phi[active] = ph - V
+            n_left[active] -= 1
+            done = np.abs(V) < 1e-10
+            idx = np.flatnonzero(active)
+            active[idx[done]] = False
+        exhausted = (n_left <= 0) & np.isfinite(phi)
+        PI3 = 1.0471975511965977
+        phi = np.where(exhausted, np.where(phi < 0, -PI3, PI3), phi)
+        coo.x = self.C_x * lam * (np.cos(phi) - 0.5)
+        coo.y = self.C_y * np.sin(phi)
+
+    def _inv(self, coo: Coords) -> None:
+        phi, err = aasin(coo.y / self.C_y)
+        coo.set_err(err, -19)
+        c = np.cos(phi)
+        coo.x = coo.x / (self.C_x * (c - 0.5))
+        phi2, err2 = aasin((phi + np.sin(phi) * (c - 1.0)) / self.C_p)
+        coo.set_err(err2, -19)
+        coo.y = phi2
+
+
+class _Putp3Base(_Sph):
+    RPISQ = 0.1013211836
+    C = 0.79788456
+    A_mult = 4.0
+
+    def setup(self) -> None:
+        super().setup()
+        self.A = self.A_mult * self.RPISQ
+
+    def _fwd(self, coo: Coords) -> None:
+        lam, phi = coo.x, coo.y
+        coo.x = self.C * lam * (1.0 - self.A * phi * phi)
+        coo.y = self.C * phi
+
+    def _inv(self, coo: Coords) -> None:
+        phi = coo.y / self.C
+        coo.x = coo.x / (self.C * (1.0 - self.A * phi * phi))
+        coo.y = phi
+
+
+@register
+class Putp3(_Putp3Base):
+    name = "putp3"
+    A_mult = 4.0
+
+
+@register
+class Putp3p(_Putp3Base):
+    name = "putp3p"
+    A_mult = 2.0
+
+
+class _Putp4pBase(_Sph):
+    C_x = C_y = 1.0
+
+    def _fwd(self, coo: Coords) -> None:
+        lam = coo.x
+        phi, err = aasin(0.883883476 * np.sin(coo.y))
+        coo.set_err(err, -19)
+        x = self.C_x * lam * np.cos(phi)
+        phi3 = phi / 3.0
+        coo.x = x / np.cos(phi3)
+        coo.y = self.C_y * np.sin(phi3)
+
+    def _inv(self, coo: Coords) -> None:
+        phi, err = aasin(coo.y / self.C_y)
+        coo.set_err(err, -19)
+        lam = coo.x * np.cos(phi) / self.C_x
+        phi3 = phi * 3.0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            lam = lam / np.cos(phi3)
+        phi2, err2 = aasin(1.13137085 * np.sin(phi3))
+        coo.set_err(err2, -19)
+        coo.x, coo.y = lam, phi2
+
+
+@register
+class Putp4p(_Putp4pBase):
+    name = "putp4p"
+    C_x, C_y = 0.874038744, 3.883251825
+
+
+@register
+class Weren(_Putp4pBase):
+    name = "weren"
+    C_x, C_y = 1.0, 4.442882938
+
+
+class _Putp5Base(_Sph):
+    Cc = 1.01346
+    D = 1.2158542
+    A = B = 1.0
+
+    def _fwd(self, coo: Coords) -> None:
+        lam, phi = coo.x, coo.y
+        coo.x = self.Cc * lam * (self.A - self.B * np.sqrt(1.0 + self.D * phi * phi))
+        coo.y = self.Cc * phi
+
+    def _inv(self, coo: Coords) -> None:
+        phi = coo.y / self.Cc
+        coo.x = coo.x / (self.Cc * (self.A - self.B * np.sqrt(1.0 + self.D * phi * phi)))
+        coo.y = phi
+
+
+@register
+class Putp5(_Putp5Base):
+    name = "putp5"
+    A, B = 2.0, 1.0
+
+
+@register
+class Putp5p(_Putp5Base):
+    name = "putp5p"
+    A, B = 1.5, 0.5
+
+
+class _Putp6Base(_Sph):
+    C_x = C_y = A = B = D = 1.0
+    CON_POLE = 1.732050807568877
+
+    def _fwd(self, coo: Coords) -> None:
+        lam, phi0 = coo.x, coo.y
+        p = self.B * np.sin(phi0)
+        phi = phi0 * 1.10265779
+        active = np.isfinite(phi)
+        n_left = np.full(phi.shape, 10, dtype=np.int32)
+        for _ in range(10):
+            if not np.any(active):
+                break
+            ph = phi[active]
+            r = np.sqrt(1.0 + ph * ph)
+            V = ((self.A - r) * ph - np.log(ph + r) - p[active]) / (self.A - 2.0 * r)
+            phi[active] = ph - V
+            n_left[active] -= 1
+            done = np.abs(V) < 1e-10
+            idx = np.flatnonzero(active)
+            active[idx[done]] = False
+        exhausted = (n_left <= 0) & np.isfinite(phi)
+        phi = np.where(exhausted, np.where(p < 0, -self.CON_POLE, self.CON_POLE), phi)
+        coo.x = self.C_x * lam * (self.D - np.sqrt(1.0 + phi * phi))
+        coo.y = self.C_y * phi
+
+    def _inv(self, coo: Coords) -> None:
+        phi = coo.y / self.C_y
+        r = np.sqrt(1.0 + phi * phi)
+        coo.x = coo.x / (self.C_x * (self.D - r))
+        phi2, err = aasin(((self.A - r) * phi - np.log(phi + r)) / self.B)
+        coo.set_err(err, -19)
+        coo.y = phi2
+
+
+@register
+class Putp6(_Putp6Base):
+    name = "putp6"
+    C_x, C_y, A, B, D = 1.01346, 0.91910, 4.0, 2.1471437182129378784, 2.0
+
+
+@register
+class Putp6p(_Putp6Base):
+    name = "putp6p"
+    C_x, C_y, A, B, D = 0.44329, 0.80404, 6.0, 5.61125, 3.0
+
+
+class _Vandg2Base(_Sph):
+    vdg3 = False
+    TOL = 1e-10
+
+    def _fwd(self, coo: Coords) -> None:
+        lam, phi = coo.x, coo.y
+        M2PI = 2.0 / M_PI
+        bt = np.abs(M2PI * phi)
+        ct = np.sqrt(np.maximum(1.0 - bt * bt, 0.0))
+        on_mer = np.abs(lam) < self.TOL
+        with np.errstate(divide="ignore", invalid="ignore"):
+            at = 0.5 * np.abs(M_PI / lam - lam / M_PI)
+            if self.vdg3:
+                x1 = bt / (1.0 + ct)
+                x = M_PI * (np.sqrt(at * at + 1.0 - x1 * x1) - at)
+                y = M_PI * x1
+            else:
+                x1 = (ct * np.sqrt(1.0 + at * at) - at * ct * ct) / (1.0 + at * at * bt * bt)
+                x = M_PI * x1
+                y = M_PI * np.sqrt(np.maximum(1.0 - x1 * (x1 + 2.0 * at) + self.TOL, 0.0))
+            x = np.where(lam < 0.0, -x, x)
+            y = np.where(phi < 0.0, -y, y)
+        mer_y = M_PI * np.where(phi < 0.0, -bt, bt) / (1.0 + ct)
+        coo.x = np.where(on_mer, 0.0, x)
+        coo.y = np.where(on_mer, mer_y, y)
+
+
+@register
+class Vandg2(_Vandg2Base):
+    name = "vandg2"
+
+
+@register
+class Vandg3(_Vandg2Base):
+    name = "vandg3"
+    vdg3 = True
+
+
+@register
+class Vandg4(_Sph):
+    name = "vandg4"
+    TOL = 1e-10
+
+    def _fwd(self, coo: Coords) -> None:
+        lam, phi = coo.x, coo.y
+        M2PI = 2.0 / M_PI
+        on_eq = np.abs(phi) < self.TOL
+        on_mer = (np.abs(lam) < self.TOL) | (np.abs(np.abs(phi) - M_HALFPI) < self.TOL)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            bt = np.abs(M2PI * phi)
+            bt2 = bt * bt
+            ct = 0.5 * (bt * (8.0 - bt * (2.0 + bt2)) - 5.0) / (bt2 * (bt - 1.0))
+            ct2 = ct * ct
+            dt = M2PI * lam
+            dt = dt + 1.0 / dt
+            dt = np.sqrt(np.maximum(dt * dt - 4.0, 0.0))
+            dt = np.where((np.abs(lam) - M_HALFPI) < 0.0, -dt, dt)
+            dt2 = dt * dt
+            x1 = (bt + ct) ** 2
+            t = bt + 3.0 * ct
+            ft = x1 * (bt2 + ct2 * dt2 - 1.0) + (1.0 - bt2) * (
+                bt2 * (t * t + 4.0 * ct2) + ct2 * (12.0 * bt * ct + 4.0 * ct2)
+            )
+            x1 = (dt * (x1 + ct2 - 1.0) + 2.0 * np.sqrt(np.maximum(ft, 0.0))) / (4.0 * x1 + dt2)
+            x = M_HALFPI * x1
+            y = M_HALFPI * np.sqrt(np.maximum(1.0 + dt * np.abs(x1) - x1 * x1, 0.0))
+            x = np.where(lam < 0.0, -x, x)
+            y = np.where(phi < 0.0, -y, y)
+        coo.x = np.where(on_eq, lam, np.where(on_mer, 0.0, x))
+        coo.y = np.where(on_eq, 0.0, np.where(on_mer, phi, y))
+
+
+@register
+class Tpeqd(_Sph):
+    """Two Point Equidistant (tpeqd.cpp)."""
+
+    name = "tpeqd"
+
+    def setup(self) -> None:
+        super().setup()
+        from ..mathx import adjlon as _adj
+
+        p = self.params
+        phi_1 = p.rad("lat_1", 0.0)
+        lam_1 = p.rad("lon_1", 0.0)
+        phi_2 = p.rad("lat_2", 0.0)
+        lam_2 = p.rad("lon_2", 0.0)
+        if phi_1 == phi_2 and lam_1 == lam_2:
+            from ..core.errors import ERR_CONTROL_POINT_NO_DIST
+
+            raise ProjError(ERR_CONTROL_POINT_NO_DIST)
+        self.lam0 = float(_adj(np.array([0.5 * (lam_1 + lam_2)]))[0])
+        dlam2 = float(_adj(np.array([lam_2 - lam_1]))[0])
+        self.cp1 = math.cos(phi_1)
+        self.cp2 = math.cos(phi_2)
+        self.sp1 = math.sin(phi_1)
+        self.sp2 = math.sin(phi_2)
+        self.cs = self.cp1 * self.sp2
+        self.sc = self.sp1 * self.cp2
+        self.ccs = self.cp1 * self.cp2 * math.sin(dlam2)
+        z02 = math.acos(max(-1, min(1, self.sp1 * self.sp2 + self.cp1 * self.cp2 * math.cos(dlam2))))
+        if z02 == 0.0:
+            from ..core.errors import ERR_CONTROL_POINT_NO_DIST
+
+            raise ProjError(ERR_CONTROL_POINT_NO_DIST)
+        self.hz0 = 0.5 * z02
+        A12 = math.atan2(
+            self.cp2 * math.sin(dlam2),
+            self.cp1 * self.sp2 - self.sp1 * self.cp2 * math.cos(dlam2),
+        )
+        pp = math.asin(max(-1, min(1, self.cp1 * math.sin(A12))))
+        self.ca = math.cos(pp)
+        self.sa = math.sin(pp)
+        self.lp = float(_adj(np.array([math.atan2(self.cp1 * math.cos(A12), self.sp1) - self.hz0]))[0])
+        self.dlam2 = dlam2 * 0.5
+        self.lamc = M_HALFPI - math.atan2(math.sin(A12) * self.sp1, math.cos(A12)) - self.dlam2
+        self.thz0 = math.tan(self.hz0)
+        self.rhshz0 = 0.5 / math.sin(self.hz0)
+        self.r2z0 = 0.5 / z02
+        self.z02 = z02 * z02
+
+    def _fwd(self, coo: Coords) -> None:
+        lam, phi = coo.x, coo.y
+        sp = np.sin(phi)
+        cp = np.cos(phi)
+        dl1 = lam + self.dlam2
+        dl2 = lam - self.dlam2
+        from ..mathx import aacos
+
+        z1, _ = aacos(self.sp1 * sp + self.cp1 * cp * np.cos(dl1))
+        z2, _ = aacos(self.sp2 * sp + self.cp2 * cp * np.cos(dl2))
+        z1 = z1 * z1
+        z2 = z2 * z2
+        t = z1 - z2
+        x = self.r2z0 * t
+        t = self.z02 - t
+        y = self.r2z0 * asqrt(4.0 * self.z02 * z2 - t * t)
+        y = np.where(
+            (self.ccs * sp - cp * (self.cs * np.sin(dl1) - self.sc * np.sin(dl2))) < 0.0,
+            -y, y,
+        )
+        coo.x, coo.y = x, y
+
+    def _inv(self, coo: Coords) -> None:
+        from ..mathx import aacos
+
+        x, y = coo.x, coo.y
+        cz1 = np.cos(np.hypot(y, x + self.hz0))
+        cz2 = np.cos(np.hypot(y, x - self.hz0))
+        s = cz1 + cz2
+        d = cz1 - cz2
+        lam = -np.arctan2(d, s * self.thz0)
+        phi, err = aacos(np.hypot(self.thz0 * s, d) * self.rhshz0)
+        coo.set_err(err, -19)
+        phi = np.where(y < 0.0, -phi, phi)
+        sp = np.sin(phi)
+        cp = np.cos(phi)
+        lam = lam - self.lp
+        s2 = np.cos(lam)
+        phi2, err2 = aasin(self.sa * sp + self.ca * cp * s2)
+        coo.set_err(err2, -19)
+        lam2 = np.arctan2(cp * np.sin(lam), self.sa * cp * s2 - self.ca * sp) + self.lamc
+        coo.x, coo.y = lam2, phi2
