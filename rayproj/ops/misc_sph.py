@@ -1532,3 +1532,98 @@ class Tpeqd(_Sph):
         coo.set_err(err2, -19)
         lam2 = np.arctan2(cp * np.sin(lam), self.sa * cp * s2 - self.ca * sp) + self.lamc
         coo.x, coo.y = lam2, phi2
+
+
+class _SconicsBase(_Sph):
+    """Simple conics family (sconics.cpp): euler/murd1-3/pconic/tissot/vitk1."""
+
+    ctype = "euler"
+
+    def setup(self) -> None:
+        super().setup()
+        from ..core.errors import (
+            ERR_ABS_LAT1_EQ_ABS_LAT2,
+            ERR_LAT_1_2_UNSPECIFIED,
+            ERR_LAT_0_HALF_PI_FROM_MEAN,
+        )
+
+        p = self.params
+        if not p.has("lat_1") or not p.has("lat_2"):
+            raise ProjError(ERR_LAT_1_2_UNSPECIFIED)
+        p1 = p.rad("lat_1")
+        p2 = p.rad("lat_2")
+        del_ = 0.5 * (p2 - p1)
+        self.sig = 0.5 * (p2 + p1)
+        if abs(del_) < 1e-10 or abs(self.sig) < 1e-10:
+            raise ProjError(ERR_ABS_LAT1_EQ_ABS_LAT2)
+        t = self.ctype
+        self.c1 = self.c2 = 0.0
+        if t == "tissot":
+            self.n = math.sin(self.sig)
+            cs = math.cos(del_)
+            self.rho_c = self.n / cs + cs / self.n
+            self.rho_0 = math.sqrt((self.rho_c - 2 * math.sin(self.phi0)) / self.n)
+        elif t == "murd1":
+            self.rho_c = math.sin(del_) / (del_ * math.tan(self.sig)) + self.sig
+            self.rho_0 = self.rho_c - self.phi0
+            self.n = math.sin(self.sig)
+        elif t == "murd2":
+            cs = math.sqrt(math.cos(del_))
+            self.rho_c = cs / math.tan(self.sig)
+            self.rho_0 = self.rho_c + math.tan(self.sig - self.phi0)
+            self.n = math.sin(self.sig) * cs
+        elif t == "murd3":
+            self.rho_c = del_ / (math.tan(self.sig) * math.tan(del_)) + self.sig
+            self.rho_0 = self.rho_c - self.phi0
+            self.n = math.sin(self.sig) * math.sin(del_) * math.tan(del_) / (del_ * del_)
+        elif t == "euler":
+            self.n = math.sin(self.sig) * math.sin(del_) / del_
+            del_ *= 0.5
+            self.rho_c = del_ / (math.tan(del_) * math.tan(self.sig)) + self.sig
+            self.rho_0 = self.rho_c - self.phi0
+        elif t == "pconic":
+            self.n = math.sin(self.sig)
+            self.c2 = math.cos(del_)
+            self.c1 = 1.0 / math.tan(self.sig)
+            dd = self.phi0 - self.sig
+            if abs(dd) - 1e-10 >= M_HALFPI:
+                raise ProjError(ERR_LAT_0_HALF_PI_FROM_MEAN)
+            self.rho_0 = self.c2 * (self.c1 - math.tan(dd))
+        else:  # vitk1
+            cs = math.tan(del_)
+            self.n = cs * math.sin(self.sig) / del_
+            self.rho_c = del_ / (cs * math.tan(self.sig)) + self.sig
+            self.rho_0 = self.rho_c - self.phi0
+
+    def _fwd(self, coo: Coords) -> None:
+        lam, phi = coo.x, coo.y
+        if self.ctype == "murd2":
+            rho = self.rho_c + np.tan(self.sig - phi)
+        elif self.ctype == "pconic":
+            rho = self.c2 * (self.c1 - np.tan(phi - self.sig))
+        else:
+            rho = self.rho_c - phi
+        lamn = lam * self.n
+        coo.x = rho * np.sin(lamn)
+        coo.y = self.rho_0 - rho * np.cos(lamn)
+
+    def _inv(self, coo: Coords) -> None:
+        x = coo.x
+        y = self.rho_0 - coo.y
+        rho = np.hypot(x, y)
+        if self.n < 0.0:
+            rho = -rho
+            x = -x
+            y = -y
+        coo.x = np.arctan2(x, y) / self.n
+        if self.ctype == "pconic":
+            coo.y = np.arctan(self.c1 - rho / self.c2) + self.sig
+        elif self.ctype == "murd2":
+            coo.y = self.sig - np.arctan(rho - self.rho_c)
+        else:
+            coo.y = self.rho_c - rho
+
+
+for _name in ("euler", "murd1", "murd2", "murd3", "pconic", "tissot", "vitk1"):
+    _cls = type(_name.capitalize(), (_SconicsBase,), {"name": _name, "ctype": _name})
+    register(_cls)
