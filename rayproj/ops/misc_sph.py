@@ -1627,3 +1627,269 @@ class _SconicsBase(_Sph):
 for _name in ("euler", "murd1", "murd2", "murd3", "pconic", "tissot", "vitk1"):
     _cls = type(_name.capitalize(), (_SconicsBase,), {"name": _name, "ctype": _name})
     register(_cls)
+
+
+@register
+class Nsper(_Sph):
+    """Near-sided perspective (nsper.cpp); tpers adds tilt/azimuth."""
+
+    name = "nsper"
+    tilt = False
+
+    def setup(self) -> None:
+        super().setup()
+        self.height = self.params.float_("h", 0.0)
+        t = abs(self.phi0)
+        if abs(t - M_HALFPI) < 1e-10:
+            self.mode = "s_pole" if self.phi0 < 0 else "n_pole"
+        elif t < 1e-10:
+            self.mode = "equit"
+        else:
+            self.mode = "obliq"
+        self.sinph0 = math.sin(self.phi0)
+        self.cosph0 = math.cos(self.phi0)
+        self.pn1 = self.height / self.ell.a
+        if self.pn1 <= 0 or self.pn1 > 1e10:
+            from ..core.errors import ERR_INVALID_H
+
+            raise ProjError(ERR_INVALID_H)
+        self.p = 1.0 + self.pn1
+        self.rp = 1.0 / self.p
+        self.h = 1.0 / self.pn1
+        self.pfact = (self.p + 1.0) * self.h
+        if self.tilt:
+            omega = self.params.rad("tilt", 0.0)
+            gamma = self.params.rad("azi", 0.0)
+            self.cg = math.cos(gamma)
+            self.sg = math.sin(gamma)
+            self.cw = math.cos(omega)
+            self.sw = math.sin(omega)
+
+    def _fwd(self, coo: Coords) -> None:
+        lam, phi = coo.x, coo.y
+        sinphi = np.sin(phi)
+        cosphi = np.cos(phi)
+        coslam = np.cos(lam)
+        if self.mode == "obliq":
+            y = self.sinph0 * sinphi + self.cosph0 * cosphi * coslam
+        elif self.mode == "equit":
+            y = cosphi * coslam
+        elif self.mode == "s_pole":
+            y = -sinphi
+        else:
+            y = sinphi
+        hidden = y < self.rp
+        coo.set_err(hidden, ERR_TOLERANCE_CONDITION)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            y = self.pn1 / (self.p - y)
+        x = y * cosphi * np.sin(lam)
+        if self.mode == "obliq":
+            y = y * (self.cosph0 * sinphi - self.sinph0 * cosphi * coslam)
+        elif self.mode == "equit":
+            y = y * sinphi
+        elif self.mode == "n_pole":
+            y = y * cosphi * (-coslam)
+        else:
+            y = y * cosphi * coslam
+        if self.tilt:
+            yt = y * self.cg + x * self.sg
+            ba = 1.0 / (yt * self.sw * self.h + self.cw)
+            x2 = (x * self.cg - y * self.sg) * self.cw * ba
+            y = yt * ba
+            x = x2
+        coo.x = np.where(hidden, np.inf, x)
+        coo.y = np.where(hidden, np.inf, y)
+
+    def _inv(self, coo: Coords) -> None:
+        x, y = coo.x.copy(), coo.y.copy()
+        if self.tilt:
+            yt = 1.0 / (self.pn1 - y * self.sw)
+            bm = self.pn1 * x * yt
+            bq = self.pn1 * y * self.cw * yt
+            x = bm * self.cg + bq * self.sg
+            y = bq * self.cg - bm * self.sg
+        rh = np.hypot(x, y)
+        center = np.abs(rh) <= 1e-10
+        sinz = 1.0 - rh * rh * self.pfact
+        bad = sinz < 0.0
+        coo.set_err(bad & ~center, ERR_TOLERANCE_CONDITION)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sinz = (self.p - np.sqrt(np.maximum(sinz, 0.0))) / (self.pn1 / rh + rh / self.pn1)
+            cosz = np.sqrt(np.maximum(1.0 - sinz * sinz, 0.0))
+            if self.mode == "obliq":
+                phi = np.arcsin(np.clip(cosz * self.sinph0 + y * sinz * self.cosph0 / rh, -1, 1))
+                y2 = (cosz - self.sinph0 * np.sin(phi)) * rh
+                x2 = x * sinz * self.cosph0
+            elif self.mode == "equit":
+                phi = np.arcsin(np.clip(y * sinz / rh, -1, 1))
+                y2 = cosz * rh
+                x2 = x * sinz
+            elif self.mode == "n_pole":
+                phi = np.arcsin(np.clip(cosz, -1, 1))
+                y2 = -y
+                x2 = x
+            else:
+                phi = -np.arcsin(np.clip(cosz, -1, 1))
+                y2 = y
+                x2 = x
+            lam = np.arctan2(x2, y2)
+        coo.x = np.where(bad, np.inf, np.where(center, 0.0, lam))
+        coo.y = np.where(bad, np.inf, np.where(center, self.phi0, phi))
+
+
+@register
+class Tpers(Nsper):
+    name = "tpers"
+    tilt = True
+
+
+@register
+class Rpoly(_Sph):
+    name = "rpoly"
+
+    def setup(self) -> None:
+        super().setup()
+        self.phi1 = abs(self.params.rad("lat_ts", 0.0))
+        self.mode = self.phi1 > 1e-9
+        if self.mode:
+            self.fxb = 0.5 * math.sin(self.phi1)
+            self.fxa = 0.5 / self.fxb
+
+    def _fwd(self, coo: Coords) -> None:
+        lam, phi = coo.x, coo.y
+        if self.mode:
+            fa = np.tan(lam * self.fxb) * self.fxa
+        else:
+            fa = 0.5 * lam
+        on_eq = np.abs(phi) < 1e-9
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cot = 1.0 / np.tan(phi)
+            fa2 = 2.0 * np.arctan(fa * np.sin(phi))
+            x = np.sin(fa2) * cot
+            y = phi - self.phi0 + (1.0 - np.cos(fa2)) * cot
+        coo.x = np.where(on_eq, fa + fa, x)
+        coo.y = np.where(on_eq, -self.phi0, y)
+
+
+@register
+class Ocea(_Sph):
+    """Oblique Cylindrical Equal Area (ocea.cpp)."""
+
+    name = "ocea"
+
+    def setup(self) -> None:
+        super().setup()
+        self.rok = 1.0 / self.k0
+        self.rtk = self.k0
+        p = self.params
+        if p.has("alpha"):
+            alpha = M_PI + p.rad("alpha")
+            lonz = p.rad("lonc", 0.0)
+            lam_p = math.atan2(-math.cos(alpha), -math.sin(self.phi0) * math.sin(alpha)) + lonz
+            phi_p = math.asin(math.cos(self.phi0) * math.sin(alpha))
+        else:
+            phi_1 = p.rad("lat_1", 0.0)
+            phi_2 = p.rad("lat_2", 0.0)
+            lam_1 = p.rad("lon_1", 0.0)
+            lam_2 = p.rad("lon_2", 0.0)
+            lam_p = math.atan2(
+                math.cos(phi_1) * math.sin(phi_2) * math.cos(lam_1)
+                - math.sin(phi_1) * math.cos(phi_2) * math.cos(lam_2),
+                math.sin(phi_1) * math.cos(phi_2) * math.sin(lam_2)
+                - math.cos(phi_1) * math.sin(phi_2) * math.sin(lam_1),
+            )
+            if lam_1 == -M_HALFPI:
+                lam_p = -lam_p
+            c = math.cos(lam_p - lam_1)
+            t1 = math.tan(phi_1)
+            if t1 == 0.0:
+                phi_p = -M_HALFPI if c >= 0.0 else M_HALFPI
+            else:
+                phi_p = math.atan(-c / t1)
+        self.lam0 = lam_p + M_HALFPI
+        self.cosphi = math.cos(phi_p)
+        self.sinphi = math.sin(phi_p)
+
+    def _fwd(self, coo: Coords) -> None:
+        lam, phi = coo.x, coo.y
+        s = np.sin(lam)
+        t = np.cos(lam)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            x = np.arctan((np.tan(phi) * self.cosphi + self.sinphi * s) / t)
+        x = np.where(t < 0.0, x + M_PI, x)
+        coo.x = x * self.rtk
+        coo.y = self.rok * (self.sinphi * np.sin(phi) - self.cosphi * np.cos(phi) * s)
+
+    def _inv(self, coo: Coords) -> None:
+        y = coo.y / self.rok
+        x = coo.x / self.rtk
+        t = np.sqrt(np.maximum(1.0 - y * y, 0.0))
+        s = np.sin(x)
+        coo.y = np.arcsin(np.clip(y * self.sinphi + t * self.cosphi * s, -1, 1))
+        coo.x = np.arctan2(t * self.sinphi * s - y * self.cosphi, t * np.cos(x))
+
+
+@register
+class Oea(_Sph):
+    """Oblated Equal Area (oea.cpp)."""
+
+    name = "oea"
+
+    def setup(self) -> None:
+        super().setup()
+        self.n = self.params.float_("n", 0.0)
+        self.m = self.params.float_("m", 0.0)
+        if self.n <= 0.0 or self.m <= 0.0:
+            raise ProjError(ERR_N_OUT_OF_RANGE)
+        self.theta = self.params.rad("theta", 0.0)
+        self.sp0 = math.sin(self.phi0)
+        self.cp0 = math.cos(self.phi0)
+        self.rn = 1.0 / self.n
+        self.rm = 1.0 / self.m
+        self.two_r_n = 2.0 * self.rn
+        self.two_r_m = 2.0 * self.rm
+        self.hm = 0.5 * self.m
+        self.hn = 0.5 * self.n
+
+    def _fwd(self, coo: Coords) -> None:
+        from ..mathx import aacos
+
+        lam, phi = coo.x, coo.y
+        cp = np.cos(phi)
+        sp = np.sin(phi)
+        cl = np.cos(lam)
+        Az = np.arctan2(cp * np.sin(lam), self.cp0 * sp - self.sp0 * cp * cl) + self.theta
+        acz, _ = aacos(self.sp0 * sp + self.cp0 * cp * cl)
+        shz = np.sin(0.5 * acz)
+        M, e1 = aasin(shz * np.sin(Az))
+        coo.set_err(e1, -19)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            N, e2 = aasin(shz * np.cos(Az) * np.cos(M) / np.cos(M * self.two_r_m))
+        coo.set_err(e2, -19)
+        coo.y = self.n * np.sin(N * self.two_r_n)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            coo.x = self.m * np.sin(M * self.two_r_m) * np.cos(N) / np.cos(N * self.two_r_n)
+
+    def _inv(self, coo: Coords) -> None:
+        x, y = coo.x, coo.y
+        N0, e1 = aasin(y * self.rn)
+        coo.set_err(e1, -19)
+        N = self.hn * N0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            M0, e2 = aasin(x * self.rm * np.cos(N * self.two_r_n) / np.cos(N))
+        coo.set_err(e2, -19)
+        M = self.hm * M0
+        xp = 2.0 * np.sin(M)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            yp = 2.0 * np.sin(N) * np.cos(M * self.two_r_m) / np.cos(M)
+        Az = np.arctan2(xp, yp) - self.theta
+        cAz = np.cos(Az)
+        z0, e3 = aasin(0.5 * np.hypot(xp, yp))
+        coo.set_err(e3, -19)
+        z = 2.0 * z0
+        sz = np.sin(z)
+        cz = np.cos(z)
+        phi, e4 = aasin(self.sp0 * cz + self.cp0 * sz * cAz)
+        coo.set_err(e4, -19)
+        coo.y = phi
+        coo.x = np.arctan2(sz * np.sin(Az), self.cp0 * cz - self.sp0 * sz * cAz)
