@@ -1893,3 +1893,121 @@ class Oea(_Sph):
         coo.set_err(e4, -19)
         coo.y = phi
         coo.x = np.arctan2(sz * np.sin(Az), self.cp0 * cz - self.sp0 * sz * cAz)
+
+
+@register
+class ObTran(Operation):
+    """General Oblique Transformation (ob_tran.cpp): spherical rotation
+    to a new pole/equator, then the linked projection's raw kernel."""
+
+    name = "ob_tran"
+    need_ellps = True
+    TOLC = 1e-10
+
+    def setup(self) -> None:
+        from ..core.errors import (
+            ERR_LAT_0_OR_ALPHA_EQ_90,
+            ERR_LAT_1_OR_2_ZERO_OR_90,
+            ERR_NO_ROTATION_PROJ,
+            ERR_FAILED_TO_FIND_PROJ,
+        )
+        from ..core.factory import init_operation
+        from ..core.params import Params
+        from ..core.op import IO_RADIANS, IO_WHATEVER
+        from ..mathx import adjlon as _adj
+
+        p = self.params
+        if not p.has("o_proj"):
+            raise ProjError(ERR_NO_ROTATION_PROJ)
+        # the rename scans for the first o_proj=VALUE entry (flags pass
+        # through), mirroring ob_tran_target_params (ob_tran.cpp)
+        o_proj = next((v for k, v in p.pairs if k == "o_proj" and v), None)
+        if o_proj is None:
+            raise ProjError(ERR_NO_ROTATION_PROJ)
+        if o_proj == "ob_tran":
+            raise ProjError(ERR_FAILED_TO_FIND_PROJ)
+        link_pairs = [("proj", o_proj)] + [
+            (k, v) for k, v in p.pairs if k not in ("proj", "o_proj")
+        ]
+        self.link = init_operation(Params(link_pairs), cs2cs_emulation=False)
+
+        if p.has("o_alpha"):
+            lamc = p.rad("o_lon_c", 0.0)
+            phic = p.rad("o_lat_c", 0.0)
+            alpha = p.rad("o_alpha", 0.0)
+            if abs(abs(phic) - M_HALFPI) <= self.TOLC:
+                raise ProjError(ERR_LAT_0_OR_ALPHA_EQ_90)
+            self.lamp = lamc + math.atan2(-math.cos(alpha), -math.sin(alpha) * math.sin(phic))
+            phip = math.asin(max(-1, min(1, math.cos(phic) * math.sin(alpha))))
+        elif p.has("o_lat_p"):
+            self.lamp = p.rad("o_lon_p", 0.0)
+            phip = p.rad("o_lat_p", 0.0)
+        else:
+            lam1 = p.rad("o_lon_1", 0.0)
+            phi1 = p.rad("o_lat_1", 0.0)
+            lam2 = p.rad("o_lon_2", 0.0)
+            phi2 = p.rad("o_lat_2", 0.0)
+            con = abs(phi1)
+            if (
+                abs(phi1 - phi2) <= self.TOLC or con <= self.TOLC
+                or abs(con - M_HALFPI) <= self.TOLC
+                or abs(abs(phi2) - M_HALFPI) <= self.TOLC
+            ):
+                raise ProjError(ERR_LAT_1_OR_2_ZERO_OR_90)
+            self.lamp = math.atan2(
+                math.cos(phi1) * math.sin(phi2) * math.cos(lam1)
+                - math.sin(phi1) * math.cos(phi2) * math.cos(lam2),
+                math.sin(phi1) * math.cos(phi2) * math.sin(lam2)
+                - math.cos(phi1) * math.sin(phi2) * math.sin(lam1),
+            )
+            phip = math.atan(-math.cos(self.lamp - lam1) / math.tan(phi1))
+        self.oblique = abs(phip) > self.TOLC
+        self.cphip = math.cos(phip)
+        self.sphip = math.sin(phip)
+        if self.link.eff_right() == IO_RADIANS:
+            self.right = IO_WHATEVER
+
+    @property
+    def has_inverse(self) -> bool:
+        return self.link.has_inverse
+
+    def _fwd(self, coo: Coords) -> None:
+        from ..mathx import adjlon as _adj
+
+        lam, phi = coo.x, coo.y
+        cosphi = np.cos(phi)
+        coslam = np.cos(lam)
+        if self.oblique:
+            sinphi = np.sin(phi)
+            nlam = _adj(
+                np.arctan2(cosphi * np.sin(lam),
+                           self.sphip * cosphi * coslam + self.cphip * sinphi)
+                + self.lamp
+            )
+            nphi, err = aasin(self.sphip * sinphi - self.cphip * cosphi * coslam)
+        else:
+            nlam = _adj(np.arctan2(cosphi * np.sin(lam), np.sin(phi)) + self.lamp)
+            nphi, err = aasin(-cosphi * coslam)
+        coo.set_err(err, -19)
+        coo.x, coo.y = nlam, nphi
+        self.link._fwd(coo)
+
+    def _inv(self, coo: Coords) -> None:
+        self.link._inv(coo)
+        lam, phi = coo.x, coo.y
+        ok = np.isfinite(lam)
+        cosphi = np.cos(phi)
+        if self.oblique:
+            lam2 = lam - self.lamp
+            coslam = np.cos(lam2)
+            sinphi = np.sin(phi)
+            nphi, err = aasin(self.sphip * sinphi + self.cphip * cosphi * coslam)
+            nlam = np.arctan2(cosphi * np.sin(lam2),
+                              self.sphip * cosphi * coslam - self.cphip * sinphi)
+        else:
+            t = lam - self.lamp
+            nlam = np.arctan2(cosphi * np.sin(t), -np.sin(phi))
+            nphi, err = aasin(cosphi * np.cos(t))
+        coo.set_err(ok & err, -19)
+        coo.x = np.where(ok, nlam, lam)
+        coo.y = np.where(ok, nphi, phi)
