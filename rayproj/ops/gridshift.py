@@ -126,3 +126,63 @@ class Vgridshift(_GridShiftBase):
 
     def _inv(self, coo: Coords) -> None:
         self._apply(coo, False)
+
+
+@register
+class Tinshift(Operation):
+    """Triangulation-based shift (tinshift.cpp + tinshift_impl.hpp).
+    The TIN model is the canonical actor-held spatial index: loaded
+    once per worker, dropped from pickled state."""
+
+    name = "tinshift"
+    need_ellps = True
+
+    def setup(self) -> None:
+        from ..core.errors import ERR_INVALID_ARG
+        from ..core.resources import find_file
+
+        fname = self.params.str_("file")
+        if not fname:
+            raise ProjError(ERR_NO_ARGS, "tinshift: +file= required")
+        path = find_file(fname)
+        if path is None:
+            raise ProjError(ERR_INVALID_ARG, f"tinshift: cannot open {fname}")
+        self._path = path
+        self._model = None
+        self._load_model()
+        from ..core.op import IO_WHATEVER
+
+        self.left = IO_WHATEVER
+        self.right = IO_WHATEVER
+        self.skip_fwd_prepare = True
+        self.skip_inv_prepare = True
+        self.skip_fwd_finalize = True
+        self.skip_inv_finalize = True
+
+    def _load_model(self):
+        if self._model is None:
+            from ..core.errors import ERR_INVALID_ARG
+            from ..state.tin import load_tin
+
+            try:
+                self._model = load_tin(self._path)
+            except Exception as e:
+                raise ProjError(ERR_INVALID_ARG, f"tinshift: {e}") from None
+        return self._model
+
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state["_model"] = None
+        return state
+
+    def _apply(self, coo: Coords, forward: bool) -> None:
+        m = self._load_model()
+        x, y, z, outside = m.apply(coo.x, coo.y, coo.z, forward)
+        coo.set_err(outside, ERR_GRID_AREA)
+        coo.x, coo.y, coo.z = x, y, z
+
+    def _fwd(self, coo: Coords) -> None:
+        self._apply(coo, True)
+
+    def _inv(self, coo: Coords) -> None:
+        self._apply(coo, False)

@@ -1,0 +1,163 @@
+"""TIN (triangulation) shift model — the actor-held spatial index for
+tinshift (and the blueprint for the engine's point-in-polygon layer).
+
+Semantics per /root/reference/src/transformations/tinshift_impl.hpp:
+triangulation JSON (vertices_columns / triangles, :300-360), candidate
+lookup + barycentric containment test λ1,λ2 ∈ [−ε, 1+ε], λ3 ≥ 0
+(:414-459), barycentric interpolation of target coords / ΔZ
+(:461-553). The reference walks a quadtree per point; here candidate
+pruning uses a uniform cell bucket grid and the barycentric test runs
+vectorized per candidate triangle over the masked point subset.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+
+EPS = 1e-10
+
+
+class TinModel:
+    def __init__(self, doc: dict):
+        if doc.get("file_type") != "triangulation_file":
+            raise ValueError("not a triangulation_file")
+        cols = doc["vertices_columns"]
+        comps = doc.get("transformed_components", [])
+        self.horizontal = "horizontal" in comps
+        self.vertical = "vertical" in comps
+        # normalize vertices to the reference's canonical layout
+        # (tinshift_impl.hpp:240-295): source_x, source_y
+        # [, target_x, target_y][, Δz (offset_z or target_z − source_z)]
+        raw = np.asarray(doc["vertices"], dtype=np.float64)
+        idx = {c: i for i, c in enumerate(cols)}
+        parts = [raw[:, idx["source_x"]], raw[:, idx["source_y"]]]
+        if self.horizontal:
+            parts += [raw[:, idx["target_x"]], raw[:, idx["target_y"]]]
+        if self.vertical:
+            if "offset_z" in idx:
+                parts.append(raw[:, idx["offset_z"]])
+            else:
+                parts.append(raw[:, idx["target_z"]] - raw[:, idx["source_z"]])
+        self.vertices = np.stack(parts, axis=1)
+        self.col_count = self.vertices.shape[1]
+        tcols = doc.get("triangles_columns", ["idx_vertex1", "idx_vertex2", "idx_vertex3"])
+        tidx = {c: i for i, c in enumerate(tcols)}
+        traw = np.asarray(doc["triangles"], dtype=np.int64)
+        self.triangles = np.stack(
+            [traw[:, tidx["idx_vertex1"]], traw[:, tidx["idx_vertex2"]],
+             traw[:, tidx["idx_vertex3"]]], axis=1,
+        )
+        self.input_crs = doc.get("input_crs")
+        self.fallback = doc.get("fallback_strategy", "none")
+        self._buckets: dict[bool, tuple] = {}
+
+    def _source_xy(self, forward: bool):
+        if self.horizontal and not forward:
+            return self.vertices[:, 2], self.vertices[:, 3]
+        return self.vertices[:, 0], self.vertices[:, 1]
+
+    def _bucket_index(self, forward: bool, n_cells: int = 64):
+        """Uniform grid buckets of triangle bboxes (quadtree stand-in)."""
+        key = forward
+        if key in self._buckets:
+            return self._buckets[key]
+        vx, vy = self._source_xy(forward)
+        tx = vx[self.triangles]  # (T, 3)
+        ty = vy[self.triangles]
+        minx, maxx = tx.min(axis=1), tx.max(axis=1)
+        miny, maxy = ty.min(axis=1), ty.max(axis=1)
+        x0, x1 = float(minx.min()), float(maxx.max())
+        y0, y1 = float(miny.min()), float(maxy.max())
+        nx = ny = max(1, int(np.sqrt(max(len(self.triangles) // 4, 1))))
+        nx, ny = min(nx, n_cells), min(ny, n_cells)
+        sx = (x1 - x0) / nx or 1.0
+        sy = (y1 - y0) / ny or 1.0
+        buckets: dict[int, list[int]] = {}
+        bx0 = np.clip(((minx - x0) / sx).astype(np.int64), 0, nx - 1)
+        bx1 = np.clip(((maxx - x0) / sx).astype(np.int64), 0, nx - 1)
+        by0 = np.clip(((miny - y0) / sy).astype(np.int64), 0, ny - 1)
+        by1 = np.clip(((maxy - y0) / sy).astype(np.int64), 0, ny - 1)
+        for t in range(len(self.triangles)):
+            for cx in range(bx0[t], bx1[t] + 1):
+                for cy in range(by0[t], by1[t] + 1):
+                    buckets.setdefault(cx * ny + cy, []).append(t)
+        idx = (x0, y0, sx, sy, nx, ny, buckets)
+        self._buckets[key] = idx
+        return idx
+
+    def _assign(self, x: np.ndarray, y: np.ndarray, forward: bool):
+        """Per-point triangle id + barycentric coords; -1 when outside."""
+        vx, vy = self._source_xy(forward)
+        x0, y0, sx, sy, nx, ny, buckets = self._bucket_index(forward)
+        cx = np.clip(((x - x0) / sx).astype(np.int64), 0, nx - 1)
+        cy = np.clip(((y - y0) / sy).astype(np.int64), 0, ny - 1)
+        keys = cx * ny + cy
+        tri_id = np.full(len(x), -1, dtype=np.int64)
+        l1 = np.zeros(len(x))
+        l2 = np.zeros(len(x))
+        l3 = np.zeros(len(x))
+        for key in np.unique(keys):
+            cands = buckets.get(int(key))
+            if not cands:
+                continue
+            sel = np.flatnonzero(keys == key)
+            un = np.ones(len(sel), dtype=bool)
+            for t in cands:
+                if not np.any(un):
+                    break
+                i1, i2, i3 = self.triangles[t]
+                x1, y1 = vx[i1], vy[i1]
+                x2, y2 = vx[i2], vy[i2]
+                x3, y3 = vx[i3], vy[i3]
+                det = (y2 - y3) * (x1 - x3) + (x3 - x2) * (y1 - y3)
+                xs = x[sel[un]]
+                ys = y[sel[un]]
+                lam1 = ((y2 - y3) * (xs - x3) + (x3 - x2) * (ys - y3)) / det
+                lam2 = ((y3 - y1) * (xs - x3) + (x1 - x3) * (ys - y3)) / det
+                lam3 = 1.0 - lam1 - lam2
+                hit = (
+                    (lam1 >= -EPS) & (lam1 <= 1 + EPS)
+                    & (lam2 >= -EPS) & (lam2 <= 1 + EPS)
+                    & (lam3 >= 0)
+                )
+                tgt = sel[un][hit]
+                tri_id[tgt] = t
+                l1[tgt] = lam1[hit]
+                l2[tgt] = lam2[hit]
+                l3[tgt] = lam3[hit]
+                rem = un.copy()
+                rem[np.isin(sel, tgt) & un] = False
+                un = rem
+        return tri_id, l1, l2, l3
+
+    def apply(self, x: np.ndarray, y: np.ndarray, z: np.ndarray, forward: bool):
+        """Returns (x', y', z', outside_mask)."""
+        tri_id, l1, l2, l3 = self._assign(x, y, forward)
+        outside = tri_id < 0
+        t = np.maximum(tri_id, 0)
+        i1 = self.triangles[t, 0]
+        i2 = self.triangles[t, 1]
+        i3 = self.triangles[t, 2]
+        V = self.vertices
+        if self.horizontal:
+            tx, ty = (2, 3) if forward else (0, 1)
+            xo = V[i1, tx] * l1 + V[i2, tx] * l2 + V[i3, tx] * l3
+            yo = V[i1, ty] * l1 + V[i2, ty] * l2 + V[i3, ty] * l3
+        else:
+            xo, yo = x, y
+        if self.vertical:
+            zc = 4 if self.horizontal else 2
+            dz = V[i1, zc] * l1 + V[i2, zc] * l2 + V[i3, zc] * l3
+            zo = z + dz if forward else z - dz
+        else:
+            zo = z
+        xo = np.where(outside, np.inf, xo)
+        yo = np.where(outside, np.inf, yo)
+        return xo, yo, zo, outside
+
+
+def load_tin(path: str) -> TinModel:
+    with open(path) as f:
+        return TinModel(json.load(f))
