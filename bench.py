@@ -180,7 +180,7 @@ def main() -> None:
 def scaling() -> None:
     # enough compute that Ray Data's ~2s fixed executor overhead is
     # amortized — the criterion measures the scalable part of the job
-    rows = os.environ.get("BENCH_SCALING_ROWS", "192000000")
+    rows = os.environ.get("BENCH_SCALING_ROWS", "96000000")
 
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_SKIP_QUERIES="1",
