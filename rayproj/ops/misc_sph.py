@@ -2011,3 +2011,88 @@ class ObTran(Operation):
         coo.set_err(ok & err, -19)
         coo.x = np.where(ok, nlam, lam)
         coo.y = np.where(ok, nphi, phi)
+
+
+@register
+class Goode(_Sph):
+    """Goode Homolosine (goode.cpp): sinu below 40°44'11.8", moll above."""
+
+    name = "goode"
+    Y_COR = 0.05280
+    PHI_LIM = 0.71093078197902358062
+
+    def setup(self) -> None:
+        super().setup()
+        from ..core.factory import init_operation
+        from ..core.params import Params
+
+        a = repr(self.ell.a)
+        self.sinu = init_operation(Params.parse(f"+proj=sinu +a={a} +es=0"), cs2cs_emulation=False)
+        self.moll = init_operation(Params.parse(f"+proj=moll +a={a} +es=0"), cs2cs_emulation=False)
+
+    def _fwd(self, coo: Coords) -> None:
+        lam, phi = coo.x, coo.y
+        lo = np.abs(phi) <= self.PHI_LIM
+        cs = Coords(lam.copy(), phi.copy())
+        self.sinu._fwd(cs)
+        cm = Coords(lam.copy(), phi.copy())
+        self.moll._fwd(cm)
+        ym = cm.y - np.where(phi >= 0.0, self.Y_COR, -self.Y_COR)
+        coo.x = np.where(lo, cs.x, cm.x)
+        coo.y = np.where(lo, cs.y, ym)
+
+    def _inv(self, coo: Coords) -> None:
+        x, y = coo.x, coo.y
+        lo = np.abs(y) <= self.PHI_LIM
+        cs = Coords(x.copy(), y.copy())
+        self.sinu._inv(cs)
+        ym = y + np.where(y >= 0.0, self.Y_COR, -self.Y_COR)
+        cm = Coords(x.copy(), ym)
+        self.moll._inv(cm)
+        coo.x = np.where(lo, cs.x, cm.x)
+        coo.y = np.where(lo, cs.y, cm.y)
+
+
+@register
+class Hatano(_Sph):
+    name = "hatano"
+    CN, CSz = 2.67595, 2.43763
+    RCN, RCS = 0.37369906014686373063, 0.41023453108141924738
+    FYCN, FYCS = 1.75859, 1.93052
+    RYCN, RYCS = 0.56863737426006061674, 0.51799515156538134803
+    FXC, RXC = 0.85, 1.17647058823529411764
+
+    def _fwd(self, coo: Coords) -> None:
+        lam, phi0 = coo.x, coo.y
+        c = np.sin(phi0) * np.where(phi0 < 0.0, self.CSz, self.CN)
+        phi = phi0.copy()
+        active = np.isfinite(phi)
+        for _ in range(20):
+            if not np.any(active):
+                break
+            p = phi[active]
+            th1 = (p + np.sin(p) - c[active]) / (1.0 + np.cos(p))
+            phi[active] = p - th1
+            done = np.abs(th1) < 1e-7
+            idx = np.flatnonzero(active)
+            active[idx[done]] = False
+        phi = phi * 0.5
+        coo.x = self.FXC * lam * np.cos(phi)
+        coo.y = np.sin(phi) * np.where(phi < 0.0, self.FYCS, self.FYCN)
+
+    def _inv(self, coo: Coords) -> None:
+        x, y = coo.x, coo.y
+        th = y * np.where(y < 0.0, self.RYCS, self.RYCN)
+        over = np.abs(th) > 1.0
+        coo.set_err(np.abs(th) > 1.000001, ERR_TOLERANCE_CONDITION)
+        th = np.where(over, np.where(th > 0, M_HALFPI, -M_HALFPI),
+                      np.arcsin(np.clip(th, -1, 1)))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            lam = self.RXC * x / np.cos(th)
+        th = th + th
+        phi = (th + np.sin(th)) * np.where(y < 0.0, self.RCS, self.RCN)
+        over2 = np.abs(phi) > 1.0
+        coo.set_err(np.abs(phi) > 1.000001, ERR_TOLERANCE_CONDITION)
+        phi = np.where(over2, np.where(phi > 0, M_HALFPI, -M_HALFPI),
+                       np.arcsin(np.clip(phi, -1, 1)))
+        coo.x, coo.y = lam, phi
