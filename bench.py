@@ -63,26 +63,38 @@ def _bench_input(n_target: int):
     return ds, n_target
 
 
-def _fused_headline(ds):
-    """gen → flagship → per-batch tile partial, fused in ONE map stage:
-    only (blocks × tiles) partial rows ever hit the object store. This
-    is the deployment shape for the aggregate consumer; the full
-    column output path (write_parquet) is exercised by entry()."""
+def _fused_headline(n_target: int):
+    """range → (gen + flagship + per-batch tile partial) fused in ONE
+    map stage: only tiny id blocks and (blocks × tiles) partial rows
+    ever hit the object store. This is the deployment shape for the
+    aggregate consumer; the full column output path (write_parquet) is
+    exercised by entry()."""
     import numpy as np
     import pyarrow as pa
+    import ray.data as rd
 
-    from rayproj.pipelines.flagship import FlagshipStage, _cached_stage
+    from rayproj.pipelines.flagship import _cached_stage
 
+    langs = np.array(["en", "de", "fr", "es", "it", "pt", "nl", "ru", "ja", "zh"])
     kw = {"key_col": "doc_id", "lang_col": "lang"}
     key = tuple(sorted(kw.items()))
 
-    def fused(batch: pa.Table) -> pa.Table:
-        out = _cached_stage(key, kw)(batch)
-        t = out.column("tile").to_numpy()
-        uniq, counts = np.unique(t, return_counts=True)
+    def fused(batch) -> pa.Table:
+        ids = np.asarray(batch["id"])
+        t = pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "lang": pa.array(langs[ids % len(langs)], type=pa.string()),
+            }
+        )
+        out = _cached_stage(key, kw)(t)
+        tt = out.column("tile").to_numpy()
+        uniq, counts = np.unique(tt, return_counts=True)
         return pa.table({"tile": uniq, "n_partial": counts.astype(np.int64)})
 
-    partials = ds.map_batches(fused, batch_format="pyarrow", batch_size=None)
+    partials = rd.range(n_target, override_num_blocks=N_BLOCKS).map_batches(
+        fused, batch_format="numpy", batch_size=None
+    )
     df = partials.to_pandas()
     return df.groupby("tile", as_index=False)["n_partial"].sum()
 
@@ -99,9 +111,8 @@ def run_headline() -> dict:
     n_rows = REPLICA_TARGET
     n_tiles = 0
     for _ in range(3):
-        ds, n_rows = _bench_input(REPLICA_TARGET)
         t0 = time.perf_counter()
-        stats = _fused_headline(ds)
+        stats = _fused_headline(REPLICA_TARGET)
         runs.append(time.perf_counter() - t0)
         n_tiles = int(len(stats))
     elapsed = min(runs)
@@ -146,6 +157,11 @@ def main() -> None:
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        # small object store: this sandbox's host pages fault ~100x
+        # slower than native on first touch, and plasma bump-allocates —
+        # a small arena recycles (warm) pages instead of walking cold
+        # ones across a 37 GB mapping
+        object_store_memory=int(os.environ.get("BENCH_OBJ_STORE", 4_000_000_000)),
     )
     import logging
 

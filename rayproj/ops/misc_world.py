@@ -640,3 +640,89 @@ class Gnom(Operation):
         lam = np.arctan2(x, y)
         coo.x = np.where(center, 0.0, lam)
         coo.y = np.where(center, self.phi0, phi_)
+
+
+@register
+class Geos(Operation):
+    """Geostationary Satellite View (geos.cpp), sphere & ellipsoid."""
+
+    name = "geos"
+
+    def setup(self) -> None:
+        from ..core.errors import ERR_INVALID_H, ERR_INVALID_SWEEP_AXIS
+
+        self.h = self.params.float_("h", 0.0)
+        sweep = self.params.str_("sweep")
+        if sweep is None:
+            self.flip_axis = False
+        else:
+            if sweep not in ("x", "y"):
+                raise ProjError(ERR_INVALID_SWEEP_AXIS)
+            self.flip_axis = sweep == "x"
+        self.radius_g_1 = self.h / self.ell.a
+        if self.radius_g_1 <= 0 or self.radius_g_1 > 1e10:
+            raise ProjError(ERR_INVALID_H)
+        self.radius_g = 1.0 + self.radius_g_1
+        self.C = self.radius_g * self.radius_g - 1.0
+        self.spherical = self.ell.es == 0.0
+        if not self.spherical:
+            self.radius_p = math.sqrt(self.ell.one_es)
+            self.radius_p2 = self.ell.one_es
+            self.radius_p_inv2 = self.ell.rone_es
+        else:
+            self.radius_p = self.radius_p2 = self.radius_p_inv2 = 1.0
+
+    def _fwd(self, coo: Coords) -> None:
+        lam, phi = coo.x, coo.y
+        if self.spherical:
+            tmp = np.cos(phi)
+            Vx = np.cos(lam) * tmp
+            Vy = np.sin(lam) * tmp
+            Vz = np.sin(phi)
+        else:
+            phi_c = np.arctan(self.radius_p2 * np.tan(phi))
+            r = self.radius_p / np.hypot(self.radius_p * np.cos(phi_c), np.sin(phi_c))
+            Vx = r * np.cos(lam) * np.cos(phi_c)
+            Vy = r * np.sin(lam) * np.cos(phi_c)
+            Vz = r * np.sin(phi_c)
+            hidden = ((self.radius_g - Vx) * Vx - Vy * Vy - Vz * Vz * self.radius_p_inv2) < 0.0
+            coo.set_err(hidden, ERR_TOLERANCE_CONDITION)
+        tmp = self.radius_g - Vx
+        with np.errstate(divide="ignore", invalid="ignore"):
+            if self.flip_axis:
+                x = self.radius_g_1 * np.arctan(Vy / np.hypot(Vz, tmp))
+                y = self.radius_g_1 * np.arctan(Vz / tmp)
+            else:
+                x = self.radius_g_1 * np.arctan(Vy / tmp)
+                y = self.radius_g_1 * np.arctan(Vz / np.hypot(Vy, tmp))
+        coo.x, coo.y = x, y
+
+    def _inv(self, coo: Coords) -> None:
+        x, y = coo.x, coo.y
+        Vx = -1.0
+        if self.flip_axis:
+            Vz = np.tan(y / self.radius_g_1)
+            Vy = np.tan(x / self.radius_g_1) * np.hypot(1.0, Vz)
+        else:
+            Vy = np.tan(x / self.radius_g_1)
+            Vz = np.tan(y / self.radius_g_1) * np.hypot(1.0, Vy)
+        if self.spherical:
+            a = Vy * Vy + Vz * Vz + 1.0
+        else:
+            az = Vz / self.radius_p
+            a = Vy * Vy + az * az + 1.0
+        b = 2 * self.radius_g * Vx
+        det = b * b - 4 * a * self.C
+        bad = det < 0.0
+        coo.set_err(bad, ERR_TOLERANCE_CONDITION)
+        with np.errstate(invalid="ignore"):
+            k = (-b - np.sqrt(np.maximum(det, 0.0))) / (2.0 * a)
+        Vx2 = self.radius_g + k * Vx
+        Vy = Vy * k
+        Vz = Vz * k
+        lam = np.arctan2(Vy, Vx2)
+        phi = np.arctan(Vz * np.cos(lam) / Vx2)
+        if not self.spherical:
+            phi = np.arctan(self.radius_p_inv2 * np.tan(phi))
+        coo.x = np.where(bad, np.inf, lam)
+        coo.y = np.where(bad, np.inf, phi)
