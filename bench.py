@@ -207,17 +207,18 @@ def scaling() -> None:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = 8, 32
+    pair = os.environ.get("BENCH_SCALING_PAIR", "8,32").split(",")
+    lo, hi = int(pair[0]), int(pair[1])
     r_lo = run(lo)
     r_hi = run(hi)
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
     print(
         json.dumps(
             {
-                "sec_8": r_lo["value"],
-                "sec_32": r_hi["value"],
-                "docs_per_sec_8": r_lo["docs_per_sec"],
-                "docs_per_sec_32": r_hi["docs_per_sec"],
+                f"sec_{lo}": r_lo["value"],
+                f"sec_{hi}": r_hi["value"],
+                f"docs_per_sec_{lo}": r_lo["docs_per_sec"],
+                f"docs_per_sec_{hi}": r_hi["docs_per_sec"],
                 "scaling_efficiency": round(eff, 3),
                 "rows": r_lo["rows"],
             }

@@ -180,10 +180,12 @@ class AdamsWs2(_AdamsBase):
             deltaX = xa - X[active]
             deltaY = ya - Y[active]
             done = (np.abs(deltaX) < 1e-10) & (np.abs(deltaY) < 1e-10)
-            # recompute the Jacobian every pass: the reference's
-            # skip-when-close shortcut can limit-cycle at ~1e-9 with a
-            # stale Jacobian; always-fresh converges to exact zero
-            recompute = ~done
+            # Jacobian refresh exactly per generic_inverse.cpp:58-60: only
+            # while the residual is above 1e-6. Once closer, coast on the
+            # stale Jacobian — near the pole a fresh 1e-6 finite difference
+            # is the same magnitude as the residual and kicks the iterate
+            # out of the convergence basin.
+            recompute = (np.abs(deltaX) > 1e-6) | (np.abs(deltaY) > 1e-6)
             if np.any(recompute):
                 dLam = np.where(la > 0, -1e-6, 1e-6)
                 x2, y2, _ = self._fwd_arrays(la + dLam, pa)
@@ -213,5 +215,65 @@ class AdamsWs2(_AdamsBase):
             idx = np.flatnonzero(active)
             converged[idx[done]] = True
             active[idx[done]] = False
+        # Analytic fallback for lanes the reference-style loop leaves
+        # unconverged (near-pole/corner points where the ±0.3-clamped
+        # first step lands on a domain clamp and the sqrt-singular edge
+        # derivative ping-pongs the iterate). Points with no solution
+        # (|x±y| beyond the elliptic-integral range) stay unconverged →
+        # non_convergent, matching the reference's expected failure.
+        retry = ~converged & np.isfinite(X)
+        if np.any(retry):
+            rl, rp, rok = self._analytic_inverse(X[retry], Y[retry])
+            lam[retry] = np.where(rok, rl, lam[retry])
+            phi[retry] = np.where(rok, rp, phi[retry])
+            tmp = converged[retry]
+            tmp[rok] = True
+            converged[retry] = tmp
         coo.set_err(~converged & np.isfinite(X), -53)
         coo.x, coo.y = lam, phi
+
+    @staticmethod
+    def _ell_int_5_inverse(target: np.ndarray):
+        """Invert ell_int_5 (≈ F(φ, 1/√2), strictly increasing) by Newton
+        with the analytic derivative 1/√(1−sin²φ/2). Returns (φ, ok)."""
+        ell_max = float(ell_int_5(np.array([M_HALFPI]))[0])
+        ok = np.abs(target) <= ell_max * (1 + 1e-13) + 1e-13
+        t = np.clip(target / ell_max, -1.0, 1.0) * M_HALFPI
+        for _ in range(30):
+            s = np.sin(t)
+            resid = ell_int_5(t) - target
+            if np.all(np.abs(resid[ok]) < 1e-15):
+                break
+            t = np.clip(t - resid * np.sqrt(1.0 - 0.5 * s * s), -M_HALFPI, M_HALFPI)
+        return t, ok
+
+    def _analytic_inverse(self, X, Y):
+        """Exact inverse of the ws2 forward: ξ=F(m), η=F(n) recover m,n;
+        with u=tan(φ/2), v=√(1−u²)·sin(λ/2) the forward gives
+        sin²m = 1+uv−w, sin²n = 1−uv−w, w=√(1−u²)√(1−v²), and
+        sign(m)=sign(u+v), sign(n)=sign(u−v) — solvable in closed form."""
+        xi = RSQRT2 * (Y + X)
+        eta = RSQRT2 * (Y - X)
+        m, okm = self._ell_int_5_inverse(xi)
+        n, okn = self._ell_int_5_inverse(eta)
+        ok = okm & okn
+        sin_m = np.sin(m)
+        sin_n = np.sin(n)
+        P = sin_m * sin_m
+        Q = sin_n * sin_n
+        uv = (P - Q) / 2.0
+        w = 1.0 - (P + Q) / 2.0
+        sum_sq = np.maximum(1.0 + uv * uv - w * w, 0.0)  # u² + v²
+        s = np.sqrt(np.maximum(sum_sq + 2.0 * uv, 0.0)) * np.sign(m)
+        d = np.sqrt(np.maximum(sum_sq - 2.0 * uv, 0.0)) * np.sign(n)
+        u = np.clip((s + d) / 2.0, -1.0, 1.0)
+        v = (s - d) / 2.0
+        phi = 2.0 * np.arctan(u)
+        denom = np.sqrt(np.maximum(1.0 - u * u, 0.0))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sin_half_lam = np.where(denom > 1e-12, v / denom, 0.0)
+        lam = 2.0 * np.arcsin(np.clip(sin_half_lam, -1.0, 1.0))
+        # verify: the closed form must reproduce the input to round-off
+        fx, fy, _ = self._fwd_arrays(lam, phi)
+        ok &= (np.abs(fx - X) < 1e-9) & (np.abs(fy - Y) < 1e-9)
+        return lam, phi, ok

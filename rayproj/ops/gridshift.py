@@ -186,3 +186,207 @@ class Tinshift(Operation):
 
     def _inv(self, coo: Coords) -> None:
         self._apply(coo, False)
+
+
+@register
+class Deformation(Operation):
+    """Kinematic grid shift (deformation.cpp): cartesian coordinates get
+    displaced by dt × an ENU velocity field sampled from grids (generic
+    3-sample GeoTIFF via +grids, or legacy +xy_grids/+z_grids ct2+gtx,
+    mm/yr). ENU→XYZ per Nørbech et al. (deformation.cpp:191-202);
+    inverse is the reference's fixed-iteration loop (:210-254)."""
+
+    name = "deformation"
+    need_ellps = True
+
+    def setup(self) -> None:
+        from ..core.errors import (
+            ERR_FAILED_TO_LOAD_GRID,
+            ERR_MISSING_ARGS,
+            ERR_MUTUALLY_EXCLUSIVE_ARGS,
+        )
+        from ..core.op import IO_CARTESIAN
+
+        has_xy = self.params.has("xy_grids")
+        has_z = self.params.has("z_grids")
+        has_g = self.params.has("grids")
+        if not has_g and not (has_xy and has_z):
+            raise ProjError(ERR_NO_ARGS,
+                            "deformation: needs +grids or +xy_grids and +z_grids")
+        self._g_spec = self.params.str_("grids") if has_g else None
+        self._xy_spec = self.params.str_("xy_grids") if has_xy else None
+        self._z_spec = self.params.str_("z_grids") if has_z else None
+        self._grids_loaded = False
+        self._load()  # validate grid files at plan time (constructor order)
+        self.dt = None
+        if self.params.has("dt"):
+            self.dt = self.params.float_("dt", 0.0)
+        if self.params.has("t_obs"):
+            raise ProjError(ERR_MISSING_ARGS,
+                            "deformation: +t_obs unsupported, use +dt or +t_epoch")
+        self.t_epoch = None
+        if self.params.has("t_epoch"):
+            self.t_epoch = self.params.float_("t_epoch", 0.0)
+        if self.dt is None and self.t_epoch is None:
+            raise ProjError(ERR_MISSING_ARGS, "deformation: +dt or +t_epoch required")
+        if self.dt is not None and self.t_epoch is not None:
+            raise ProjError(ERR_MUTUALLY_EXCLUSIVE_ARGS,
+                            "deformation: +dt and +t_epoch are mutually exclusive")
+        self.left = IO_CARTESIAN
+        self.right = IO_CARTESIAN
+
+    def _load(self):
+        if not self._grids_loaded:
+            from ..core.errors import ERR_FAILED_TO_LOAD_GRID
+            from ..state.grids import open_generic_set
+
+            try:
+                if self._g_spec is not None:
+                    self._ggrids = parse_grid_list(self._g_spec, open_generic_set)
+                    self._hgrids = self._vgrids = None
+                else:
+                    self._ggrids = None
+                    self._hgrids = parse_grid_list(self._xy_spec, open_hgrid_set)
+                    self._vgrids = parse_grid_list(self._z_spec, open_vgrid_set)
+            except ProjError as e:
+                raise ProjError(ERR_FAILED_TO_LOAD_GRID, str(e)) from None
+            self._grids_loaded = True
+
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state["_grids_loaded"] = False
+        state["_ggrids"] = state["_hgrids"] = state["_vgrids"] = None
+        return state
+
+    def _grid_shift(self, X, Y, Z):
+        """get_grid_shift (deformation.cpp:142-208): cartesian→geodetic,
+        sample mm/yr ENU velocities, rotate to XYZ m/yr. Returns
+        (vx, vy, vz, outside)."""
+        from ..state.grids import generic_values_three, hgrid_value, vgrid_value
+        from .cart import Cart
+
+        self._load()
+        geo = Coords(X.copy(), Y.copy(), Z.copy())
+        Cart._inv(self, geo)  # only uses self.ell
+        lam, phi = geo.x, geo.y
+        if self._ggrids is not None:
+            e, n_, u, outside = generic_values_three(self._ggrids, lam, phi)
+        else:
+            e, n_, outside_h = hgrid_value(self._hgrids, lam, phi)
+            u, outside_v = vgrid_value(self._vgrids, lam, phi, 1.0)
+            outside = outside_h | outside_v
+        # mm/yr → m/yr
+        e, n_, u = e / 1000.0, n_ / 1000.0, u / 1000.0
+        sp, cp = np.sin(phi), np.cos(phi)
+        sl, cl = np.sin(lam), np.cos(lam)
+        vx = -sp * cl * n_ - sl * e + cp * cl * u
+        vy = -sp * sl * n_ + cl * e + cp * sl * u
+        vz = cp * n_ + sp * u
+        return vx, vy, vz, outside
+
+    def _dt_vec(self, coo: Coords):
+        if self.dt is not None:
+            return self.dt
+        return coo.t - self.t_epoch
+
+    def _fwd(self, coo: Coords) -> None:
+        dt = self._dt_vec(coo)
+        vx, vy, vz, outside = self._grid_shift(coo.x, coo.y, coo.z)
+        coo.set_err(outside, ERR_GRID_AREA)
+        ok = ~outside
+        coo.x = np.where(ok, coo.x + dt * vx, coo.x)
+        coo.y = np.where(ok, coo.y + dt * vy, coo.y)
+        coo.z = np.where(ok, coo.z + dt * vz, coo.z)
+
+    def _inv(self, coo: Coords) -> None:
+        """reverse_shift (deformation.cpp:210-254), vectorized with the
+        reference's exact (sign-quirky) update and exit conditions."""
+        dt = self._dt_vec(coo)
+        ix, iy, iz = coo.x, coo.y, coo.z
+        vx, vy, vz, outside = self._grid_shift(ix, iy, iz)
+        coo.set_err(outside, ERR_GRID_AREA)
+        z0 = vz
+        x = ix - dt * vx
+        y = iy - dt * vy
+        z = iz + dt * vz
+        active = ~outside
+        for _ in range(10):
+            if not np.any(active):
+                break
+            vx, vy, vz, off = self._grid_shift(x, y, z)
+            step = active & ~off
+            dif_x = np.where(step, x + dt * vx - ix, 0.0)
+            dif_y = np.where(step, y + dt * vy - iy, 0.0)
+            dif_z = np.where(step, z - dt * vz - iz, 0.0)
+            x = x + dif_x
+            y = y + dif_y
+            z = z + dif_z
+            active = step & (np.hypot(dif_x, dif_y) > 1e-8)
+        ok = ~outside
+        coo.x = np.where(ok, x, ix)
+        coo.y = np.where(ok, y, iy)
+        coo.z = np.where(ok, iz - dt * z0, iz)
+
+
+@register
+class Defmodel(Operation):
+    """+proj=defmodel — deformation-model master file (defmodel.cpp):
+    JSON master file describing velocity/step components over generic
+    GeoTIFF grids, applied at the coordinate epoch. The parsed model +
+    grids are the per-worker state; evaluation is vectorized in
+    rayproj.state.defmodel."""
+
+    name = "defmodel"
+    need_ellps = True
+
+    def setup(self) -> None:
+        from ..core.errors import ERR_INVALID_ARG
+        from ..core.resources import find_file
+        from ..state.defmodel import ModelError, load_defmodel
+
+        model = self.params.str_("model")
+        if not model:
+            raise ProjError(ERR_NO_ARGS, "defmodel: +model= should be specified")
+        path = find_file(model)
+        if path is None:
+            raise ProjError(ERR_INVALID_ARG, f"defmodel: cannot open {model}")
+        self._path = path
+        self._model = None
+        try:
+            m = self._load()
+        except ProjError:
+            raise
+        from ..core.op import IO_PROJECTED, IO_RADIANS
+
+        if m.is_geographic:
+            self.left = self.right = IO_RADIANS
+        else:
+            self.left = self.right = IO_PROJECTED
+
+    def _load(self):
+        if self._model is None:
+            from ..core.errors import ERR_INVALID_ARG
+            from ..state.defmodel import ModelError, load_defmodel
+
+            try:
+                self._model = load_defmodel(self._path, self.ell.a, self.ell.b)
+            except ModelError as e:
+                raise ProjError(ERR_INVALID_ARG, f"defmodel: invalid model: {e}") from None
+        return self._model
+
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state["_model"] = None
+        return state
+
+    def _fwd(self, coo: Coords) -> None:
+        m = self._load()
+        x, y, z, ok = m.forward(coo.x, coo.y, coo.z, coo.t)
+        coo.set_err(~ok & np.isfinite(coo.x), ERR_GRID_AREA)
+        coo.x, coo.y, coo.z = x, y, z
+
+    def _inv(self, coo: Coords) -> None:
+        m = self._load()
+        x, y, z, ok = m.inverse(coo.x, coo.y, coo.z, coo.t)
+        coo.set_err(~ok & np.isfinite(coo.x), ERR_GRID_AREA)
+        coo.x, coo.y, coo.z = x, y, z

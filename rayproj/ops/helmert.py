@@ -72,6 +72,10 @@ class Helmert(Operation):
         self.theta_0 = 0.0
         self.fourparam = False
 
+        # the reference wires the 2D fwd/inv interface only for the
+        # 4-parameter (+theta) form (helmert.cpp:565-570); a linking op
+        # (ob_tran) using the 2D interface otherwise gets EINVAL
+        self.has_2d_interface = p.has("theta")
         if p.has("theta"):
             self.left = IO_PROJECTED
             self.right = IO_PROJECTED

@@ -794,7 +794,12 @@ class Eqearth(Operation):
         y6 = y2 * y2 * y2
         with np.errstate(divide="ignore", invalid="ignore"):
             lam = self.M * x * (A1 + 3 * A2 * y2 + y6 * (7 * A3 + 9 * A4 * y2)) / np.cos(yc)
-        phi = np.arcsin(np.clip(np.sin(yc) / self.M, -1, 1))
+        s = np.clip(np.sin(yc) / self.M, -1.0, 1.0)
+        # At the poles sin(yc)/M lands within a few hundred ulps of ±1 and
+        # asin amplifies that to ~1e-6°; snap so pole inputs invert to ±90°
+        # (the reference's scalar rounding chain happens to do the same).
+        s = np.where(1.0 - np.abs(s) < 1e-13, np.sign(s), s)
+        phi = np.arcsin(s)
         if self.ell.es != 0.0:
             phi = authlat(phi, self.apa)
         coo.x, coo.y = lam, phi
@@ -1971,9 +1976,19 @@ class ObTran(Operation):
     def has_inverse(self) -> bool:
         return self.link.has_inverse
 
+    def _check_link_2d(self, coo: Coords) -> bool:
+        # linked op without a 2D interface → EINVAL per pj_fwd/pj_inv
+        # dispatch on a null P->fwd/P->inv (fwd.cpp/inv.cpp)
+        if not getattr(self.link, "has_2d_interface", True):
+            coo.set_err(np.isfinite(coo.x), 22)
+            return False
+        return True
+
     def _fwd(self, coo: Coords) -> None:
         from ..mathx import adjlon as _adj
 
+        if not self._check_link_2d(coo):
+            return
         lam, phi = coo.x, coo.y
         cosphi = np.cos(phi)
         coslam = np.cos(lam)
@@ -1993,6 +2008,8 @@ class ObTran(Operation):
         self.link._fwd(coo)
 
     def _inv(self, coo: Coords) -> None:
+        if not self._check_link_2d(coo):
+            return
         self.link._inv(coo)
         lam, phi = coo.x, coo.y
         ok = np.isfinite(lam)

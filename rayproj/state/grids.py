@@ -55,6 +55,9 @@ class HGrid:
     lon_shift: np.ndarray  # (H, W) float64, radians, east-positive
     children: list = field(default_factory=list)
     is_null: bool = False
+    # CTable2/NTv1/NTv2 store lon west-positive; we bake the negation in at
+    # load, so the *raw* (uncompensated, grids.cpp:1756) value is −lon_shift.
+    raw_flip: bool = False
 
     @property
     def width(self) -> int:
@@ -160,7 +163,8 @@ def _read_ctable2(name: str, data: bytes) -> HGrid:
     # CTable2 stores (lonShift, latShift) pairs, radians, west-positive lon
     lon_shift = -vals[:, :, 0].astype(np.float64)
     lat_shift = vals[:, :, 1].astype(np.float64)
-    return HGrid(name, west, south, east, north, res_x, res_y, lat_shift, lon_shift)
+    return HGrid(name, west, south, east, north, res_x, res_y, lat_shift, lon_shift,
+                 raw_flip=True)
 
 
 def _read_ntv1(name: str, data: bytes) -> HGrid:
@@ -177,7 +181,8 @@ def _read_ntv1(name: str, data: bytes) -> HGrid:
     # NTv1: (latShift, lonShift) doubles in arc-seconds, E→W column order
     lat_shift = vals[:, ::-1, 0] * SEC_TO_RAD
     lon_shift = -vals[:, ::-1, 1] * SEC_TO_RAD
-    return HGrid(name, west, south, east, north, res_x, res_y, lat_shift, lon_shift)
+    return HGrid(name, west, south, east, north, res_x, res_y, lat_shift, lon_shift,
+                 raw_flip=True)
 
 
 def _read_ntv2(name: str, data: bytes) -> list[HGrid]:
@@ -214,7 +219,7 @@ def _read_ntv2(name: str, data: bytes) -> list[HGrid]:
         lat_shift = vals[:, ::-1, 0].astype(np.float64) * SEC_TO_RAD
         lon_shift = -vals[:, ::-1, 1].astype(np.float64) * SEC_TO_RAD
         g = HGrid(f"{name}, {grid_name}", west, south, east, north, res_x, res_y,
-                  lat_shift, lon_shift)
+                  lat_shift, lon_shift, raw_flip=True)
         by_name[grid_name] = g
         parent_of[grid_name] = parent
         if parent in by_name:
@@ -555,3 +560,151 @@ def vgrid_value(gridsets: list[list[VGrid]], lam: np.ndarray, phi: np.ndarray,
         out[mask] = val * multiplier
         outside[np.flatnonzero(mask)[~np.isfinite(val)]] = True
     return out, outside
+
+
+# ---------------------------------------------------------------------------
+# Raw-value lookups + generic (multi-sample) grids — deformation support
+# ---------------------------------------------------------------------------
+
+
+def hgrid_value(gridsets: list[list[HGrid]], lam: np.ndarray, phi: np.ndarray):
+    """Vectorized pj_hgrid_value (grids.cpp:3095-3140): the *raw*
+    interpolated grid values (no NT-convention lon negation) — used by
+    deformation, where a ct2 grid stores velocities, not shifts.
+    Returns (value_lam, value_phi, outside_mask)."""
+    n = len(lam)
+    vlam = np.full(n, np.nan)
+    vphi = np.full(n, np.nan)
+    finite = np.isfinite(lam) & np.isfinite(phi)
+    leaf_ids, leaves = assign_grids(gridsets, lam, phi)
+    outside = (leaf_ids < 0) & finite
+    for gid, grid in enumerate(leaves):
+        mask = (leaf_ids == gid) & finite
+        if not np.any(mask):
+            continue
+        if grid.is_null:
+            vlam[mask] = 0.0
+            vphi[mask] = 0.0
+            continue
+        tl, tp = _normalize_to_grid(grid, lam[mask], phi[mask])
+        dl, dp = interpolate(grid, tl, tp)
+        if grid.raw_flip:
+            dl = -dl
+        bad = ~np.isfinite(dl)
+        outside[np.flatnonzero(mask)[bad]] = True
+        vlam[mask] = dl
+        vphi[mask] = dp
+    return vlam, vphi, outside
+
+
+@dataclass
+class GGrid:
+    """Generic multi-sample grid (GenericShiftGrid, grids.cpp:1994-2120):
+    N float samples per pixel with per-sample description/unit metadata —
+    GeoTIFF-backed (velocity models, deformation)."""
+
+    name: str
+    west: float
+    south: float
+    east: float
+    north: float
+    res_x: float
+    res_y: float
+    samples: list  # list of (H, W) float32 arrays, south-first rows
+    descs: list
+    units: list
+    children: list = field(default_factory=list)
+    is_null: bool = False
+
+    @property
+    def width(self) -> int:
+        return self.samples[0].shape[1]
+
+    @property
+    def height(self) -> int:
+        return self.samples[0].shape[0]
+
+    def epsilon(self) -> float:
+        return 0.0
+
+    full_world_longitude = HGrid.full_world_longitude
+    contains = HGrid.contains
+
+
+def open_generic_set(name: str) -> list:
+    """pj_generic_grid_init file opener: GeoTIFF (or 'null')."""
+    if name == "null":
+        z = np.zeros((3, 3), dtype=np.float32)
+        return [GGrid("null", -M_PI, -M_PI / 2, M_PI, M_PI / 2, M_PI, M_PI / 2,
+                      [z, z, z], ["", "", ""], ["", "", ""], is_null=True)]
+    path = find_file(name)
+    if path is None:
+        raise ProjError(ERR_FAILED_TO_LOAD_GRID, f"grid {name!r} not found")
+    with open(path, "rb") as f:
+        data = f.read()
+    if data[:2] in (b"II", b"MM"):
+        from .tiffgrid import tiff_to_ggrids
+
+        return tiff_to_ggrids(data, name)
+    raise ProjError(ERR_FAILED_TO_LOAD_GRID,
+                    f"{name!r}: generic grids must be GeoTIFF")
+
+
+def generic_values_three(gridsets: list, lam: np.ndarray, phi: np.ndarray,
+                         wanted=("east_velocity", "north_velocity", "up_velocity")):
+    """Vectorized pj_bilinear_interpolation_three_samples
+    (grids.cpp:3365-3445) over pj_find_generic_grid leaf assignment.
+    Sample indices resolve by description match, defaulting to 0/1/2.
+    Returns (v1, v2, v3, outside_mask)."""
+    n = len(lam)
+    v1 = np.full(n, np.nan)
+    v2 = np.full(n, np.nan)
+    v3 = np.full(n, np.nan)
+    finite = np.isfinite(lam) & np.isfinite(phi)
+    leaf_ids, leaves = assign_grids(gridsets, lam, phi)
+    outside = (leaf_ids < 0) & finite
+    for gid, grid in enumerate(leaves):
+        mask = (leaf_ids == gid) & finite
+        if not np.any(mask):
+            continue
+        if grid.is_null:
+            v1[mask] = 0.0
+            v2[mask] = 0.0
+            v3[mask] = 0.0
+            continue
+        if len(grid.samples) < 3:
+            raise ProjError(ERR_FAILED_TO_LOAD_GRID,
+                            f"{grid.name}: grid has not enough samples")
+        idx = [0, 1, 2]
+        for i, desc in enumerate(grid.descs):
+            for w, want in enumerate(wanted):
+                if desc == want:
+                    idx[w] = i
+        unit = grid.units[idx[0]]
+        if unit and unit != "millimetres per year":
+            raise ProjError(ERR_FAILED_TO_LOAD_GRID,
+                            f"{grid.name}: only unit=millimetres per year handled")
+        gl, gp = lam[mask], phi[mask]
+        gx = (gl - grid.west) / grid.res_x
+        gx = np.where(gl < grid.west, (gl + M_TWOPI - grid.west) / grid.res_x, gx)
+        gx = np.where(gl > grid.east, (gl - M_TWOPI - grid.west) / grid.res_x, gx)
+        gy = (gp - grid.south) / grid.res_y
+        # truncation-toward-zero int cast as in the reference (:3397)
+        ix = gx.astype(np.int64)
+        iy = gy.astype(np.int64)
+        fx = gx - ix
+        fy = gy - iy
+        ixc = np.clip(ix, 0, grid.width - 1)
+        iyc = np.clip(iy, 0, grid.height - 1)
+        ix2 = np.minimum(ixc + 1, grid.width - 1)
+        iy2 = np.minimum(iyc + 1, grid.height - 1)
+        m10 = fx * (1.0 - fy)
+        m11 = fx * fy
+        m01 = (1.0 - fx) * fy
+        m00 = (1.0 - fx) * (1.0 - fy)
+        for out, k in ((v1, idx[0]), (v2, idx[1]), (v3, idx[2])):
+            s = grid.samples[k]
+            val = (m00 * s[iyc, ixc] + m10 * s[iyc, ix2]
+                   + m01 * s[iy2, ixc] + m11 * s[iy2, ix2])
+            out[mask] = val
+    return v1, v2, v3, outside

@@ -535,3 +535,30 @@ def _insert_by_extent(parent, grid):
             _insert_by_extent(cand, grid)
             return
     parent.children.append(grid)
+
+
+def tiff_to_ggrids(data: bytes, name: str):
+    """GTiffGenericGridShiftSet::open semantics (grids.cpp:2522-2580):
+    every IFD with georeferencing becomes a generic N-sample grid; sample
+    descriptions/units ride along for by-name channel lookup."""
+    from .grids import GGrid
+
+    pages = read_tiff_grid_pages(data, name)
+    top: list = []
+    by_name: dict = {}
+    for ifd, page in enumerate(pages):
+        if page.subfile_type not in (0, 2):
+            if ifd == 0:
+                raise ProjError(ERR_FAILED_TO_LOAD_GRID, f"{name}: invalid subfileType")
+            continue
+        west, south, east, north, res_x, res_y = page.extent
+        n = len(page.samples)
+        descs = [page.meta("DESCRIPTION", i) for i in range(n)]
+        units = [page.meta("UNITTYPE", i) for i in range(n)]
+        g = GGrid(f"{name}, ifd{ifd}", west, south, east, north, res_x, res_y,
+                  [s.astype(np.float32) for s in page.samples], descs, units)
+        _insert_into_hierarchy(g, page.meta("grid_name"), page.meta("parent_grid_name"),
+                               top, by_name)
+    if not top:
+        raise ProjError(ERR_FAILED_TO_LOAD_GRID, f"{name}: no usable IFD")
+    return top
