@@ -27,11 +27,14 @@ def load_all() -> None:
         cyl_misc,
         geogoffset,
         gridshift,
+        healpix_ops,
+        igh_ops,
         helmert,
         latlong,
         lcc,
         merc,
         misc_sph,
+        more_proj,
         misc_world,
         molodensky,
         pipeline,

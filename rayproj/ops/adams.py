@@ -158,63 +158,18 @@ class AdamsWs2(_AdamsBase):
 
     def _inv(self, coo: Coords) -> None:
         """Vectorized generic 2D Newton (generic_inverse.cpp:44-114)."""
+        from ._geninv import generic_inverse_2d
+
         X, Y = coo.x, coo.y
-        phi = np.clip(Y / 2.62181347, -1.0, 1.0) * M_HALFPI
+        phi0 = np.clip(Y / 2.62181347, -1.0, 1.0) * M_HALFPI
         with np.errstate(divide="ignore", invalid="ignore"):
-            lam = np.where(
-                np.abs(phi) >= M_HALFPI,
+            lam0 = np.where(
+                np.abs(phi0) >= M_HALFPI,
                 0.0,
-                np.clip(X / 2.62205760 / np.cos(phi), -1.0, 1.0) * M_PI,
+                np.clip(X / 2.62205760 / np.cos(phi0), -1.0, 1.0) * M_PI,
             )
-        dl_X = np.zeros_like(X)
-        dl_Y = np.zeros_like(X)
-        dp_X = np.zeros_like(X)
-        dp_Y = np.zeros_like(X)
-        active = np.isfinite(X) & np.isfinite(Y)
-        converged = ~active
-        for _ in range(15):
-            if not np.any(active):
-                break
-            la, pa = lam[active], phi[active]
-            xa, ya, _ = self._fwd_arrays(la, pa)
-            deltaX = xa - X[active]
-            deltaY = ya - Y[active]
-            done = (np.abs(deltaX) < 1e-10) & (np.abs(deltaY) < 1e-10)
-            # Jacobian refresh exactly per generic_inverse.cpp:58-60: only
-            # while the residual is above 1e-6. Once closer, coast on the
-            # stale Jacobian — near the pole a fresh 1e-6 finite difference
-            # is the same magnitude as the residual and kicks the iterate
-            # out of the convergence basin.
-            recompute = (np.abs(deltaX) > 1e-6) | (np.abs(deltaY) > 1e-6)
-            if np.any(recompute):
-                dLam = np.where(la > 0, -1e-6, 1e-6)
-                x2, y2, _ = self._fwd_arrays(la + dLam, pa)
-                dXl = (x2 - xa) / dLam
-                dYl = (y2 - ya) / dLam
-                dPhi = np.where(pa > 0, -1e-6, 1e-6)
-                x3, y3, _ = self._fwd_arrays(la, pa + dPhi)
-                dXp = (x3 - xa) / dPhi
-                dYp = (y3 - ya) / dPhi
-                det = dXl * dYp - dXp * dYl
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    nl_X = np.where(det != 0, dYp / det, dl_X[active])
-                    nl_Y = np.where(det != 0, -dXp / det, dl_Y[active])
-                    np_X = np.where(det != 0, -dYl / det, dp_X[active])
-                    np_Y = np.where(det != 0, dXl / det, dp_Y[active])
-                upd = recompute
-                tmp = dl_X[active]; tmp[upd] = nl_X[upd]; dl_X[active] = tmp
-                tmp = dl_Y[active]; tmp[upd] = nl_Y[upd]; dl_Y[active] = tmp
-                tmp = dp_X[active]; tmp[upd] = np_X[upd]; dp_X[active] = tmp
-                tmp = dp_Y[active]; tmp[upd] = np_Y[upd]; dp_Y[active] = tmp
-            delta_lam = np.clip(deltaX * dl_X[active] + deltaY * dl_Y[active], -0.3, 0.3)
-            delta_phi = np.clip(deltaX * dp_X[active] + deltaY * dp_Y[active], -0.3, 0.3)
-            la = np.where(X[active] != 0, np.clip(la - delta_lam, -M_PI, M_PI), la)
-            pa = np.where(Y[active] != 0, np.clip(pa - delta_phi, -M_HALFPI, M_HALFPI), pa)
-            lam[active] = la
-            phi[active] = pa
-            idx = np.flatnonzero(active)
-            converged[idx[done]] = True
-            active[idx[done]] = False
+        lam, phi, converged = generic_inverse_2d(
+            lambda la, pa: self._fwd_arrays(la, pa)[:2], X, Y, lam0, phi0)
         # Analytic fallback for lanes the reference-style loop leaves
         # unconverged (near-pole/corner points where the ±0.3-clamped
         # first step lands on a domain clamp and the sqrt-singular edge
