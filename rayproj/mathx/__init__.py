@@ -250,3 +250,87 @@ class Gauss:
             converged[idx[done]] = True
             active[idx[done]] = False
         return lam, phi, ~converged & np.isfinite(sphi)
+
+
+# ---------------------------------------------------------------------------
+# Geodesic meridional distance (proj_mdist.cpp) — exact series, used by
+# rouss.
+# ---------------------------------------------------------------------------
+
+
+def mdist_ini(es: float):
+    """proj_mdist_ini (proj_mdist.cpp:34-78): series coefficients."""
+    MAXI = 20
+    ens = es
+    numf = twon1 = denfi = 1.0
+    denf = 1.0
+    twon = 4.0
+    E = [1.0]
+    Es = 1.0
+    El = 1.0
+    i = 1
+    while i < MAXI:
+        numf *= twon1 * twon1
+        den = twon * denf * denf * twon1
+        T = numf / den
+        E.append(T * ens)
+        Es -= E[i]
+        ens *= es
+        twon *= 4.0
+        denfi += 1.0
+        denf *= denfi
+        twon1 += 2.0
+        i += 1
+        if Es == El:
+            break
+        El = Es
+    nb = i - 1
+    b = [0.0] * i
+    # the reference reassigns Es = 1 - Es before the b loop (proj_mdist.cpp:64)
+    Es_run = 1.0 - Es
+    b[0] = Es_run
+    numf = denf = 1.0
+    numfi = 2.0
+    denfi = 3.0
+    for j in range(1, i):
+        Es_run -= E[j]
+        numf *= numfi
+        denf *= denfi
+        b[j] = Es_run * numf / denf
+        numfi += 2.0
+        denfi += 2.0
+    return {"nb": nb, "es": es, "E": Es, "b": np.array(b)}
+
+
+def mdist(phi, sphi, cphi, md):
+    """proj_mdist: geodesic meridional distance."""
+    sc = sphi * cphi
+    sphi2 = sphi * sphi
+    D = phi * md["E"] - md["es"] * sc / np.sqrt(1.0 - md["es"] * sphi2)
+    b = md["b"]
+    s = np.full_like(np.asarray(phi, dtype=np.float64), b[md["nb"]])
+    for i in range(md["nb"] - 1, -1, -1):
+        s = b[i] + sphi2 * s
+    return D + sc * s
+
+
+def inv_mdist(dist, md):
+    """proj_inv_mdist: Newton; returns (phi, nonconverged_mask)."""
+    dist = np.asarray(dist, dtype=np.float64)
+    k = 1.0 / (1.0 - md["es"])
+    phi = dist.copy()
+    active = np.isfinite(phi)
+    nonconv = active.copy()
+    for _ in range(20):
+        if not np.any(active):
+            break
+        s = np.sin(phi[active])
+        t = 1.0 - md["es"] * s * s
+        step = (mdist(phi[active], s, np.cos(phi[active]), md) - dist[active]) \
+            * (t * np.sqrt(t)) * k
+        phi[active] = phi[active] - step
+        done = np.abs(step) < 1e-14
+        idx = np.flatnonzero(active)
+        nonconv[idx[done]] = False
+        active[idx[done]] = False
+    return phi, nonconv

@@ -34,10 +34,12 @@ def load_all() -> None:
         lcc,
         merc,
         misc_sph,
+        mod_ster,
         more_proj,
         misc_world,
         molodensky,
         pipeline,
+        som,
         pseudocyl,
         stere,
         tmerc,
