@@ -488,9 +488,9 @@ def q_agg_lineitem(sf_dir: str):
 
 SQL_AGG_LINEITEM = """
 SELECT l_returnflag, l_linestatus,
-  SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
-  SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS sum_price_cents,
-  SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS sum_revenue,
+  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT) * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) AS sum_revenue,
   COUNT(*) AS n_rows
 FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2
 """
@@ -523,7 +523,7 @@ def q_join_orders_customer(sf_dir: str):
 
 SQL_JOIN = """
 SELECT c.c_mktsegment, COUNT(*) AS n_orders,
-  SUM(CAST(ROUND(o.o_totalprice*100) AS BIGINT)) AS total_cents
+  CAST(SUM(CAST(ROUND(o.o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY 1 ORDER BY 1
 """
@@ -557,7 +557,7 @@ def q_events_window(sf_dir: str):
 SQL_EVENTS_WINDOW = """
 SELECT event_type, CAST(FLOOR(epoch(ts)/3600) AS BIGINT) AS window,
   COUNT(*) AS n_events,
-  SUM(CAST(FLOOR(value*100) AS BIGINT)) AS sum_cents
+  CAST(SUM(CAST(FLOOR(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
 FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
 
