@@ -7,45 +7,176 @@ hash-partition + per-group min; MinHash-LSH explodes each doc into
 ``bands`` tiny rows, buckets by (band, band_hash), verifies candidate
 pairs by true Jaccard, and resolves clusters with min-label
 propagation.
+
+Kernel design (batch-vectorized, no per-row Python in the hot path):
+
+1. tokenize the WHOLE batch once with Arrow's ``utf8_split_whitespace``
+   and hash every token with a positional byte polynomial swept over
+   the flattened UTF-8 buffer (O(total bytes), no per-token Python);
+2. shingle hashes are a rolling polynomial over the uint64 token-hash
+   array: ``sum_j P^(k-1-j) * H[i+j]`` with wrapping uint64 arithmetic,
+   computed as k shifted-slice multiply-adds over the flat array;
+3. MinHash is then ``min`` per document segment of ``a*h + b`` (one
+   ``np.minimum.reduceat`` per hash function), SimHash is bit votes
+   per segment via ``np.unpackbits`` + ``np.add.reduceat``.
+
+Hash family note: ``a*h + b`` is computed in wrapping Z_2^64
+(multiply-add with odd random ``a`` — the Dietzfelbinger multiply-shift
+style family), NOT mod a Mersenne prime; comparisons for the min use
+the full 64 bits. Deterministic given the seed.
 """
 
 from __future__ import annotations
 
-import hashlib
-import struct
-
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 
-# 64-bit parametrized universal hashing over a base shingle hash
-_MERSENNE = (1 << 61) - 1
+# polynomial base for the rolling shingle hash (FNV-1a prime)
+_POLY = np.uint64(1099511628211)
+# hash of the zero-token document (stand-in shingle so every doc has >=1)
+_EMPTY_HASH = np.uint64(0x9E3779B97F4A7C15)
+# FNV-1a offset basis — seed for the per-token byte hash
+_FNV_BASIS = np.uint64(0xCBF29CE484222325)
 
 
-def _base_shingle_hashes(text: str, shingle_size: int) -> np.ndarray:
-    toks = text.split()
-    if len(toks) < shingle_size:
-        shingles = [" ".join(toks)] if toks else [""]
+def _token_hashes(texts) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized batch tokenization: returns (flat uint64 token hashes,
+    per-doc token counts).
+
+    Tokenization is Arrow's ``utf8_split_whitespace`` (one C call for
+    the batch); token hashing is an FNV-1a-style byte polynomial swept
+    position-by-position over the flattened UTF-8 buffer — the loop is
+    over MAX TOKEN LENGTH (~tens), every iteration a masked vectorized
+    op, so total work is O(total bytes) with no per-token Python.
+    """
+    if isinstance(texts, pd.Series):
+        arr = pa.Array.from_pandas(texts.fillna(""))
+        if not pa.types.is_string(arr.type) and not pa.types.is_large_string(arr.type):
+            arr = arr.cast(pa.string())
     else:
-        shingles = [" ".join(toks[i:i + shingle_size]) for i in range(len(toks) - shingle_size + 1)]
-    out = np.empty(len(shingles), dtype=np.uint64)
-    for i, s in enumerate(shingles):
-        out[i] = struct.unpack("<Q", hashlib.md5(s.encode("utf-8", "replace")).digest()[:8])[0]
-    return out
+        arr = pc.fill_null(pa.array(texts, type=pa.string()), "")
+    toks = pc.utf8_split_whitespace(arr)
+    list_off = np.asarray(toks.offsets)
+    counts = np.diff(list_off).astype(np.int64)
+    flat = toks.values
+    n_tok = len(flat)
+    if n_tok == 0:
+        return np.empty(0, dtype=np.uint64), counts
+    # raw UTF-8 bytes + per-token [start, end) offsets (zero-copy views)
+    off_buf, data_buf = flat.buffers()[1], flat.buffers()[2]
+    off_dtype = np.int64 if pa.types.is_large_string(flat.type) else np.int32
+    toff = np.frombuffer(off_buf, dtype=off_dtype)[flat.offset: flat.offset + n_tok + 1]
+    data = np.frombuffer(data_buf, dtype=np.uint8)
+    starts = toff[:-1].astype(np.int64)
+    lens = np.diff(toff).astype(np.int64)
+
+    # Arrow's splitter emits empty tokens at leading/trailing whitespace
+    # (Python's str.split() drops them) — drop and fix the doc counts.
+    empty = lens == 0
+    if empty.any():
+        tok_doc = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        np.subtract.at(counts, tok_doc[empty], 1)
+        starts, lens = starts[~empty], lens[~empty]
+
+    h = np.full(len(lens), _FNV_BASIS, dtype=np.uint64)
+    max_len = int(lens.max()) if len(lens) else 0
+    for j in range(max_len):
+        m = lens > j
+        hm = h[m]
+        hm ^= data[starts[m] + j]
+        hm *= _POLY
+        h[m] = hm
+    return h, counts
+
+
+def batch_shingle_hashes(texts: pd.Series, shingle_size: int) -> tuple[np.ndarray, np.ndarray]:
+    """Rolling-polynomial shingle hashes for a whole batch.
+
+    Returns ``(hashes, starts, token_counts)`` where ``hashes`` is a uint64 array of
+    shingle hashes grouped by document in document order and ``starts``
+    (len == n_docs) is the first-shingle index of each document —
+    directly usable with ``np.{minimum,add}.reduceat``. Documents with
+    fewer than ``shingle_size`` tokens contribute ONE shingle (the
+    polynomial over all their tokens; ``_EMPTY_HASH`` if empty), so
+    every document owns at least one shingle.
+    """
+    k = int(shingle_size)
+    h, counts = _token_hashes(texts)
+    n_docs = len(counts)
+    n_tok = len(h)
+    tok_doc = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+
+    # shingle count per doc: max(count - k + 1, 1)
+    n_sh = np.maximum(counts - k + 1, 1)
+    starts = np.zeros(n_docs, dtype=np.int64)
+    np.cumsum(n_sh[:-1], out=starts[1:])
+    total = int(starts[-1] + n_sh[-1]) if n_docs else 0
+    out = np.empty(total, dtype=np.uint64)
+
+    # --- full windows over the flat token array (docs with >= k tokens)
+    if n_tok >= k:
+        m = n_tok - k + 1
+        w = np.zeros(m, dtype=np.uint64)
+        for j in range(k):
+            w *= _POLY
+            w += h[j:j + m]
+        valid = tok_doc[:m] == tok_doc[k - 1:]
+        wdoc = tok_doc[:m][valid]
+        # windows are already grouped by doc in doc order; place at
+        # each long doc's output offset + within-doc rank
+        tok_off = np.zeros(n_docs, dtype=np.int64)
+        np.cumsum(counts[:-1], out=tok_off[1:])
+        pos = np.nonzero(valid)[0] - tok_off[wdoc] + starts[wdoc]
+        out[pos] = w[valid]
+
+    # --- short docs (0 < count < k): one polynomial over all tokens
+    short = (counts > 0) & (counts < k)
+    if short.any():
+        tok_off = np.zeros(n_docs, dtype=np.int64)
+        np.cumsum(counts[:-1], out=tok_off[1:])
+        for n in range(1, k):
+            sel = short & (counts == n)
+            if not sel.any():
+                continue
+            off = tok_off[sel]
+            w = np.zeros(len(off), dtype=np.uint64)
+            for j in range(n):
+                w *= _POLY
+                w += h[off + j]
+            out[starts[sel]] = w
+
+    # --- empty docs
+    empty = counts == 0
+    if empty.any():
+        out[starts[empty]] = _EMPTY_HASH
+    return out, starts, counts
 
 
 def _hash_params(num_hashes: int, seed: int = 42):
+    """Multiply-add family over Z_2^64: odd multipliers, random offsets."""
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, _MERSENNE, size=num_hashes, dtype=np.uint64)
-    b = rng.integers(0, _MERSENNE, size=num_hashes, dtype=np.uint64)
+    a = rng.integers(1, 1 << 63, size=num_hashes, dtype=np.uint64) * np.uint64(2) + np.uint64(1)
+    b = rng.integers(0, 1 << 63, size=num_hashes, dtype=np.uint64)
     return a, b
+
+
+_PARAM_CACHE: dict = {}
+
+
+def _cached_params(num_hashes: int, seed: int = 42):
+    key = (num_hashes, seed)
+    if key not in _PARAM_CACHE:
+        _PARAM_CACHE[key] = _hash_params(num_hashes, seed)
+    return _PARAM_CACHE[key]
 
 
 def minhash_signature(text: str, num_hashes: int, a: np.ndarray, b: np.ndarray,
                       shingle_size: int = 3) -> np.ndarray:
-    base = _base_shingle_hashes(text, shingle_size)
-    # (H, S) universal hashes mod mersenne prime, min over shingles
-    vals = (a[:, None] * (base[None, :] % _MERSENNE) + b[:, None]) % _MERSENNE
-    return vals.min(axis=1).astype(np.uint64)
+    """Single-document convenience wrapper over the batch kernel."""
+    sh, _, _ = batch_shingle_hashes(pd.Series([text]), shingle_size)
+    return (a[:, None] * sh[None, :] + b[:, None]).min(axis=1).astype(np.uint64)
 
 
 class MinHasher:
@@ -58,13 +189,19 @@ class MinHasher:
         self.bands = bands
         self.rows_per_band = num_hashes // bands
         self.shingle_size = shingle_size
-        self.a, self.b = _hash_params(num_hashes, seed)
+        self.a, self.b = _cached_params(num_hashes, seed)
 
     def signatures(self, texts: pd.Series) -> np.ndarray:
-        """(N, H) uint64 signature matrix."""
+        """(N, H) uint64 signature matrix — one reduceat per hash fn."""
+        sh, starts, _ = batch_shingle_hashes(texts, self.shingle_size)
         out = np.empty((len(texts), self.num_hashes), dtype=np.uint64)
-        for i, t in enumerate(texts.fillna("")):
-            out[i] = minhash_signature(t, self.num_hashes, self.a, self.b, self.shingle_size)
+        if len(starts) == 0:
+            return out
+        buf = np.empty_like(sh)
+        for hidx in range(self.num_hashes):
+            np.multiply(sh, self.a[hidx], out=buf)
+            buf += self.b[hidx]
+            out[:, hidx] = np.minimum.reduceat(buf, starts)
         return out
 
     def band_rows(self, doc_ids: np.ndarray, texts: pd.Series) -> pd.DataFrame:
@@ -76,7 +213,7 @@ class MinHasher:
         # hash each band's slice to one uint64
         band_hash = np.zeros((n, self.bands), dtype=np.uint64)
         for r in range(self.rows_per_band):
-            band_hash = band_hash * np.uint64(1099511628211) + rows[:, :, r]
+            band_hash = band_hash * _POLY + rows[:, :, r]
         return pd.DataFrame(
             {
                 "doc_id": np.repeat(doc_ids, self.bands),
@@ -87,8 +224,9 @@ class MinHasher:
 
 
 def jaccard(text_a: str, text_b: str, shingle_size: int = 3) -> float:
-    sa = set(_base_shingle_hashes(text_a, shingle_size).tolist())
-    sb = set(_base_shingle_hashes(text_b, shingle_size).tolist())
+    sh, starts, _ = batch_shingle_hashes(pd.Series([text_a, text_b]), shingle_size)
+    sa = set(sh[: starts[1]].tolist())
+    sb = set(sh[starts[1]:].tolist())
     if not sa and not sb:
         return 1.0
     inter = len(sa & sb)
@@ -96,32 +234,43 @@ def jaccard(text_a: str, text_b: str, shingle_size: int = 3) -> float:
 
 
 def simhash64(texts: pd.Series, shingle_size: int = 2) -> np.ndarray:
-    """64-bit SimHash over token shingles."""
-    out = np.empty(len(texts), dtype=np.uint64)
-    bits = np.arange(64, dtype=np.uint64)
-    for i, t in enumerate(texts.fillna("")):
-        base = _base_shingle_hashes(t, shingle_size)
-        if len(base) == 0:
-            out[i] = 0
-            continue
-        bitmat = ((base[:, None] >> bits[None, :]) & np.uint64(1)).astype(np.int64)
-        counts = bitmat.sum(axis=0)
-        out[i] = np.uint64(0)
-        vote = (counts * 2 > len(base)).astype(np.uint64)
-        out[i] = (vote << bits).sum(dtype=np.uint64)
+    """64-bit SimHash over token shingles — bit votes per doc segment
+    via unpackbits + one add.reduceat per byte lane."""
+    n_docs = len(texts)
+    if n_docs == 0:
+        return np.empty(0, dtype=np.uint64)
+    sh, starts, tok_counts = batch_shingle_hashes(texts, shingle_size)
+    n_sh = np.diff(np.append(starts, len(sh)))
+    sh_bytes = sh.view(np.uint8).reshape(-1, 8)
+    votes = np.empty((n_docs, 64), dtype=np.uint8)
+    for byte_i in range(8):
+        bits = np.unpackbits(sh_bytes[:, byte_i:byte_i + 1], axis=1).astype(np.int64)
+        counts = np.add.reduceat(bits, starts, axis=0)
+        votes[:, byte_i * 8:(byte_i + 1) * 8] = (counts * 2 > n_sh[:, None])
+    packed = np.packbits(votes, axis=1)  # same MSB-first order as unpackbits
+    out = packed.view(np.uint64).reshape(n_docs).copy()
+    # empty documents sketch to 0 (contract from round 1)
+    out[tok_counts == 0] = 0
     return out
 
 
 def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized SWAR popcount of XOR — no per-element Python."""
     x = np.bitwise_xor(a.astype(np.uint64), b.astype(np.uint64))
-    return np.array([bin(int(v)).count("1") for v in x], dtype=np.int64)
+    m1 = np.uint64(0x5555555555555555)
+    m2 = np.uint64(0x3333333333333333)
+    m4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+    h01 = np.uint64(0x0101010101010101)
+    x = x - ((x >> np.uint64(1)) & m1)
+    x = (x & m2) + ((x >> np.uint64(2)) & m2)
+    x = (x + (x >> np.uint64(4))) & m4
+    return ((x * h01) >> np.uint64(56)).astype(np.int64)
 
 
 def connected_components_min_label(pairs: pd.DataFrame, max_rounds: int = 50) -> pd.DataFrame:
     """Min-label propagation over an edge list (a, b) → (node, label).
     Driver-side implementation for candidate sets that are small after
-    LSH pruning; at cluster scale the same loop runs as repeated
-    groupby-min rounds over a Dataset."""
+    LSH pruning; `connected_components_ds` is the distributed variant."""
     labels: dict = {}
     for a, b in pairs[["a", "b"]].itertuples(index=False):
         labels.setdefault(a, a)
