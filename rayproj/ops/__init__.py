@@ -27,6 +27,7 @@ def load_all() -> None:
         cyl_misc,
         geogoffset,
         gridshift,
+        horner,
         healpix_ops,
         igh_ops,
         helmert,
@@ -41,6 +42,7 @@ def load_all() -> None:
         pipeline,
         som,
         pseudocyl,
+        sch,
         stere,
         tmerc,
         unitconvert,

@@ -390,3 +390,109 @@ class Defmodel(Operation):
         x, y, z, ok = m.inverse(coo.x, coo.y, coo.z, coo.t)
         coo.set_err(~ok & np.isfinite(coo.x), ERR_GRID_AREA)
         coo.x, coo.y, coo.z = x, y, z
+
+
+@register
+class Xyzgridshift(Operation):
+    """Geocentric translation from a 3-sample grid
+    (xyzgridshift.cpp:241-303): cartesian input is converted to
+    geodetic (via the op's ellipsoid) to look up (dx, dy, dz) metre
+    translations, then shifted. +grid_ref=input_crs (default) applies
+    directly forward / iteratively inverse; output_crs (e.g. the
+    NTF→RGF93 gr3df97a grid referenced in RGF93) swaps the roles
+    (xyzgridshift.cpp:185-214). Iterative adjustment is the reference's
+    ≤10-round fixed point (:130-161), vectorized over the batch."""
+
+    name = "xyzgridshift"
+    need_ellps = True
+
+    def setup(self) -> None:
+        from ..core.errors import ERR_FAILED_TO_LOAD_GRID
+        from ..core.op import IO_CARTESIAN
+
+        if not self.params.has("grids"):
+            raise ProjError(ERR_NO_ARGS, "xyzgridshift: +grids parameter missing")
+        self._g_spec = self.params.str_("grids") or ""
+        grid_ref = self.params.str_("grid_ref", "input_crs")
+        if grid_ref not in ("input_crs", "output_crs"):
+            raise ProjError(ERR_NO_ARGS,
+                            f"xyzgridshift: unsupported grid_ref {grid_ref}")
+        self.grid_ref_is_input = grid_ref == "input_crs"
+        self.multiplier = self.params.float_("multiplier", 1.0)
+        self._ggrids = None
+        self._load()  # validate at plan time
+        self.left = IO_CARTESIAN
+        self.right = IO_CARTESIAN
+
+    def _load(self):
+        if self._ggrids is None:
+            from ..core.errors import ERR_FAILED_TO_LOAD_GRID
+            from ..state.grids import open_generic_set
+
+            try:
+                self._ggrids = parse_grid_list(self._g_spec, open_generic_set)
+            except ProjError as e:
+                raise ProjError(ERR_FAILED_TO_LOAD_GRID, str(e)) from None
+        return self._ggrids
+
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state["_ggrids"] = None
+        return state
+
+    def _grid_values(self, X, Y, Z):
+        """get_grid_values (xyzgridshift.cpp:60-122): cart⁻¹ then
+        bilinear 3-sample lookup × multiplier."""
+        from ..state.grids import generic_values_three
+        from .cart import Cart
+
+        geo = Coords(X.copy(), Y.copy(), Z.copy())
+        Cart._inv(self, geo)  # only uses self.ell
+        dx, dy, dz, outside = generic_values_three(
+            self._ggrids, geo.x, geo.y,
+            wanted=("x_translation", "y_translation", "z_translation"),
+            expected_unit="metre",
+        )
+        m = self.multiplier
+        return dx * m, dy * m, dz * m, outside
+
+    def _direct(self, coo: Coords, factor: float) -> None:
+        dx, dy, dz, outside = self._grid_values(coo.x, coo.y, coo.z)
+        coo.set_err(outside, ERR_GRID_AREA)
+        ok = ~outside
+        coo.x = np.where(ok, coo.x + factor * dx, coo.x)
+        coo.y = np.where(ok, coo.y + factor * dy, coo.y)
+        coo.z = np.where(ok, coo.z + factor * dz, coo.z)
+
+    def _iterative(self, coo: Coords, factor: float) -> None:
+        x0, y0, z0 = coo.x.copy(), coo.y.copy(), coo.z.copy()
+        x, y, z = coo.x, coo.y, coo.z
+        outside = np.zeros(len(coo), dtype=bool)
+        for _ in range(10):
+            dx, dy, dz, outside = self._grid_values(x, y, z)
+            dx *= factor
+            dy *= factor
+            dz *= factor
+            err = ((x - x0) - dx) ** 2 + ((y - y0) - dy) ** 2 + ((z - z0) - dz) ** 2
+            x = x0 + dx
+            y = y0 + dy
+            z = z0 + dz
+            if np.all((err[~outside] < 1e-10) if outside.any() else (err < 1e-10)):
+                break
+        coo.set_err(outside, ERR_GRID_AREA)
+        ok = ~outside
+        coo.x = np.where(ok, x, coo.x)
+        coo.y = np.where(ok, y, coo.y)
+        coo.z = np.where(ok, z, coo.z)
+
+    def _fwd(self, coo: Coords) -> None:
+        if self.grid_ref_is_input:
+            self._direct(coo, 1.0)
+        else:
+            self._iterative(coo, 1.0)
+
+    def _inv(self, coo: Coords) -> None:
+        if self.grid_ref_is_input:
+            self._iterative(coo, -1.0)
+        else:
+            self._direct(coo, -1.0)

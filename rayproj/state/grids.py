@@ -651,7 +651,8 @@ def open_generic_set(name: str) -> list:
 
 
 def generic_values_three(gridsets: list, lam: np.ndarray, phi: np.ndarray,
-                         wanted=("east_velocity", "north_velocity", "up_velocity")):
+                         wanted=("east_velocity", "north_velocity", "up_velocity"),
+                         expected_unit="millimetres per year"):
     """Vectorized pj_bilinear_interpolation_three_samples
     (grids.cpp:3365-3445) over pj_find_generic_grid leaf assignment.
     Sample indices resolve by description match, defaulting to 0/1/2.
@@ -681,9 +682,9 @@ def generic_values_three(gridsets: list, lam: np.ndarray, phi: np.ndarray,
                 if desc == want:
                     idx[w] = i
         unit = grid.units[idx[0]]
-        if unit and unit != "millimetres per year":
+        if unit and unit != expected_unit:
             raise ProjError(ERR_FAILED_TO_LOAD_GRID,
-                            f"{grid.name}: only unit=millimetres per year handled")
+                            f"{grid.name}: only unit={expected_unit} handled")
         gl, gp = lam[mask], phi[mask]
         gx = (gl - grid.west) / grid.res_x
         gx = np.where(gl < grid.west, (gl + M_TWOPI - grid.west) / grid.res_x, gx)
