@@ -30,6 +30,7 @@ def load_all() -> None:
         horner,
         healpix_ops,
         igh_ops,
+        isea,
         helmert,
         latlong,
         lcc,
