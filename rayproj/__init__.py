@@ -5,8 +5,12 @@ A from-scratch re-derivation of PROJ's transform capabilities
 to run inside ray.data.Dataset.map_batches over zero-copy Arrow batches.
 """
 
+from .core.altops import AltOperation, RoutedOperation
 from .core.factory import create_operation
 from .core.op import FWD, INV, Coords, Operation
 
-__all__ = ["create_operation", "Coords", "Operation", "FWD", "INV"]
+__all__ = [
+    "create_operation", "Coords", "Operation", "FWD", "INV",
+    "AltOperation", "RoutedOperation",
+]
 __version__ = "0.1.0"

@@ -90,7 +90,9 @@ def lang_id(texts: pd.Series) -> np.ndarray:
 
 
 def fingerprint64(texts: pd.Series) -> np.ndarray:
-    """Stable 64-bit document fingerprint (first 8 bytes of md5)."""
+    """Stable 64-bit document fingerprint (first 8 bytes of md5),
+    returned as uint64 — no signed wrap, so the value matches any
+    unsigned cross-system comparison byte-for-byte."""
     return np.fromiter(
         (
             int.from_bytes(hashlib.md5(t.encode("utf-8", "replace")).digest()[:8], "big")
@@ -98,7 +100,7 @@ def fingerprint64(texts: pd.Series) -> np.ndarray:
         ),
         dtype=np.uint64,
         count=len(texts),
-    ).astype(np.int64)
+    )
 
 
 def md5_hex(texts: pd.Series) -> np.ndarray:

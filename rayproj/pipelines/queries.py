@@ -763,6 +763,70 @@ ORDER BY query_id, rank
 """
 
 
+def q_op_routing(sf_dir: str):
+    """Per-point coordinate-operation selection (4D_api.cpp:204-376 —
+    bbox + accuracy candidate choice): three geogoffset candidates with
+    overlapping areas of use; overlap resolves to the better-accuracy
+    op, uncovered points to the grid-free fallback."""
+    from ..core.altops import AltOperation, RoutedOperation
+
+    D = DEG_TO_RAD
+    alts = [
+        AltOperation(  # "europe", coarse accuracy
+            op=create_operation("+proj=geogoffset +dlon=3.6 +dlat=1.8"),
+            name="europe", accuracy=2.0,
+            minx_src=-10 * D, miny_src=35 * D, maxx_src=40 * D, maxy_src=70 * D,
+            minx_dst=-10 * D, miny_dst=35 * D, maxx_dst=40 * D, maxy_dst=70 * D,
+        ),
+        AltOperation(  # "east", better accuracy — wins on the overlap
+            op=create_operation("+proj=geogoffset +dlon=-7.2 +dlat=3.6"),
+            name="east", accuracy=1.0,
+            minx_src=20 * D, miny_src=30 * D, maxx_src=60 * D, maxy_src=60 * D,
+            minx_dst=20 * D, miny_dst=30 * D, maxx_dst=60 * D, maxy_dst=60 * D,
+        ),
+        AltOperation(op=create_operation("+proj=noop"), name="null", accuracy=-1.0),
+    ]
+    routed = RoutedOperation(alts)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        batch = _geoloc_batch(batch)
+        lon = batch.column("lon").to_numpy()
+        lat = batch.column("lat").to_numpy()
+        coo = Coords(lon * DEG_TO_RAD, lat * DEG_TO_RAD)
+        routed.trans(FWD, coo)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "op_id": pa.array(routed.last_chosen, type=pa.int64()),
+                "rlon": pa.array(np.round(coo.x * RAD_TO_DEG, 6)),
+                "rlat": pa.array(np.round(coo.y * RAD_TO_DEG, 6)),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id"]).map_batches(fn, batch_format="pyarrow")
+
+
+SQL_OP_ROUTING = f"""
+WITH g AS ({GEOLOC_SQL}),
+sel AS (
+  SELECT doc_id, lon, lat,
+    (lon >= -10 AND lon <= 40 AND lat >= 35 AND lat <= 70) AS in_eu,
+    (lon >= 20 AND lon <= 60 AND lat >= 30 AND lat <= 60) AS in_east
+  FROM g),
+r AS (
+  SELECT doc_id, lon, lat,
+    CAST(CASE WHEN in_eu AND in_east THEN 1
+         WHEN in_eu THEN 0
+         WHEN in_east THEN 1
+         ELSE 2 END AS BIGINT) AS op_id
+  FROM sel)
+SELECT doc_id, op_id,
+  ROUND(lon + CASE op_id WHEN 0 THEN 3.6/3600 WHEN 1 THEN -7.2/3600 ELSE 0 END, 6) AS rlon,
+  ROUND(lat + CASE op_id WHEN 0 THEN 1.8/3600 WHEN 1 THEN 3.6/3600 ELSE 0 END, 6) AS rlat
+FROM r ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -793,6 +857,7 @@ QUERIES = {
     "langid": q_langid,
     "fingerprint": q_fingerprint,
     "ann_cosine": q_ann_cosine,
+    "op_routing": q_op_routing,
 }
 
 ORACLE_SQL = {
@@ -816,6 +881,7 @@ ORACLE_SQL = {
     "token_stats": SQL_TOKEN_STATS,
     "text_quality": SQL_TEXT_QUALITY,
     "ann_cosine": SQL_ANN,
+    "op_routing": SQL_OP_ROUTING,
     # utm_fwd / minhash_lsh / simhash / langid / fingerprint:
     # engine-defined hashing or high-order series — rows-only check.
 }

@@ -55,13 +55,18 @@ def partial_topk(
         )
     n = d.shape[1]
     kk = min(k, n)
-    # argpartition then stable sort by (dist, point_id) for determinism
+    # argpartition finds the k-th distance; keep EVERY point at or
+    # below it so exact ties at the boundary survive to the
+    # (dist, point_id) sort — truncating before the tie-break would
+    # drop boundary ties arbitrarily and diverge from the SQL
+    # ROW_NUMBER() oracle.
     part = np.argpartition(d, kk - 1, axis=1)[:, :kk]
     rows = []
     for a in range(d.shape[0]):
-        idx = part[a]
+        kth = d[a, part[a]].max()
+        idx = np.nonzero(d[a] <= kth)[0]
         dd = d[a, idx]
-        order = np.lexsort((point_ids[idx], dd))
+        order = np.lexsort((point_ids[idx], dd))[:kk]
         sel = idx[order]
         rows.append(
             pd.DataFrame(
