@@ -45,6 +45,13 @@ def create_operation(definition: str | Params) -> Operation:
     """Build a fully-resolved Operation from a proj-string."""
     params = Params.parse(definition) if isinstance(definition, str) else definition
     name = params.str_("proj")
+    if not name and params.has("init"):
+        # +init-only definition: +proj comes from the catalog expansion
+        # (init.cpp:581-599 — get_init runs before the proj= check)
+        from .resources import load_init
+
+        expansion = load_init(params.str_("init") or "")
+        name = next((v for k, v in expansion if k == "proj"), None)
     if not name:
         raise ProjError(ERR_PROJ_NOT_NAMED, str(definition))
     if name == "pipeline":

@@ -65,12 +65,22 @@ def load_init(key: str) -> list[tuple[str, str | None]]:
     override = _catalog_overrides.get(fname)
     if override is not None and section in override:
         return override[section]
-    if fname in ("epsg", "IGNF"):
+    if fname == "IGNF":
         raise NotImplementedError(f"init catalog {fname!r} requires the EPSG database")
     ck = (fname, section)
     if ck in _init_cache:
         return _init_cache[ck]
     path = find_file(fname)
+    bundled_epsg = False
+    if path is None and fname == "epsg":
+        # bundled static transcription of the GIGS-corpus codes (the
+        # full catalog lives in proj.db in the reference — out of
+        # scope, so codes missing from the transcription raise
+        # NotImplementedError like the catalog itself used to)
+        cand = os.path.join(os.path.dirname(__file__), "..", "data", "epsg")
+        if os.path.exists(cand):
+            path = cand
+            bundled_epsg = True
     if path is None:
         raise NotImplementedError(f"init file {fname!r} not found on RAYPROJ_DATA path")
     pairs: list[tuple[str, str | None]] = []
@@ -102,4 +112,9 @@ def load_init(key: str) -> list[tuple[str, str | None]]:
             if end >= 0:
                 _init_cache[ck] = pairs
                 return pairs
+    if bundled_epsg:
+        raise NotImplementedError(
+            f"epsg:{section} not in the bundled static catalog (full EPSG "
+            "database out of scope)"
+        )
     raise ProjError(-2, f"init section {section!r} not found in {fname!r}")

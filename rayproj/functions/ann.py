@@ -89,4 +89,6 @@ class IVFIndex:
 
     def probe_lists(self, queries: np.ndarray, nprobe: int) -> np.ndarray:
         sims = _normalize(queries.astype(np.float64)) @ self.centroids.T
-        return np.argsort(-sims, axis=1)[:, :nprobe]
+        # stable: ties resolve to the lower centroid id (matches the
+        # SQL oracle's ORDER BY cosine DESC, centroid_id)
+        return np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]

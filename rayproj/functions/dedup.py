@@ -267,6 +267,100 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return ((x * h01) >> np.uint64(56)).astype(np.int64)
 
 
+def connected_components_ds(edges, max_rounds: int = 50):
+    """Distributed connected components over an edge Dataset
+    (columns ``a``, ``b``) → Dataset of (node, label=component min).
+
+    Alternating large-star / small-star rounds (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14): each
+    round is one ``groupby(node).map_groups`` shuffle over the edge
+    set, edges contract toward star graphs in O(log n) rounds, and
+    convergence is detected with a cheap per-round edge-hash
+    aggregate. Each round materializes the (shrinking) edge set —
+    the unavoidable shape of an iterative fixed point.
+    """
+    import pyarrow as pa
+
+    def star(df: pd.DataFrame, large: bool) -> pd.DataFrame:
+        u = df["u"].iloc[0]
+        nbrs = df["v"].to_numpy()
+        m = min(int(nbrs.min()), int(u))
+        if large:
+            keep = nbrs[nbrs > u]
+        else:
+            keep = nbrs[nbrs <= u]
+            keep = keep[keep != m]
+            if u != m:
+                keep = np.append(keep, u)
+        out = np.unique(keep)
+        return pd.DataFrame({"u": out, "v": np.full(len(out), m, dtype=np.int64)})
+
+    def to_undirected(ds):
+        def both(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "u": np.concatenate([df["u"].to_numpy(), df["v"].to_numpy()]),
+                    "v": np.concatenate([df["v"].to_numpy(), df["u"].to_numpy()]),
+                }
+            )
+
+        return ds.map_batches(both, batch_format="pandas")
+
+    def edge_hash(ds) -> int:
+        from ray.data.aggregate import Sum
+
+        def h(df: pd.DataFrame) -> pd.DataFrame:
+            v = (df["u"].to_numpy(np.int64) * 1000003 + df["v"].to_numpy(np.int64))
+            return pd.DataFrame({"k": [0], "h": [int((v * v).sum())]})
+
+        parts = ds.map_batches(h, batch_format="pandas")
+        row = parts.groupby("k").aggregate(Sum("h", alias_name="s")).take_all()
+        return int(row[0]["s"]) if row else 0
+
+    def rename(df: pd.DataFrame) -> pd.DataFrame:
+        return df.rename(columns={"a": "u", "b": "v"})
+
+    ds = edges.map_batches(rename, batch_format="pandas")
+    prev = None
+    for _ in range(max_rounds):
+        ds = to_undirected(ds).groupby("u").map_groups(
+            lambda df: star(df, large=True), batch_format="pandas"
+        )
+        ds = to_undirected(ds).groupby("u").map_groups(
+            lambda df: star(df, large=False), batch_format="pandas"
+        )
+        ds = ds.materialize()
+        cur = edge_hash(ds)
+        if cur == prev:
+            break
+        prev = cur
+
+    # final labels: every remaining edge is (node, root); roots label
+    # themselves, and every node of the ORIGINAL edge list self-labels
+    # so isolated/self-loop nodes survive as singletons
+    def labels(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "node": np.concatenate([df["u"].to_numpy(), df["v"].to_numpy()]),
+                "label": np.concatenate([df["v"].to_numpy(), df["v"].to_numpy()]),
+            }
+        )
+
+    def self_labels(df: pd.DataFrame) -> pd.DataFrame:
+        nodes = np.unique(np.concatenate([df["a"].to_numpy(), df["b"].to_numpy()]))
+        return pd.DataFrame({"node": nodes, "label": nodes})
+
+    from ray.data.aggregate import Min
+
+    lab = ds.map_batches(labels, batch_format="pandas")
+    orig = edges.map_batches(self_labels, batch_format="pandas")
+    return (
+        lab.union(orig)
+        .groupby("node")
+        .aggregate(Min("label", alias_name="label"))
+    )
+
+
 def connected_components_min_label(pairs: pd.DataFrame, max_rounds: int = 50) -> pd.DataFrame:
     """Min-label propagation over an edge list (a, b) → (node, label).
     Driver-side implementation for candidate sets that are small after

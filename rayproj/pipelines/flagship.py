@@ -63,6 +63,33 @@ class FlagshipStage:
             return pa.concat_tables(parts)
         return self._one(batch)
 
+    def tile_partial(self, batch: pa.Table) -> pa.Table:
+        """Fused kernel + per-batch tile partial aggregate WITHOUT
+        materializing the full output table: only the tile array of
+        each cache-resident sub-chunk is kept, so the stage's memory
+        traffic is the input columns plus one int64 array — the
+        aggregate-consumer deployment shape (bench headline)."""
+        counts: dict = {}
+        for s in range(0, batch.num_rows, self.CHUNK):
+            sub = batch.slice(s, self.CHUNK)
+            gb = geolocate_batch_arrow(sub, self.key_col, self.lang_col)
+            lon = gb.column("lon").to_numpy()
+            lat = gb.column("lat").to_numpy()
+            coo = Coords(lon * DEG_TO_RAD, lat * DEG_TO_RAD)
+            self.op.trans(FWD, coo)
+            rlon = coo.x * RAD_TO_DEG
+            rlat = coo.y * RAD_TO_DEG
+            cell_id(rlon, rlat, self.cell_level)
+            self.pip.assign(rlon, rlat)
+            tiles = tile_id(rlon, rlat, self.zoom)
+            uniq, cnt = np.unique(tiles, return_counts=True)
+            for t, c in zip(uniq.tolist(), cnt.tolist()):
+                counts[t] = counts.get(t, 0) + c
+        tiles = np.fromiter(counts.keys(), dtype=np.int64, count=len(counts))
+        n = np.fromiter(counts.values(), dtype=np.int64, count=len(counts))
+        order = np.argsort(tiles)
+        return pa.table({"tile": tiles[order], "n_partial": n[order]})
+
     def _one(self, batch: pa.Table) -> pa.Table:
         batch = geolocate_batch_arrow(batch, self.key_col, self.lang_col)
         lon = batch.column("lon").to_numpy()

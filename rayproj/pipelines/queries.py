@@ -763,6 +763,186 @@ ORDER BY query_id, rank
 """
 
 
+def q_ngram_jaccard(sf_dir: str):
+    """Exact n-gram (3-token shingle) Jaccard similarity over candidate
+    doc pairs (doc_id < 60): the verification kernel of the near-dup
+    family. Shingle sets come from the batch kernel
+    (dedup.batch_shingle_hashes); at 100-TB scale the pair generation
+    is LSH-pruned (minhash_lsh) — this query is the exact-verify leg
+    run on candidates, expressed here over a fixed subset so the
+    DuckDB oracle can reproduce it from raw SQL."""
+    from ..functions.dedup import batch_shingle_hashes
+
+    N_DOCS = 60
+    K = 3
+    THRESH = 0.2
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("doc_id").reset_index(drop=True)
+        toks = df["text"].fillna("").str.split().str.len().to_numpy()
+        keep = toks >= K
+        df = df[keep].reset_index(drop=True)
+        sh, starts, _ = batch_shingle_hashes(df["text"], K)
+        bounds = np.append(starts, len(sh))
+        sets = [set(sh[bounds[i]:bounds[i + 1]].tolist()) for i in range(len(df))]
+        ids = df["doc_id"].to_numpy()
+        rows = []
+        for i in range(len(sets)):
+            for j in range(i + 1, len(sets)):
+                inter = len(sets[i] & sets[j])
+                if inter == 0:
+                    continue
+                jac = round(inter / (len(sets[i]) + len(sets[j]) - inter), 6)
+                if jac >= THRESH:  # post-rounding, like the oracle
+                    rows.append((ids[i], ids[j], jac))
+        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"]).astype(
+            {"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"}
+        )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).filter(
+        lambda row: row["doc_id"] < N_DOCS
+    )
+    # candidate set is tiny by construction — single-batch exact verify
+    return pairs(ds.to_pandas())
+
+
+SQL_NGRAM_JACCARD = """
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents WHERE doc_id < 60 AND length(trim(text)) > 0),
+t AS (
+  SELECT doc_id, u.tok, u.pos
+  FROM d, LATERAL (SELECT unnest(toks) AS tok,
+                          generate_subscripts(toks, 1) AS pos) u
+  WHERE len(toks) >= 3),
+sh AS (
+  SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+  FROM t a JOIN t b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+           JOIN t c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS i
+  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY 1, 2),
+j AS (
+  SELECT doc_a, doc_b,
+         ROUND(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+  FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b)
+SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.2
+ORDER BY doc_a, doc_b
+"""
+
+
+def q_embed_neardup(sf_dir: str):
+    """Embedding-cosine near-duplicate pairs: every vector against the
+    broadcast matrix (one matmul per batch), emit (a, b) with
+    cosine ≥ 0.4 and a < b. The broadcast side is the whole
+    embedding table here (small); the 100-TB path buckets by IVF
+    centroid first (ann_ivf) so each batch multiplies against its
+    cell's slice only."""
+    import pyarrow.parquet as pq
+
+    THRESH = 0.4
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    all_ids = tbl.column("vec_id").to_numpy()
+    mat = np.stack(tbl.column("embedding").to_pylist()).astype(np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        vecs = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        vecs /= np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-300)
+        ids = df["vec_id"].to_numpy()
+        sims = vecs @ mat.T
+        ai, bi = np.nonzero(sims >= THRESH)
+        a = ids[ai]
+        b = all_ids[bi]
+        keep = a < b
+        return pd.DataFrame(
+            {"vec_a": a[keep].astype(np.int64), "vec_b": b[keep].astype(np.int64)}
+        )
+
+    return _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        fn, batch_format="pandas"
+    )
+
+
+SQL_EMBED_NEARDUP = """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+ORDER BY vec_a, vec_b
+"""
+
+
+def q_ann_ivf(sf_dir: str):
+    """IVF-bucketed ANN (the 100-TB scale path): coarse quantizer =
+    first 8 embeddings as deterministic centroids, vectors bucketed by
+    top-1 centroid per batch, each query scanning only its nprobe=3
+    probe buckets. Exactly SQL-expressible, so the bucketing AND the
+    per-bucket top-k are oracle-checked (not just recall)."""
+    import pyarrow.parquet as pq
+
+    from ..functions.ann import IVFIndex, cosine_topk_batch, merge_topk as ann_merge
+
+    NPROBE = 3
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    head = np.stack(tbl.column("embedding").to_pylist()[:8])
+    queries = head[:5]
+    index = IVFIndex(head)
+    probes = index.probe_lists(queries, NPROBE)  # (5, 3)
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        vecs = np.stack(df["embedding"].to_numpy())
+        ids = df["vec_id"].to_numpy()
+        buckets = index.assign(vecs)
+        parts = []
+        for q in range(len(queries)):
+            mask = np.isin(buckets, probes[q])
+            if not mask.any():
+                continue
+            sub = cosine_topk_batch(ids[mask], vecs[mask], queries[q:q + 1], KNN_K + 1)
+            sub["query_id"] = np.int64(q)
+            parts.append(sub)
+        if not parts:
+            return pd.DataFrame({"query_id": [], "vec_id": [], "cosine": []})
+        return pd.concat(parts, ignore_index=True)
+
+    partials = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        fn, batch_format="pandas"
+    )
+    out = ann_merge(partials.to_pandas(), KNN_K + 1)
+    out["rank"] = out.groupby("query_id").cumcount() + 1
+    return out[["query_id", "rank", "vec_id"]].astype("int64")
+
+
+SQL_ANN_IVF = f"""
+WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
+q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+va AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.embedding, c.ce) DESC, c.cid) AS rn
+  FROM embeddings e CROSS JOIN c),
+vb AS (SELECT vec_id, embedding, cid AS bucket FROM va WHERE rn = 1),
+qp AS (
+  SELECT q.query_id, c.cid,
+         ROW_NUMBER() OVER (PARTITION BY q.query_id
+             ORDER BY list_cosine_similarity(q.qe, c.ce) DESC, c.cid) AS rn
+  FROM q CROSS JOIN c),
+qb AS (SELECT query_id, cid FROM qp WHERE rn <= 3),
+cand AS (
+  SELECT qb.query_id, v.vec_id,
+         list_cosine_similarity(v.embedding, q.qe) AS cos
+  FROM vb v JOIN qb ON v.bucket = qb.cid JOIN q ON q.query_id = qb.query_id),
+r AS (
+  SELECT query_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+  FROM cand)
+SELECT query_id, rank, vec_id FROM r WHERE rank <= {KNN_K + 1}
+ORDER BY query_id, rank
+"""
+
+
 def q_op_routing(sf_dir: str):
     """Per-point coordinate-operation selection (4D_api.cpp:204-376 —
     bbox + accuracy candidate choice): three geogoffset candidates with
@@ -857,6 +1037,9 @@ QUERIES = {
     "langid": q_langid,
     "fingerprint": q_fingerprint,
     "ann_cosine": q_ann_cosine,
+    "ann_ivf": q_ann_ivf,
+    "ngram_jaccard": q_ngram_jaccard,
+    "embed_neardup": q_embed_neardup,
     "op_routing": q_op_routing,
 }
 
@@ -881,6 +1064,9 @@ ORACLE_SQL = {
     "token_stats": SQL_TOKEN_STATS,
     "text_quality": SQL_TEXT_QUALITY,
     "ann_cosine": SQL_ANN,
+    "ann_ivf": SQL_ANN_IVF,
+    "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "embed_neardup": SQL_EMBED_NEARDUP,
     "op_routing": SQL_OP_ROUTING,
     # utm_fwd / minhash_lsh / simhash / langid / fingerprint:
     # engine-defined hashing or high-order series — rows-only check.

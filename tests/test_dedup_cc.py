@@ -1,0 +1,70 @@
+"""Vectorized dedup kernels + distributed connected components."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from rayproj.functions import dedup
+
+
+def test_minhash_batch_matches_single():
+    texts = pd.Series(
+        ["the quick brown fox", "", None, "one", "  padded  text ",
+         "a b c d e f g h i j"]
+    )
+    mh = dedup.MinHasher()
+    sigs = mh.signatures(texts)
+    for i, t in enumerate(texts.fillna("")):
+        assert (dedup.minhash_signature(t, 64, mh.a, mh.b, 3) == sigs[i]).all()
+
+
+def test_minhash_near_dup_overlap():
+    mh = dedup.MinHasher()
+    sigs = mh.signatures(pd.Series(
+        ["the quick brown fox jumps over the lazy dog",
+         "the quick brown fox jumps over the lazy cat"]
+    ))
+    assert (sigs[0] == sigs[1]).mean() > 0.5
+
+
+def test_simhash_properties():
+    texts = pd.Series(["alpha beta gamma delta", "alpha beta gamma delta x", ""])
+    h = dedup.simhash64(texts)
+    assert h[2] == 0
+    assert dedup.hamming64(h[:1], h[1:2])[0] <= 20
+
+
+def test_hamming64_vs_python():
+    rng = np.random.default_rng(0)
+    a = rng.integers(0, 2 ** 63, 500, dtype=np.uint64)
+    b = rng.integers(0, 2 ** 63, 500, dtype=np.uint64)
+    ref = np.array([bin(int(x) ^ int(y)).count("1") for x, y in zip(a, b)])
+    assert (dedup.hamming64(a, b) == ref).all()
+
+
+def test_connected_components_ds_matches_driver(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(7)
+    # random graph: 3 planted components plus noise edges within them
+    comps = [np.arange(0, 20), np.arange(100, 130), np.arange(500, 505)]
+    edges = []
+    for comp in comps:
+        perm = rng.permutation(comp)
+        edges += list(zip(perm[:-1], perm[1:]))  # spanning path
+        for _ in range(10):
+            a, b = rng.choice(comp, 2)
+            edges.append((a, b))
+    pairs = pd.DataFrame(edges, columns=["a", "b"]).astype("int64")
+
+    expected = dedup.connected_components_min_label(pairs)
+    exp = dict(zip(expected["node"], expected["label"]))
+
+    ds = rd.from_pandas(pairs)
+    got = dedup.connected_components_ds(ds).to_pandas()
+    gm = dict(zip(got["node"], got["label"]))
+    for comp in comps:
+        root = int(comp.min())
+        for n in comp:
+            assert gm[int(n)] == root, (n, gm.get(int(n)))
+    assert set(gm) == set(exp)

@@ -59,3 +59,7 @@ def test_gigs_corpus():
         (f.file.split("/")[-1], f.lineno, f.operation[:60], f.deviation)
         for f in tot.failures[:20]
     ]
+    # full pass with the bundled EPSG catalog (rayproj/data/epsg):
+    # 1062 assertions, 0 skips
+    assert tot.skipped == 0
+    assert tot.ok >= 1060
