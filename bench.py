@@ -126,6 +126,37 @@ def run_headline() -> dict:
     }
 
 
+def run_write_path() -> dict:
+    """Timed full-column output path once per bench: flagship over the
+    real sf documents table (text bytes carried through untouched) →
+    partitioned parquet under /tmp. Complements the fused aggregate
+    headline, which deliberately excludes wide-payload I/O."""
+    import shutil
+
+    import ray.data as rd
+
+    from rayproj.pipelines.flagship import run_flagship
+
+    out_dir = "/tmp/bench_flagship_out"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    ds = rd.read_parquet(f"{SF_DIR}/documents.parquet")
+    out = run_flagship(ds, key_col="doc_id", lang_col="lang")
+    out.write_parquet(out_dir)
+    secs = time.perf_counter() - t0
+    n_bytes = sum(
+        os.path.getsize(os.path.join(out_dir, f)) for f in os.listdir(out_dir)
+    )
+    n_rows = rd.read_parquet(out_dir).count()
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return {
+        "seconds": round(secs, 3),
+        "rows": int(n_rows),
+        "mb_written": round(n_bytes / 1e6, 1),
+        "rows_per_sec": round(n_rows / secs),
+    }
+
+
 def run_queries() -> dict:
     from rayproj.pipelines import queries as q
 
@@ -175,6 +206,7 @@ def main() -> None:
     try:
         headline = run_headline()
         queries = run_queries()
+        write_path = None if os.environ.get("BENCH_SKIP_QUERIES") else run_write_path()
     finally:
         ray.shutdown()
     out = {
@@ -185,6 +217,7 @@ def main() -> None:
         "docs_per_sec": round(headline["docs_per_sec"]),
         "rows": headline["rows"],
         "queries": queries,
+        "write_path": write_path,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
     }

@@ -457,19 +457,27 @@ def q_agg_lineitem(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
     def prep(batch: pa.Table) -> pa.Table:
-        qty = batch.column("l_quantity").to_numpy()
+        """Map-side partial aggregate: the shuffle carries ≤
+        blocks × 6 group rows instead of every lineitem row."""
+        qty = batch.column("l_quantity").to_numpy().astype(np.int64)
         price = batch.column("l_extendedprice").to_numpy()
         disc = batch.column("l_discount").to_numpy()
         price_cents = np.round(price * 100).astype(np.int64)
         disc_bp = np.round(disc * 100).astype(np.int64)
         revenue = price_cents * (100 - disc_bp)
+        rf = batch.column("l_returnflag").to_numpy(zero_copy_only=False)
+        ls = batch.column("l_linestatus").to_numpy(zero_copy_only=False)
+        pairs, code = np.unique(np.char.add(rf.astype("U1"), ls.astype("U1")),
+                                return_inverse=True)
+        g = len(pairs)
         return pa.table(
             {
-                "l_returnflag": batch.column("l_returnflag"),
-                "l_linestatus": batch.column("l_linestatus"),
-                "qty": pa.array(qty.astype(np.int64)),
-                "price_cents": pa.array(price_cents),
-                "revenue": pa.array(revenue),
+                "l_returnflag": pa.array([p[0] for p in pairs]),
+                "l_linestatus": pa.array([p[1] for p in pairs]),
+                "qty_p": pa.array(np.bincount(code, qty.astype(np.float64), g).astype(np.int64)),
+                "price_p": pa.array(np.bincount(code, price_cents.astype(np.float64), g).astype(np.int64)),
+                "rev_p": pa.array(np.bincount(code, revenue.astype(np.float64), g).astype(np.int64)),
+                "n_p": pa.array(np.bincount(code, minlength=g).astype(np.int64)),
             }
         )
 
@@ -478,10 +486,10 @@ def q_agg_lineitem(sf_dir: str):
         ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
     ).map_batches(prep, batch_format="pyarrow")
     out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("qty", alias_name="sum_qty"),
-        Sum("price_cents", alias_name="sum_price_cents"),
-        Sum("revenue", alias_name="sum_revenue"),
-        Count(alias_name="n_rows"),
+        Sum("qty_p", alias_name="sum_qty"),
+        Sum("price_p", alias_name="sum_price_cents"),
+        Sum("rev_p", alias_name="sum_revenue"),
+        Sum("n_p", alias_name="n_rows"),
     )
     return out
 
@@ -497,27 +505,46 @@ FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2
 
 
 def q_join_orders_customer(sf_dir: str):
-    """Broadcast hash join: small customer side shipped once per task."""
+    """Broadcast hash join: the small customer side is put in the
+    object store ONCE as sorted key/segment arrays and looked up with
+    np.searchsorted inside each batch — no Python dict, no per-row
+    .map. Each worker also pre-aggregates (segment → count/sum) so the
+    groupby shuffle moves ≤ blocks × n_segments tiny rows."""
     import ray
     from ray.data.aggregate import Count, Sum
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
-    seg_by_key = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+    keys = cust["c_custkey"].to_numpy(np.int64)
+    order = np.argsort(keys)
+    segs, seg_codes = np.unique(cust["c_mktsegment"].to_numpy()[order], return_inverse=True)
+    side = ray.put((keys[order], seg_codes.astype(np.int64), segs))
 
     def joiner(batch: pd.DataFrame) -> pd.DataFrame:
         import ray as _ray
 
-        seg = _ray.get(seg_by_key)
-        batch = batch.copy()
-        batch["c_mktsegment"] = batch["o_custkey"].map(seg).fillna("UNKNOWN")
-        batch["price_cents"] = np.round(batch["o_totalprice"].to_numpy() * 100).astype(np.int64)
-        return batch[["c_mktsegment", "price_cents"]]
+        skeys, scodes, snames = _ray.get(side)
+        ck = batch["o_custkey"].to_numpy(np.int64)
+        pos = np.searchsorted(skeys, ck)
+        pos = np.clip(pos, 0, len(skeys) - 1)
+        hit = skeys[pos] == ck
+        cents = np.round(batch["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        # map-side partial aggregate per segment code (+1 slot for misses)
+        code = np.where(hit, scodes[pos], len(snames))
+        n = np.bincount(code, minlength=len(snames) + 1)
+        tot = np.bincount(code, weights=cents.astype(np.float64),
+                          minlength=len(snames) + 1).astype(np.int64)
+        names = np.append(snames, "UNKNOWN")
+        keep = n > 0
+        return pd.DataFrame(
+            {"c_mktsegment": names[keep], "n_part": n[keep].astype(np.int64),
+             "cents_part": tot[keep]}
+        )
 
-    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+    partials = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
         joiner, batch_format="pandas"
     )
-    return ds.groupby("c_mktsegment").aggregate(
-        Count(alias_name="n_orders"), Sum("price_cents", alias_name="total_cents")
+    return partials.groupby("c_mktsegment").aggregate(
+        Sum("n_part", alias_name="n_orders"), Sum("cents_part", alias_name="total_cents")
     )
 
 
