@@ -1,0 +1,223 @@
+"""Command-line entry points mirroring the reference's apps.
+
+Reference parity (SURVEY.md §3 lifecycle entry points):
+
+* ``proj``  — single-projection filter (src/apps/proj.cpp): text lines
+  ``lon lat [z [t]]`` in degrees → projected ``x y``; ``-I`` inverts.
+* ``cs2cs`` — CRS→CRS (src/apps/cs2cs.cpp): ``+src_args +to +dst_args``
+  via the WGS84 datum hub (the factory's cs2cs emulation, exactly the
+  reference's pj_transform path).
+* ``cct``   — 4D pipeline filter (src/apps/cct.cpp): applies any
+  proj-string operation to ``x y [z [t]]`` records, degrees for
+  angular ends.
+* ``gie``   — conformance-test runner (src/apps/gie.cpp) over .gie files.
+
+Every transform subcommand also takes ``--parquet IN OUT`` to run the
+same operation as a Ray Data ``map_batches`` pipeline over a parquet
+table (columns via --x-col/--y-col/...) — the 100-TB path; the text
+mode is the byte-for-byte-comparable reference UX.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+from .core.constants import DEG_TO_RAD, RAD_TO_DEG
+from .core.factory import create_operation
+from .core.op import FWD, INV, Coords
+
+
+def _read_text(stream):
+    rows = []
+    for lineno, line in enumerate(stream, 1):
+        line = line.split("#", 1)[0].strip()
+        if not line:
+            continue
+        try:
+            vals = [float(v) for v in line.split()]
+        except ValueError:
+            print(f"# skipping unparseable line {lineno}: {line!r}", file=sys.stderr)
+            continue
+        vals += [0.0] * (4 - len(vals))
+        rows.append(vals[:4])
+    return np.asarray(rows, dtype=np.float64).reshape(-1, 4)
+
+
+def _coords(arr, angular_in: bool) -> Coords:
+    x, y = arr[:, 0].copy(), arr[:, 1].copy()
+    if angular_in:
+        x *= DEG_TO_RAD
+        y *= DEG_TO_RAD
+    return Coords(x, y, arr[:, 2].copy(), arr[:, 3].copy())
+
+
+def _emit(coo: Coords, angular_out: bool, digits: int, out=None):
+    out = out if out is not None else sys.stdout
+    x, y = coo.x, coo.y
+    if angular_out:
+        x = x * RAD_TO_DEG
+        y = y * RAD_TO_DEG
+    for i in range(len(coo)):
+        if coo.err[i] != 0:
+            out.write("*\t* inf\n")
+        else:
+            out.write(f"{x[i]:.{digits}f}\t{y[i]:.{digits}f} {coo.z[i]:.{digits}f}\n")
+
+
+def _apply_parquet(args, transform, out_cols=("x", "y", "z")):
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        x = batch.column(args.x_col).to_numpy().copy()
+        y = batch.column(args.y_col).to_numpy().copy()
+        z = (batch.column(args.z_col).to_numpy().copy()
+             if args.z_col and args.z_col in batch.column_names
+             else np.zeros(len(x)))
+        coo = transform(Coords(x, y, z))
+        out = batch
+        for name, vals in zip(out_cols, (coo.x, coo.y, coo.z)):
+            out = out.append_column(name, pa.array(vals, type=pa.float64()))
+        return out.append_column("trans_err", pa.array(coo.err, type=pa.int32()))
+
+    rd.read_parquet(args.parquet[0]).map_batches(
+        fn, batch_format="pyarrow"
+    ).write_parquet(args.parquet[1])
+
+
+def cmd_proj(args) -> int:
+    op = create_operation(" ".join(args.projargs))
+    direction = INV if args.inverse else FWD
+    ang_in = op.angular_input(direction)
+    ang_out = op.angular_output(direction)
+
+    def transform(coo: Coords) -> Coords:
+        if ang_in:
+            coo.x *= DEG_TO_RAD
+            coo.y *= DEG_TO_RAD
+        op.trans(direction, coo)
+        if ang_out:
+            coo.x *= RAD_TO_DEG
+            coo.y *= RAD_TO_DEG
+        return coo
+
+    if args.parquet:
+        _apply_parquet(args, transform)
+        return 0
+    arr = _read_text(sys.stdin)
+    coo = _coords(arr, ang_in)
+    op.trans(direction, coo)
+    _emit(coo, ang_out, args.digits)
+    return 0
+
+
+def cmd_cs2cs(args) -> int:
+    toks = list(args.projargs)
+    if "+to" in toks:
+        split = toks.index("+to")
+    elif "to" in toks:
+        split = toks.index("to")
+    else:
+        print("cs2cs: missing +to separator", file=sys.stderr)
+        return 2
+    src = create_operation(" ".join(toks[:split]))
+    dst = create_operation(" ".join(toks[split + 1:]))
+    if args.inverse:
+        src, dst = dst, src
+    ang_in = src.angular_input(INV) if not src.is_latlong else True
+    ang_out = dst.angular_output(FWD) if not dst.is_latlong else True
+
+    def transform(coo: Coords) -> Coords:
+        if ang_in:
+            coo.x *= DEG_TO_RAD
+            coo.y *= DEG_TO_RAD
+        # src → WGS84 geodetic hub → dst (4D_api.cpp cs2cs emulation:
+        # each op's prepare/finalize applies its datum machinery)
+        src.inv(coo)
+        dst.fwd(coo)
+        if ang_out:
+            coo.x *= RAD_TO_DEG
+            coo.y *= RAD_TO_DEG
+        return coo
+
+    if args.parquet:
+        _apply_parquet(args, transform)
+        return 0
+    arr = _read_text(sys.stdin)
+    coo = Coords(arr[:, 0].copy(), arr[:, 1].copy(), arr[:, 2].copy(), arr[:, 3].copy())
+    transform(coo)
+    _emit(coo, False, args.digits)
+    return 0
+
+
+def cmd_cct(args) -> int:
+    op = create_operation(" ".join(args.projargs))
+    direction = INV if args.inverse else FWD
+
+    def transform(coo: Coords) -> Coords:
+        if op.angular_input(direction):
+            coo.x *= DEG_TO_RAD
+            coo.y *= DEG_TO_RAD
+        op.trans(direction, coo)
+        if op.angular_output(direction):
+            coo.x *= RAD_TO_DEG
+            coo.y *= RAD_TO_DEG
+        return coo
+
+    if args.parquet:
+        _apply_parquet(args, transform)
+        return 0
+    arr = _read_text(sys.stdin)
+    coo = Coords(arr[:, 0].copy(), arr[:, 1].copy(), arr[:, 2].copy(), arr[:, 3].copy())
+    transform(coo)
+    for i in range(len(coo)):
+        if coo.err[i] != 0:
+            print("# error:", coo.err[i])
+        else:
+            print(f"{coo.x[i]:15.{args.digits}f} {coo.y[i]:15.{args.digits}f} "
+                  f"{coo.z[i]:15.{args.digits}f} {coo.t[i]:15.4f}")
+    return 0
+
+
+def cmd_gie(args) -> int:
+    from .testing.gie import GieResult, run_gie_file
+
+    tot = GieResult()
+    for path in args.files:
+        r = run_gie_file(path, create_operation)
+        print(f"{path}: ok {r.ok} failed {r.failed} skipped {r.skipped}")
+        tot.merge(r)
+    for f in tot.failures[:20]:
+        print(f"  FAIL {f.file}:{f.lineno} {f.operation[:60]} dev={f.deviation}")
+    return 1 if tot.failed else 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="rayproj")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    for name, fn in [("proj", cmd_proj), ("cs2cs", cmd_cs2cs), ("cct", cmd_cct)]:
+        p = sub.add_parser(name)
+        p.add_argument("-I", "--inverse", action="store_true")
+        p.add_argument("-d", "--digits", type=int, default=6)
+        p.add_argument("--parquet", nargs=2, metavar=("IN", "OUT"))
+        p.add_argument("--x-col", default="lon")
+        p.add_argument("--y-col", default="lat")
+        p.add_argument("--z-col", default=None)
+        p.add_argument("projargs", nargs=argparse.REMAINDER)
+        p.set_defaults(fn=fn)
+    g = sub.add_parser("gie")
+    g.add_argument("files", nargs="+")
+    g.set_defaults(fn=cmd_gie)
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,65 @@
+"""CLI parity with the reference apps (proj/cs2cs/cct/gie) — text
+vectors from tv_out.dist; parquet mode covered by driving main()."""
+
+import io
+import sys
+
+import numpy as np
+import pytest
+
+from rayproj import cli
+
+
+def _run(argv, stdin_text):
+    old_in, old_out = sys.stdin, sys.stdout
+    sys.stdin = io.StringIO(stdin_text)
+    sys.stdout = io.StringIO()
+    try:
+        rc = cli.main(argv)
+        out = sys.stdout.getvalue()
+    finally:
+        sys.stdin, sys.stdout = old_in, old_out
+    return rc, out
+
+
+def test_proj_merc_roundtrip_text():
+    rc, out = _run(["proj", "+proj=merc", "+ellps=WGS84"], "2 1\n")
+    assert rc == 0
+    x, y, _z = map(float, out.split())
+    rc, out = _run(["proj", "-I", "+proj=merc", "+ellps=WGS84"], f"{x} {y}\n")
+    lon, lat, _z = map(float, out.split())
+    assert lon == pytest.approx(2.0, abs=1e-9)
+    assert lat == pytest.approx(1.0, abs=1e-9)
+
+
+def test_cs2cs_sch_testvarious():
+    rc, out = _run(
+        ["cs2cs", "-d", "7", "+proj=latlong", "+ellps=WGS84", "+to",
+         "+proj=sch", "+ellps=WGS84", "+plat_0=30.0", "+plon_0=45.0",
+         "+phdg_0=-12.0"],
+        "45.0 45.0\n",
+    )
+    assert rc == 0
+    x, y, z = map(float, out.split())
+    # tv_out.dist:398
+    assert np.hypot(x - 1630035.5650122, y + 342353.6396475) < 1e-4
+    assert z == pytest.approx(128.3445654, abs=1e-4)
+
+
+def test_cct_passthrough_time():
+    rc, out = _run(["cct", "+proj=merc", "+ellps=GRS80"], "0 0 0 2020.0\n")
+    assert rc == 0
+    assert out.split()[3] == "2020.0000"
+
+
+def test_proj_error_lane():
+    rc, out = _run(["proj", "+proj=merc", "+ellps=WGS84"], "0 90\n0 10\n")
+    lines = out.strip().splitlines()
+    assert lines[0].startswith("*")          # pole errors per-lane
+    assert not lines[1].startswith("*")
+
+
+def test_gie_subcommand(capsys):
+    rc = cli.main(["gie", "/root/reference/test/gie/axisswap.gie"])
+    assert rc == 0
+    assert "failed 0" in capsys.readouterr().out
