@@ -104,3 +104,81 @@ def knn_dataset(ds, anchors_lon, anchors_lat, k, id_col="point_id",
 
     partials = ds.map_batches(batch_topk, batch_format="pandas")
     return merge_topk(partials.to_pandas(), k)
+
+
+def knn_grouped_by_cell(ds, anchors_lon, anchors_lat, k, cell_level=4,
+                        id_col="point_id", lon_col="lon", lat_col="lat",
+                        metric="euclid_deg", n_salts=4):
+    """Cell-partitioned kNN — the LARGE-anchor-set scale path
+    (SURVEY.md M6). The broadcast `knn_dataset` variant compares every
+    batch against EVERY anchor (fine for dozens of anchors, wrong for
+    millions); this variant co-locates work by spatial cell:
+
+    1. each point gets (cell, salt) keys — the salt splits hot cells
+       into `n_salts` independent shuffle groups so a skewed cell
+       cannot serialize on one reducer;
+    2. ``groupby(cell, salt).map_groups`` computes per-group top-k
+       against ONLY the anchors whose 3×3 cell neighborhood covers the
+       group's cell (each anchor's true k-NN within its neighborhood
+       is found; anchors search their ring, the documented
+       partitioning assumption);
+    3. a bounded merge (groups × k rows per anchor) produces the
+       global answer with the same (dist, point_id) tie-break as the
+       broadcast variant.
+    """
+    from .cells import cell_xy
+
+    a_lon = np.asarray(anchors_lon, dtype=np.float64)
+    a_lat = np.asarray(anchors_lat, dtype=np.float64)
+    n_cells_x = 1 << (cell_level + 1)  # lon cells at this level
+    n_cells_y = 1 << cell_level
+
+    def _cell_of(lon, lat):
+        cx, cy = cell_xy(lon, lat, cell_level)
+        return cx.astype(np.int64) * (n_cells_y + 2) + cy.astype(np.int64)
+
+    # anchor → its 3x3 neighborhood cells (built once, broadcast via closure)
+    acx, acy = cell_xy(a_lon, a_lat, cell_level)
+    anchors_by_cell: dict[int, list[int]] = {}
+    for ai in range(len(a_lon)):
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                cx = (int(acx[ai]) + dx) % n_cells_x
+                cy = int(acy[ai]) + dy
+                if 0 <= cy < n_cells_y:
+                    anchors_by_cell.setdefault(cx * (n_cells_y + 2) + cy, []).append(ai)
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        lon = df[lon_col].to_numpy(np.float64)
+        lat = df[lat_col].to_numpy(np.float64)
+        cell = _cell_of(lon, lat)
+        out = pd.DataFrame(
+            {
+                "cell": cell,
+                "salt": (df[id_col].to_numpy(np.int64) % n_salts),
+                id_col: df[id_col].to_numpy(np.int64),
+                lon_col: lon,
+                lat_col: lat,
+            }
+        )
+        # points in cells no anchor searches can be dropped pre-shuffle
+        return out[np.isin(cell, list(anchors_by_cell))]
+
+    def group_topk(df: pd.DataFrame) -> pd.DataFrame:
+        cell = int(df["cell"].iloc[0])
+        ais = anchors_by_cell.get(cell, [])
+        if not ais:
+            return pd.DataFrame({"anchor_id": [], "point_id": [], "dist": []})
+        part = partial_topk(
+            df[id_col].to_numpy(), df[lon_col].to_numpy(), df[lat_col].to_numpy(),
+            a_lon[ais], a_lat[ais], k, metric,
+        )
+        part["anchor_id"] = np.asarray(ais, dtype=np.int64)[part["anchor_id"].to_numpy()]
+        return part
+
+    partials = (
+        ds.map_batches(keyed, batch_format="pandas")
+        .groupby(["cell", "salt"])
+        .map_groups(group_topk, batch_format="pandas")
+    )
+    return merge_topk(partials.to_pandas(), k)

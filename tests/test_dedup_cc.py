@@ -68,3 +68,32 @@ def test_connected_components_ds_matches_driver(ray_session):
         for n in comp:
             assert gm[int(n)] == root, (n, gm.get(int(n)))
     assert set(gm) == set(exp)
+
+
+def test_knn_grouped_matches_broadcast(ray_session):
+    import ray.data as rd
+
+    from rayproj.spatial.knn import knn_dataset, knn_grouped_by_cell
+
+    rng = np.random.default_rng(3)
+    n = 4000
+    pts = pd.DataFrame(
+        {
+            "point_id": np.arange(n, dtype=np.int64),
+            "lon": rng.uniform(-170, 170, n),
+            "lat": rng.uniform(-75, 75, n),
+        }
+    )
+    a_lon = rng.uniform(-150, 150, 12)
+    a_lat = rng.uniform(-60, 60, 12)
+    ds = rd.from_pandas(pts)
+    base = knn_dataset(ds, a_lon, a_lat, 3, metric="euclid2")
+    grouped = knn_grouped_by_cell(
+        rd.from_pandas(pts), a_lon, a_lat, 3, cell_level=2, metric="euclid2",
+        n_salts=3,
+    )
+    b = base.reset_index(drop=True)
+    g = grouped.reset_index(drop=True)
+    # dense points + coarse cells => every true top-3 lies inside the
+    # anchor's 3x3 ring, so the two strategies agree exactly
+    assert b[["anchor_id", "point_id"]].equals(g[["anchor_id", "point_id"]])
