@@ -589,6 +589,63 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_events_sessions(sf_dir: str):
+    """Gap-based sessionization (30-min inactivity) per event type —
+    the streaming-window semantics beyond tumbling windows. Each event
+    type's stream sorts by time inside ONE map_groups task (keys
+    partition the shuffle; per-key streams are assumed
+    reducer-resident — the standard sessionization contract), session
+    boundaries found with a vectorized diff."""
+    GAP_MS = 1_800_000  # 30 min, integer milliseconds (exact both sides)
+
+    def sessions(df: pd.DataFrame) -> pd.DataFrame:
+        ts = df["ts"].to_numpy().astype("datetime64[ms]").astype(np.int64)
+        order = np.argsort(ts, kind="stable")
+        ts = ts[order]
+        new_session = np.ones(len(ts), dtype=np.int64)
+        new_session[1:] = (np.diff(ts) > GAP_MS).astype(np.int64)
+        sid = np.cumsum(new_session)
+        n_sessions = int(sid[-1]) if len(sid) else 0
+        lengths = np.bincount(sid)[1:]
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"].iloc[:1].repeat(1),
+                "n_sessions": np.int64(n_sessions),
+                "max_session_events": np.int64(lengths.max() if len(lengths) else 0),
+                "n_events": np.int64(len(ts)),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["ts", "event_type"])
+        .groupby("event_type")
+        .map_groups(sessions, batch_format="pandas")
+    )
+
+
+SQL_EVENTS_SESSIONS = """
+WITH o AS (
+  SELECT event_type, epoch_ms(ts) AS t,
+         LAG(epoch_ms(ts)) OVER (PARTITION BY event_type ORDER BY epoch_ms(ts)) AS prev
+  FROM events),
+f AS (
+  SELECT event_type, t,
+         CASE WHEN prev IS NULL OR t - prev > 1800000 THEN 1 ELSE 0 END AS new_s
+  FROM o),
+s AS (
+  SELECT event_type, t,
+         SUM(new_s) OVER (PARTITION BY event_type ORDER BY t
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM f),
+per AS (SELECT event_type, sid, COUNT(*) AS n FROM s GROUP BY 1, 2)
+SELECT event_type,
+  CAST(MAX(sid) AS BIGINT) AS n_sessions,
+  CAST(MAX(n) AS BIGINT) AS max_session_events,
+  CAST(SUM(n) AS BIGINT) AS n_events
+FROM per GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_top_orders(sf_dir: str):
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
 
@@ -1054,6 +1111,7 @@ QUERIES = {
     "agg_lineitem": q_agg_lineitem,
     "join_orders_customer": q_join_orders_customer,
     "events_window": q_events_window,
+    "events_sessions": q_events_sessions,
     "top_orders": q_top_orders,
     "distinct_brands": q_distinct_brands,
     "dedup_exact": q_dedup_exact,
@@ -1085,6 +1143,7 @@ ORACLE_SQL = {
     "agg_lineitem": SQL_AGG_LINEITEM,
     "join_orders_customer": SQL_JOIN,
     "events_window": SQL_EVENTS_WINDOW,
+    "events_sessions": SQL_EVENTS_SESSIONS,
     "top_orders": SQL_TOP_ORDERS,
     "distinct_brands": SQL_DISTINCT_BRANDS,
     "dedup_exact": SQL_DEDUP_EXACT,

@@ -19,7 +19,8 @@ GIE_DIR = "/root/reference/test/gie"
 GIGS_DIR = "/root/reference/test/gigs"
 
 # Floor on passing assertions — raise when adding operators.
-MIN_OK_GIE = 1000
+# Round 2: full corpus measures 5,661 ok / 0 failed / 7 skipped.
+MIN_OK_GIE = 5600
 
 
 @pytest.fixture(scope="module", autouse=True)
