@@ -94,6 +94,26 @@ def _apply_parquet(args, transform, out_cols=("x", "y", "z")):
 
 def cmd_proj(args) -> int:
     op = create_operation(" ".join(args.projargs))
+    if getattr(args, "verbose_factors", False):
+        # proj -V scale-factor analysis (src/apps/proj.cpp:178-280)
+        from .core.factors import factors as _factors
+
+        arr = _read_text(sys.stdin)
+        lam = arr[:, 0] * DEG_TO_RAD
+        phi = arr[:, 1] * DEG_TO_RAD
+        f = _factors(op, lam, phi)
+        for i in range(len(lam)):
+            if not f.ok[i]:
+                print("# point out of range")
+                continue
+            print(
+                f"Meridian scale (h): {f.h[i]:.8f}  Parallel scale (k): {f.k[i]:.8f}\n"
+                f"Areal scale (s): {f.s[i]:.8f}  Angular distortion (w): "
+                f"{np.degrees(f.omega[i]):.8f}\n"
+                f"Meridian convergence: {np.degrees(f.conv[i]):.8f}  "
+                f"Tissot axes (a,b): {f.a[i]:.8f} {f.b[i]:.8f}"
+            )
+        return 0
     direction = INV if args.inverse else FWD
     ang_in = op.angular_input(direction)
     ang_out = op.angular_output(direction)
@@ -186,6 +206,38 @@ def cmd_cct(args) -> int:
     return 0
 
 
+def cmd_geod(args) -> int:
+    """Geodesic problems (src/apps/geod.cpp): forward ``lat1 lon1 azi1
+    s12`` → ``lat2 lon2 azi2-back``; inverse (-I) ``lat1 lon1 lat2
+    lon2`` → ``azi1 azi2 s12``."""
+    from .core.ellps import resolve_ellipsoid
+    from .core.params import Params
+    from .mathx.geodesic import geod_direct, geod_inverse
+
+    ell = resolve_ellipsoid(Params.parse(" ".join(args.projargs) or "+ellps=WGS84"))
+    f = (ell.a - ell.b) / ell.a
+    arr = _read_text(sys.stdin)
+    d = args.digits
+    R = DEG_TO_RAD
+    if args.inverse:
+        s12, azi1, azi2 = geod_inverse(
+            ell.a, f, arr[:, 0] * R, arr[:, 1] * R, arr[:, 2] * R, arr[:, 3] * R
+        )
+        for i in range(len(arr)):
+            print(f"{azi1[i] * RAD_TO_DEG:.{d}f}\t{azi2[i] * RAD_TO_DEG:.{d}f}\t"
+                  f"{s12[i]:.3f}")
+    else:
+        lat2, lon2, azi2 = geod_direct(
+            ell.a, f, arr[:, 0] * R, arr[:, 1] * R, arr[:, 2] * R, arr[:, 3]
+        )
+        for i in range(len(arr)):
+            back = azi2[i] * RAD_TO_DEG
+            back += 180.0 if back <= 0 else -180.0
+            print(f"{lat2[i] * RAD_TO_DEG:.{d}f}\t{lon2[i] * RAD_TO_DEG:.{d}f}\t"
+                  f"{back:.{d}f}")
+    return 0
+
+
 def cmd_gie(args) -> int:
     from .testing.gie import GieResult, run_gie_file
 
@@ -202,10 +254,13 @@ def cmd_gie(args) -> int:
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="rayproj")
     sub = ap.add_subparsers(dest="cmd", required=True)
-    for name, fn in [("proj", cmd_proj), ("cs2cs", cmd_cs2cs), ("cct", cmd_cct)]:
+    for name, fn in [("proj", cmd_proj), ("cs2cs", cmd_cs2cs), ("cct", cmd_cct),
+                     ("geod", cmd_geod)]:
         p = sub.add_parser(name)
         p.add_argument("-I", "--inverse", action="store_true")
         p.add_argument("-d", "--digits", type=int, default=6)
+        if name == "proj":
+            p.add_argument("-V", "--verbose-factors", action="store_true")
         p.add_argument("--parquet", nargs=2, metavar=("IN", "OUT"))
         p.add_argument("--x-col", default="lon")
         p.add_argument("--y-col", default="lat")

@@ -63,3 +63,29 @@ def test_gie_subcommand(capsys):
     rc = cli.main(["gie", "/root/reference/test/gie/axisswap.gie"])
     assert rc == 0
     assert "failed 0" in capsys.readouterr().out
+
+
+def test_geod_inverse_jfk_lhr():
+    # canonical JFK->LHR geodesic (Karney 2013 example): azi1 51.19888,
+    # s12 5551759.4 m
+    rc, out = _run(["geod", "-I", "+ellps=WGS84"], "40.6 -73.8 51.6 -0.5\n")
+    assert rc == 0
+    azi1, azi2, s12 = map(float, out.split())
+    assert azi1 == pytest.approx(51.19888, abs=1e-4)
+    assert s12 == pytest.approx(5551759.4, abs=0.5)
+
+
+def test_geod_direct_roundtrip():
+    rc, out = _run(["geod", "+ellps=WGS84"], "40.6 -73.8 51.19888 5551759.4\n")
+    lat2, lon2, _back = map(float, out.split())
+    assert lat2 == pytest.approx(51.6, abs=1e-4)
+    assert lon2 == pytest.approx(-0.5, abs=1e-4)
+
+
+def test_proj_factors_tmerc():
+    rc, out = _run(
+        ["proj", "-V", "+proj=tmerc", "+ellps=WGS84", "+k_0=0.9996", "+lon_0=9"],
+        "9 45\n",
+    )
+    assert rc == 0
+    assert "0.99960000" in out  # k at the central meridian

@@ -106,3 +106,17 @@ def test_webmerc():
     op.fwd(c)
     # spherical formulas on a=6378137
     assert c.x[0] == pytest.approx(2 * DEG_TO_RAD * 6378137.0)
+
+
+def test_factors_merc_sphere_analytic():
+    import numpy as np
+
+    from rayproj.core.factors import factors
+
+    op = create_operation("+proj=merc +R=6400000")
+    lat = np.array([0.0, 30.0, 60.0]) * DEG_TO_RAD
+    f = factors(op, np.full(3, 0.1), lat)
+    assert np.allclose(f.k, 1 / np.cos(lat), rtol=1e-7)
+    assert np.allclose(f.h, f.k, rtol=1e-7)
+    assert np.all(np.abs(f.omega) < 1e-7)
+    assert np.allclose(f.s, f.h * f.k, rtol=1e-6)
