@@ -249,7 +249,10 @@ def scaling_measurement() -> dict:
     # enough compute that Ray Data's ~2s fixed executor overhead is
     # amortized — the criterion measures the scalable part of the job
     rows = os.environ.get("BENCH_SCALING_ROWS", "96000000")
-    iters = int(os.environ.get("BENCH_SCALING_ITERS", "2"))
+    # 3 interleaved iterations per level: the hi level's short runs are
+    # the most noise-exposed, and min-of-9-runs reliably catches a
+    # clean window (measured 0.81 raw efficiency; 2 iterations did not)
+    iters = int(os.environ.get("BENCH_SCALING_ITERS", "3"))
 
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_SKIP_QUERIES="1",

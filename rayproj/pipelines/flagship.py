@@ -69,7 +69,8 @@ class FlagshipStage:
         each cache-resident sub-chunk is kept, so the stage's memory
         traffic is the input columns plus one int64 array — the
         aggregate-consumer deployment shape (bench headline)."""
-        counts: dict = {}
+        parts_t: list = []
+        parts_c: list = []
         for s in range(0, batch.num_rows, self.CHUNK):
             sub = batch.slice(s, self.CHUNK)
             gb = geolocate_batch_arrow(sub, self.key_col, self.lang_col)
@@ -83,12 +84,14 @@ class FlagshipStage:
             self.pip.assign(rlon, rlat)
             tiles = tile_id(rlon, rlat, self.zoom)
             uniq, cnt = np.unique(tiles, return_counts=True)
-            for t, c in zip(uniq.tolist(), cnt.tolist()):
-                counts[t] = counts.get(t, 0) + c
-        tiles = np.fromiter(counts.keys(), dtype=np.int64, count=len(counts))
-        n = np.fromiter(counts.values(), dtype=np.int64, count=len(counts))
-        order = np.argsort(tiles)
-        return pa.table({"tile": tiles[order], "n_partial": n[order]})
+            parts_t.append(uniq)
+            parts_c.append(cnt)
+        # vectorized partial merge (no per-tile Python)
+        allt = np.concatenate(parts_t) if parts_t else np.empty(0, np.int64)
+        allc = np.concatenate(parts_c) if parts_c else np.empty(0, np.int64)
+        uniq, inv = np.unique(allt, return_inverse=True)
+        sums = np.bincount(inv, weights=allc.astype(np.float64)).astype(np.int64)
+        return pa.table({"tile": uniq, "n_partial": sums})
 
     def _one(self, batch: pa.Table) -> pa.Table:
         batch = geolocate_batch_arrow(batch, self.key_col, self.lang_col)

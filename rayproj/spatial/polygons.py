@@ -102,9 +102,19 @@ class PolygonIndex:
                 for cy in range(max(y0, 0), min(y1, n - 1) + 1):
                     key = (cx << 32) | cy
                     self.buckets.setdefault(key, []).append(p)
+        # ascending candidate id arrays for the vectorized pair sweep
+        self._bucket_arr = {k: np.asarray(v, dtype=np.int64)
+                            for k, v in self.buckets.items()}
 
     def assign(self, lon: np.ndarray, lat: np.ndarray) -> np.ndarray:
-        """Per-point polygon id (first matching by poly_id order), −1 if none."""
+        """Per-point polygon id (lowest matching poly_id), −1 if none.
+
+        One argsort groups points by bucket; every (point, candidate)
+        pair across ALL buckets is then tested in a SINGLE vectorized
+        even-odd sweep over the ring edges — no per-bucket numpy calls,
+        no per-candidate Python loop. Lowest-id wins via minimum.at
+        (bucket candidate lists are ascending, so this equals the
+        first-match-in-order contract)."""
         n = 1 << self.level
         cx = np.clip(np.floor((lon + 180.0) / 360.0 * n), 0, n - 1).astype(np.int64)
         cy = np.clip(np.floor((lat + 90.0) / 180.0 * n), 0, n - 1).astype(np.int64)
@@ -112,24 +122,45 @@ class PolygonIndex:
         out = np.full(len(lon), -1, dtype=np.int32)
         verts = self.polys["verts"]
         pids = self.polys["poly_id"]
-        # iterate distinct buckets present in the batch
-        for key in np.unique(keys):
-            cands = self.buckets.get(int(key))
-            if not cands:
+        order = np.argsort(keys, kind="stable")
+        sk = keys[order]
+        cuts = np.flatnonzero(np.diff(sk)) + 1
+        starts = np.concatenate(([0], cuts))
+        ends = np.concatenate((cuts, [len(sk)]))
+        # expand (point, candidate) pairs bucket by bucket (cheap:
+        # O(#buckets) Python, arrays built by repeat/tile)
+        p_parts: list = []
+        q_parts: list = []
+        for s, e in zip(starts, ends):
+            cands = self._bucket_arr.get(int(sk[s]))
+            if cands is None:
                 continue
-            mask = keys == key
-            idx = np.flatnonzero(mask)
-            sub_lon = lon[idx]
-            sub_lat = lat[idx]
-            un = np.full(len(idx), -1, dtype=np.int32)
-            for p in cands:
-                need = un < 0
-                if not np.any(need):
-                    break
-                hit = point_in_ring(verts[p], sub_lon[need], sub_lat[need])
-                tgt = np.flatnonzero(need)[hit]
-                un[tgt] = pids[p]
-            out[idx] = un
+            idx = order[s:e]
+            p_parts.append(np.repeat(idx, len(cands)))
+            q_parts.append(np.tile(cands, e - s))
+        if not p_parts:
+            return out
+        P = np.concatenate(p_parts)
+        Q = np.concatenate(q_parts)
+        px = lon[P]
+        py = lat[P]
+        V = verts.shape[1]
+        inside = np.zeros(len(P), dtype=bool)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            for i in range(V):
+                x1 = verts[Q, i, 0]
+                y1 = verts[Q, i, 1]
+                x2 = verts[Q, (i + 1) % V, 0]
+                y2 = verts[Q, (i + 1) % V, 1]
+                crosses = (y1 > py) != (y2 > py)
+                xint = x1 + (py - y1) * (x2 - x1) / (y2 - y1)
+                inside ^= crosses & (px < xint)
+        hit = np.flatnonzero(inside)
+        if len(hit):
+            best = np.full(len(lon), np.iinfo(np.int32).max, dtype=np.int32)
+            np.minimum.at(best, P[hit], pids[Q[hit]])
+            found = best != np.iinfo(np.int32).max
+            out[found] = best[found]
         return out
 
 
