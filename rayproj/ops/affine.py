@@ -56,7 +56,15 @@ class Affine(Operation):
 
     def _inv(self, coo: Coords) -> None:
         if not self.invertible:
-            raise NotImplementedError("affine matrix non-invertible")
+            # the reference nullifies the inverse pointers at setup
+            # (affine.cpp:155-161) so inverse transforms error per
+            # point rather than failing construction
+            import numpy as _np
+
+            from ..core.errors import ERR_INVALID_SCALE
+
+            coo.set_err(_np.ones(len(coo), dtype=bool), ERR_INVALID_SCALE)
+            return
         x = coo.x - self.xoff
         y = coo.y - self.yoff
         z = coo.z - self.zoff

@@ -102,6 +102,13 @@ def make_pipeline(params: Params) -> Pipeline:
         pipe.omit_fwd.append(step_params.bool_("omit_fwd", False))
         pipe.omit_inv.append(step_params.bool_("omit_inv", False))
 
+    # Require a forward path through the pipeline (pipeline.cpp:559-567):
+    # an inverted step must expose an inverse kernel
+    for step in pipe.steps:
+        if step.inverted and not step.has_inverse:
+            raise PE(ERR_MALFORMED_PIPELINE,
+                     "a forward operation couldn't be constructed")
+
     # io-unit propagation (pipeline.cpp:583-605)
     n = len(pipe.steps)
 

@@ -67,6 +67,10 @@ def errno_from_name(s: str) -> int:
         matches = {v for k, v in _ERRNO_BY_NAME.items() if k.startswith(s)}
         if len(matches) == 1:
             return matches.pop()
+        if s == "pjd_err_generic":
+            # 'expect failure errno generic error' (4D-API:525) — any
+            # creation error satisfies it
+            return 0
         return 9999
 
 
@@ -286,10 +290,17 @@ def _run_gie_file_inner(
             st = _OpState()
             st.operation_str = _normalize_projstring(args)
             try:
-                if "proj=" not in st.operation_str:
-                    # CRS-style definition (WKT / EPSG code / bogus string):
-                    # requires the ISO-19111 machinery — out of scope
+                if "proj=" not in st.operation_str and (
+                    ":" in st.operation_str or "[" in st.operation_str
+                ):
+                    # genuinely CRS-style definition (WKT body or an
+                    # authority:code): requires ISO-19111 — out of scope
                     raise NotImplementedError("non-proj-string definition")
+                if "proj=" not in st.operation_str and "=" not in st.operation_str:
+                    # bogus/empty text: the reference routes these to
+                    # createFromUserInput, which throws → 'generic
+                    # error' (-61) from proj_create (4D-API:522-525)
+                    raise ProjError(-61, st.operation_str[:60])
                 st.op = create_operation(st.operation_str)
                 st.op_error = None
             except ProjError as e:

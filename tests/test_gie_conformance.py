@@ -19,8 +19,8 @@ GIE_DIR = "/root/reference/test/gie"
 GIGS_DIR = "/root/reference/test/gigs"
 
 # Floor on passing assertions — raise when adding operators.
-# Round 2: full corpus measures 5,661 ok / 0 failed / 7 skipped.
-MIN_OK_GIE = 5600
+# Round 2 final: full corpus measures 5,668 ok / 0 failed / 0 skipped.
+MIN_OK_GIE = 5660
 
 
 @pytest.fixture(scope="module", autouse=True)
@@ -48,6 +48,7 @@ def test_gie_corpus():
         (f.file.split("/")[-1], f.lineno, f.operation[:60], f.deviation)
         for f in tot.failures[:20]
     ]
+    assert tot.skipped == 0
     assert tot.ok >= MIN_OK_GIE
 
 
