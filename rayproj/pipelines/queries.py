@@ -795,6 +795,60 @@ def q_simhash(sf_dir: str):
     )
 
 
+def q_simhash_neardup(sf_dir: str):
+    """SimHash near-dup pipeline: 64-bit sketches band into four
+    16-bit keys (any pair at hamming ≤ 3 shares ≥ 1 band with
+    probability ≥ 1 − (3/4)^... — the standard banding argument);
+    candidate pairs verify exact hamming ≤ 3. Only (band, key) sketch
+    rows shuffle; text never moves. No SQL twin (engine-defined hash
+    family) — rows-only determinism check."""
+    from ray.data.aggregate import Count
+
+    from ..functions.dedup import hamming64
+
+    def bands(batch: pd.DataFrame) -> pd.DataFrame:
+        h = simhash64(batch["text"])
+        ids = batch["doc_id"].to_numpy(np.int64)
+        parts = []
+        for b in range(4):
+            key = ((h >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
+            parts.append(pd.DataFrame(
+                {"band": np.int64(b), "key": key, "doc_id": ids,
+                 "simhash": h.astype(np.int64)}))
+        return pd.concat(parts, ignore_index=True)
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        bands, batch_format="pandas"
+    )
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []}).astype(
+                {"doc_a": "int64", "doc_b": "int64", "hamming": "int64"})
+        df = df.sort_values("doc_id")
+        ids = df["doc_id"].to_numpy(np.int64)
+        hs = df["simhash"].to_numpy(np.int64).astype(np.uint64)
+        ai, bi = np.triu_indices(len(ids), 1)
+        d = hamming64(hs[ai], hs[bi])
+        keep = d <= 3
+        return pd.DataFrame(
+            {"doc_a": ids[ai[keep]], "doc_b": ids[bi[keep]],
+             "hamming": d[keep].astype(np.int64)}
+        )
+
+    cand = ds.groupby(["band", "key"]).map_groups(pairs, batch_format="pandas")
+
+    def dedup_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["doc_a", "doc_b"])
+
+    # candidate pairs can repeat across bands — final exact dedup is a
+    # tiny groupby over (doc_a, doc_b)
+    return (
+        cand.groupby(["doc_a", "doc_b"])
+        .map_groups(dedup_pairs, batch_format="pandas")
+    )
+
+
 def q_langid(sf_dir: str):
     def fn(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -1119,6 +1173,7 @@ QUERIES = {
     "text_quality": q_text_quality,
     "minhash_lsh": q_minhash_lsh,
     "simhash": q_simhash,
+    "simhash_neardup": q_simhash_neardup,
     "langid": q_langid,
     "fingerprint": q_fingerprint,
     "ann_cosine": q_ann_cosine,
