@@ -937,8 +937,8 @@ def q_ngram_jaccard(sf_dir: str):
             {"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"}
         )
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text"]).filter(
-        lambda row: row["doc_id"] < N_DOCS
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda df: df[df["doc_id"] < N_DOCS], batch_format="pandas"
     )
     # candidate set is tiny by construction — single-batch exact verify
     return pairs(ds.to_pandas())
