@@ -117,9 +117,47 @@ FROM g ORDER BY doc_id
 
 
 def q_utm_fwd(sf_dir: str):
-    """UTM zone 31 (no SQL oracle: 6th-order Poder/Engsager series;
-    correctness is pinned by the gie corpus at 1 µm instead)."""
-    return _projected_query(sf_dir, "+proj=utm +zone=31 +ellps=GRS80")
+    """UTM zone 31 — full Poder/Engsager oracle: the SQL twin evaluates
+    the published 6th-order series by direct summation (conformal
+    latitude, complex sin series expanded to real sinh/cosh pairs, GRS80
+    coefficients inlined as literals of the published polynomials in n).
+    Out-of-domain points (|Ce| > 2.6234, poisoned to inf by the engine)
+    are filtered on both sides so the compare sees finite rows only."""
+    ds = _projected_query(sf_dir, "+proj=utm +zone=31 +ellps=GRS80")
+    return ds.map_batches(
+        lambda df: df[np.isfinite(df["x"].to_numpy())], batch_format="pandas"
+    )
+
+
+SQL_UTM = f"""
+WITH g AS ({GEOLOC_SQL}),
+ang AS (SELECT doc_id, radians(lat) AS phi, radians(lon) - radians(3) AS lam FROM g),
+chi AS (SELECT doc_id, lam, phi + (-0.0033565546362689545e0)*sin(2*phi) + (4.694573073238773e-06)*sin(4*phi) + (-8.194497667855437e-09)*sin(6*phi) + (1.5579967134427267e-11)*sin(8*phi) + (-3.103292317686079e-14)*sin(10*phi) + (6.389147689047579e-17)*sin(12*phi) AS ch FROM ang),
+sph AS (SELECT doc_id,
+  atan2(sin(ch), cos(ch)*cos(lam)) AS Cn,
+  ln( (sin(lam)*cos(ch))/sqrt(sin(ch)*sin(ch) + cos(ch)*cos(lam)*cos(ch)*cos(lam))
+      + sqrt( (sin(lam)*cos(ch))*(sin(lam)*cos(ch))
+              /(sin(ch)*sin(ch) + cos(ch)*cos(lam)*cos(ch)*cos(lam)) + 1.0) ) AS Ce
+  FROM chi),
+ser AS (SELECT doc_id,
+  Cn + (0.0008377318247285514e0)*sin(2*Cn)*((exp(2*Ce)+exp(-(2)*Ce))/2) +
+    (7.608527848149475e-07)*sin(4*Cn)*((exp(4*Ce)+exp(-(4)*Ce))/2) +
+    (1.1976455209422677e-09)*sin(6*Cn)*((exp(6*Ce)+exp(-(6)*Ce))/2) +
+    (2.4291706548410134e-12)*sin(8*Cn)*((exp(8*Ce)+exp(-(8)*Ce))/2) +
+    (5.711757817902035e-15)*sin(10*Cn)*((exp(10*Ce)+exp(-(10)*Ce))/2) +
+    (1.4911177751870806e-17)*sin(12*Cn)*((exp(12*Ce)+exp(-(12)*Ce))/2) AS CnF,
+  Ce + (0.0008377318247285514e0)*cos(2*Cn)*((exp(2*Ce)-exp(-(2)*Ce))/2) +
+    (7.608527848149475e-07)*cos(4*Cn)*((exp(4*Ce)-exp(-(4)*Ce))/2) +
+    (1.1976455209422677e-09)*cos(6*Cn)*((exp(6*Ce)-exp(-(6)*Ce))/2) +
+    (2.4291706548410134e-12)*cos(8*Cn)*((exp(8*Ce)-exp(-(8)*Ce))/2) +
+    (5.711757817902035e-15)*cos(10*Cn)*((exp(10*Ce)-exp(-(10)*Ce))/2) +
+    (1.4911177751870806e-17)*cos(12*Cn)*((exp(12*Ce)-exp(-(12)*Ce))/2) AS CeF
+  FROM sph)
+SELECT doc_id,
+  ROUND(6378137.0*(0.997924968703673e0)*CeF + 500000.0, 1) AS x,
+  ROUND(6378137.0*(0.997924968703673e0)*CnF, 1) AS y
+FROM ser WHERE abs(CeF) <= 2.623395162778 ORDER BY doc_id
+"""
 
 
 def q_cart_fwd(sf_dir: str):
@@ -1202,6 +1240,7 @@ ORACLE_SQL = {
     "top_orders": SQL_TOP_ORDERS,
     "distinct_brands": SQL_DISTINCT_BRANDS,
     "dedup_exact": SQL_DEDUP_EXACT,
+    "utm_fwd": SQL_UTM,
     "token_stats": SQL_TOKEN_STATS,
     "text_quality": SQL_TEXT_QUALITY,
     "ann_cosine": SQL_ANN,
