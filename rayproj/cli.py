@@ -216,9 +216,35 @@ def cmd_geod(args) -> int:
 
     ell = resolve_ellipsoid(Params.parse(" ".join(args.projargs) or "+ellps=WGS84"))
     f = (ell.a - ell.b) / ell.a
+    R = DEG_TO_RAD
+    if args.parquet:
+        # bulk inverse problem over a parquet table:
+        # (lat1, lon1, lat2, lon2) degrees → azi1, azi2 (deg), dist_m
+        import pyarrow as pa
+        import ray
+        import ray.data as rd
+
+        if not ray.is_initialized():
+            ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+
+        def fn(batch: pa.Table) -> pa.Table:
+            s12, azi1, azi2 = geod_inverse(
+                ell.a, f,
+                batch.column("lat1").to_numpy() * R,
+                batch.column("lon1").to_numpy() * R,
+                batch.column("lat2").to_numpy() * R,
+                batch.column("lon2").to_numpy() * R,
+            )
+            out = batch.append_column("azi1", pa.array(azi1 * RAD_TO_DEG))
+            out = out.append_column("azi2", pa.array(azi2 * RAD_TO_DEG))
+            return out.append_column("dist_m", pa.array(s12))
+
+        rd.read_parquet(args.parquet[0]).map_batches(
+            fn, batch_format="pyarrow"
+        ).write_parquet(args.parquet[1])
+        return 0
     arr = _read_text(sys.stdin)
     d = args.digits
-    R = DEG_TO_RAD
     if args.inverse:
         s12, azi1, azi2 = geod_inverse(
             ell.a, f, arr[:, 0] * R, arr[:, 1] * R, arr[:, 2] * R, arr[:, 3] * R
