@@ -485,6 +485,140 @@ FROM inv3 ORDER BY doc_id
 """
 
 
+# DEG_TO_RAD literal (core/constants.py) — CAST is load-bearing: DuckDB
+# parses a bare 18-digit literal as DECIMAL and decimal arithmetic is
+# not IEEE double, which breaks the bit-exact interpolation chain.
+_DRC = "CAST(0.017453292519943296 AS DOUBLE)"
+_SECC = f"({_DRC}/3600.0)"  # SEC_TO_RAD (state/grids.py)
+_GRID_W = f"(-177.5 * {_DRC})"  # grid west, radians
+_GRID_S = f"(-82.5 * {_DRC})"  # grid south, radians
+_GRID_R = f"(5.0 * {_DRC})"  # node step, radians
+
+
+def q_hgridshift(sf_dir: str):
+    """NAD-style horizontal grid shift through the full stateful-grid
+    path: a deterministic CTable2 file is parsed by the binary reader
+    (state/grids.py:154-168, ref src/grids.cpp:1687-1760), shipped to
+    workers grid-free (op __getstate__) and re-loaded once per worker,
+    then applied as vectorized bilinear interpolation + shift
+    (grids.cpp:2874-2944). Node values are integer arc-second formulas
+    of (col,row) so the DuckDB oracle recomputes the float32-stored
+    corners and the identical IEEE interpolation chain in pure SQL."""
+    from .gridfixtures import HG_PATH, ensure_fixtures
+
+    ensure_fixtures()
+    op = create_operation(f"+proj=hgridshift +grids={HG_PATH}")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        batch = _geoloc_batch(batch)
+        lon = batch.column("lon").to_numpy()
+        lat = batch.column("lat").to_numpy()
+        m = (lon > -170.0) & (lon < 170.0) & (lat > -78.0) & (lat < 78.0)
+        lon, lat = lon[m], lat[m]
+        coo = Coords(lon * DEG_TO_RAD, lat * DEG_TO_RAD)
+        op.trans(FWD, coo)
+        return pa.table(
+            {
+                "doc_id": pa.array(batch.column("doc_id").to_numpy()[m]),
+                "slon": pa.array(np.round(coo.x * RAD_TO_DEG, 6)),
+                "slat": pa.array(np.round(coo.y * RAD_TO_DEG, 6)),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id"]).map_batches(fn, batch_format="pyarrow")
+
+
+SQL_HGRIDSHIFT = f"""
+WITH g AS ({GEOLOC_SQL}),
+f AS (SELECT doc_id, lon, lat FROM g
+      WHERE lon > -170 AND lon < 170 AND lat > -78 AND lat < 78),
+c AS (SELECT doc_id, lon * {_DRC} AS lam, lat * {_DRC} AS phi FROM f),
+n AS (SELECT *, (lam - {_GRID_W}) / {_GRID_R} AS gx,
+                (phi - {_GRID_S}) / {_GRID_R} AS gy FROM c),
+ixy AS (SELECT *, CAST(FLOOR(gx) AS BIGINT) AS ix, CAST(FLOOR(gy) AS BIGINT) AS iy,
+                  gx - FLOOR(gx) AS fx, gy - FLOOR(gy) AS fy FROM n),
+w AS (SELECT *, (1.0 - fx) * (1.0 - fy) AS m00, fx * (1.0 - fy) AS m10,
+                (1.0 - fx) * fy AS m01, fx * fy AS m11 FROM ixy),
+v AS (SELECT *,
+  CAST(((ix*7 + iy*13) % 41 - 20) * {_SECC} AS REAL) AS e00,
+  CAST((((ix+1)*7 + iy*13) % 41 - 20) * {_SECC} AS REAL) AS e10,
+  CAST(((ix*7 + (iy+1)*13) % 41 - 20) * {_SECC} AS REAL) AS e01,
+  CAST((((ix+1)*7 + (iy+1)*13) % 41 - 20) * {_SECC} AS REAL) AS e11,
+  CAST(((ix*11 + iy*5) % 37 - 18) * {_SECC} AS REAL) AS a00,
+  CAST((((ix+1)*11 + iy*5) % 37 - 18) * {_SECC} AS REAL) AS a10,
+  CAST(((ix*11 + (iy+1)*5) % 37 - 18) * {_SECC} AS REAL) AS a01,
+  CAST((((ix+1)*11 + (iy+1)*5) % 37 - 18) * {_SECC} AS REAL) AS a11
+ FROM w),
+d AS (SELECT doc_id, lam, phi,
+  m00*e00 + m10*e10 + m01*e01 + m11*e11 AS dlam,
+  m00*a00 + m10*a10 + m01*a01 + m11*a11 AS dphi FROM v)
+SELECT doc_id,
+  ROUND((lam + dlam) * CAST(57.295779513082321 AS DOUBLE), 6) AS slon,
+  ROUND((phi + dphi) * CAST(57.295779513082321 AS DOUBLE), 6) AS slat
+FROM d ORDER BY doc_id
+"""
+
+
+def q_vgridshift(sf_dir: str):
+    """Vertical grid shift (geoid undulation) through the GTX reader +
+    nodata-aware bilinear path (state/grids.py:501-565, ref
+    src/grids.cpp:174-280, 3141-3270). z inputs are a deterministic
+    formula of doc_id; undulation nodes are dyadic quarter-metre
+    integers of (col,row), so the oracle reproduces the exact float
+    chain including the weight-normalized divide."""
+    from .gridfixtures import VG_PATH, ensure_fixtures
+
+    ensure_fixtures()
+    op = create_operation(f"+proj=vgridshift +grids={VG_PATH}")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        batch = _geoloc_batch(batch)
+        ids = batch.column("doc_id").to_numpy()
+        lon = batch.column("lon").to_numpy()
+        lat = batch.column("lat").to_numpy()
+        m = (lon > -170.0) & (lon < 170.0) & (lat > -78.0) & (lat < 78.0)
+        ids, lon, lat = ids[m], lon[m], lat[m]
+        z = (ids % 1000) * 0.01
+        coo = Coords(lon * DEG_TO_RAD, lat * DEG_TO_RAD, z, np.zeros(len(ids)))
+        op.trans(FWD, coo)
+        # floor-to-micrometre, not round: z and node values are
+        # near-decimal, so round-half boundaries are actually hit and
+        # NumPy (half-even) vs SQL (half-away) would diverge; floor is
+        # the identical IEEE op on both sides.
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "zshift_um": pa.array(np.floor(coo.z * 1e6).astype(np.int64)),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id"]).map_batches(fn, batch_format="pyarrow")
+
+
+SQL_VGRIDSHIFT = f"""
+WITH g AS ({GEOLOC_SQL}),
+f AS (SELECT doc_id, lon, lat, (doc_id % 1000) * CAST(0.01 AS DOUBLE) AS z FROM g
+      WHERE lon > -170 AND lon < 170 AND lat > -78 AND lat < 78),
+c AS (SELECT doc_id, z, lon * {_DRC} AS lam, lat * {_DRC} AS phi FROM f),
+n AS (SELECT *, (lam - {_GRID_W}) / {_GRID_R} AS gx,
+                (phi - {_GRID_S}) / {_GRID_R} AS gy FROM c),
+ixy AS (SELECT *, CAST(FLOOR(gx) AS BIGINT) AS ix, CAST(FLOOR(gy) AS BIGINT) AS iy,
+                  gx - FLOOR(gx) AS fx, gy - FLOOR(gy) AS fy FROM n),
+w AS (SELECT *, (1.0 - fx) * (1.0 - fy) AS wa, fx * (1.0 - fy) AS wb,
+                (1.0 - fx) * fy AS wc, fx * fy AS wd FROM ixy),
+v AS (SELECT *,
+  ((ix*3 + iy*7) % 50 - 25) * 0.25 AS va,
+  (((ix+1)*3 + iy*7) % 50 - 25) * 0.25 AS vb,
+  ((ix*3 + (iy+1)*7) % 50 - 25) * 0.25 AS vc,
+  (((ix+1)*3 + (iy+1)*7) % 50 - 25) * 0.25 AS vd
+ FROM w)
+SELECT doc_id,
+  CAST(FLOOR((z + ((va*wa + vb*wb + vc*wc + vd*wd) / (wa + wb + wc + wd)) * -1.0) * 1000000.0)
+       AS BIGINT) AS zshift_um
+FROM v ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Relational / aggregate queries (engine breadth: groupby, join, sort, window)
 # ---------------------------------------------------------------------------
@@ -1195,6 +1329,8 @@ QUERIES = {
     "cart_fwd": q_cart_fwd,
     "helmert_towgs84": q_helmert,
     "datum_hop_cs2cs": q_datum_hop,
+    "hgridshift": q_hgridshift,
+    "vgridshift": q_vgridshift,
     "tile_assign": q_tile_assign,
     "tile_stats": q_tile_stats,
     "cell_assign": q_cell_assign,
@@ -1228,6 +1364,8 @@ ORACLE_SQL = {
     "cart_fwd": SQL_CART,
     "helmert_towgs84": SQL_HELMERT,
     "datum_hop_cs2cs": SQL_DATUM_HOP,
+    "hgridshift": SQL_HGRIDSHIFT,
+    "vgridshift": SQL_VGRIDSHIFT,
     "tile_assign": SQL_TILE,
     "tile_stats": SQL_TILE_STATS,
     "cell_assign": SQL_CELL,
