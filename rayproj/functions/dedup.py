@@ -267,6 +267,118 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return ((x * h01) >> np.uint64(56)).astype(np.int64)
 
 
+def simhash_neardup_pipeline(sketches, hamming_max: int = 3, bucket_cap: int = 2000):
+    """Skew-safe SimHash near-duplicate candidate pipeline.
+
+    ``sketches``: Dataset of (``doc_id`` int64, ``simhash`` int64).
+    Returns a Dataset of (``doc_a``, ``doc_b``, ``hamming``) with
+    doc_a < doc_b.
+
+    Scale design (defuses the round-2 zero-sketch skew bomb):
+
+    1. The hamming-0 equivalence classes are collapsed FIRST by a
+       vectorized ``groupby(simhash).aggregate(Min, Count)`` — a corpus
+       with 10^6 identical/empty documents (they all sketch to the
+       same value, empty -> 0) becomes ONE class row. Class members
+       are emitted as a linear star (rep, member, 0), never as the
+       quadratic all-pairs set.
+    2. Only the class REPRESENTATIVES (one per distinct sketch) are
+       banded into 4 x 16-bit keys, so a (band, key) bucket can only
+       grow past ``bucket_cap`` when more than cap DISTINCT sketches
+       collide on 16 bits; buckets are then deterministically capped
+       (lowest rep ids kept) before the O(k^2) hamming verify, making
+       every group O(cap^2) worst case.
+
+    The duplicated-sketch classes (count > 1) are broadcast to the
+    member scan as a sorted array + ``searchsorted`` lookup — the
+    broadcast side is bounded by the number of distinct sketches that
+    actually repeat, not by corpus size.
+    """
+    from ray.data.aggregate import Count, Min
+
+    classes = (
+        sketches.groupby("simhash")
+        .aggregate(Min("doc_id", alias_name="rep"), Count(alias_name="n"))
+        .materialize()
+    )
+
+    # --- stage 1: hamming-0 star pairs (rep, member) ---------------------
+    dup = classes.filter(expr="n > 1").select_columns(["simhash", "rep"]).to_pandas()
+    dup_sk = dup["simhash"].to_numpy(np.int64)
+    order = np.argsort(dup_sk, kind="mergesort")
+    dup_sk_sorted = dup_sk[order]
+    dup_rep_sorted = dup["rep"].to_numpy(np.int64)[order]
+
+    def star_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        sk = df["simhash"].to_numpy(np.int64)
+        ids = df["doc_id"].to_numpy(np.int64)
+        pos = np.searchsorted(dup_sk_sorted, sk)
+        pos_c = np.minimum(pos, max(len(dup_sk_sorted) - 1, 0))
+        hit = (len(dup_sk_sorted) > 0) & (dup_sk_sorted[pos_c] == sk)
+        rep = dup_rep_sorted[pos_c]
+        keep = hit & (ids != rep)
+        return pd.DataFrame(
+            {
+                "doc_a": rep[keep],
+                "doc_b": ids[keep],
+                "hamming": np.zeros(int(keep.sum()), dtype=np.int64),
+            }
+        )
+
+    zero_pairs = sketches.map_batches(star_pairs, batch_format="pandas")
+
+    # --- stage 2: band the representatives only --------------------------
+    def bands(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["simhash"].to_numpy(np.int64).astype(np.uint64)
+        reps = df["rep"].to_numpy(np.int64)
+        parts = []
+        for b in range(4):
+            key = ((h >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
+            parts.append(
+                pd.DataFrame(
+                    {"band": np.int64(b), "key": key, "rep": reps,
+                     "simhash": h.astype(np.int64)}
+                )
+            )
+        return pd.concat(parts, ignore_index=True)
+
+    banded = classes.map_batches(bands, batch_format="pandas")
+
+    empty = pd.DataFrame(
+        {"doc_a": pd.Series(dtype="int64"), "doc_b": pd.Series(dtype="int64"),
+         "hamming": pd.Series(dtype="int64")}
+    )
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) < 2:
+            return empty
+        df = df.sort_values("rep")
+        if len(df) > bucket_cap:
+            df = df.iloc[:bucket_cap]
+        ids = df["rep"].to_numpy(np.int64)
+        hs = df["simhash"].to_numpy(np.int64).astype(np.uint64)
+        ai, bi = np.triu_indices(len(ids), 1)
+        d = hamming64(hs[ai], hs[bi])
+        keep = (d <= hamming_max) & (d > 0)
+        return pd.DataFrame(
+            {"doc_a": ids[ai[keep]], "doc_b": ids[bi[keep]],
+             "hamming": d[keep].astype(np.int64)}
+        )
+
+    cand = banded.groupby(["band", "key"]).map_groups(bucket_pairs, batch_format="pandas")
+
+    def dedup_batch(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["doc_a", "doc_b"])
+
+    # pairs repeat across bands: map-side dedup, then a tiny groupby
+    rep_pairs = (
+        cand.map_batches(dedup_batch, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])
+        .map_groups(dedup_batch, batch_format="pandas")
+    )
+    return zero_pairs.union(rep_pairs)
+
+
 def connected_components_ds(edges, max_rounds: int = 50):
     """Distributed connected components over an edge Dataset
     (columns ``a``, ``b``) → Dataset of (node, label=component min).

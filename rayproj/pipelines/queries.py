@@ -968,57 +968,29 @@ def q_simhash(sf_dir: str):
 
 
 def q_simhash_neardup(sf_dir: str):
-    """SimHash near-dup pipeline: 64-bit sketches band into four
-    16-bit keys (any pair at hamming ≤ 3 shares ≥ 1 band with
-    probability ≥ 1 − (3/4)^... — the standard banding argument);
-    candidate pairs verify exact hamming ≤ 3. Only (band, key) sketch
-    rows shuffle; text never moves. No SQL twin (engine-defined hash
-    family) — rows-only determinism check."""
-    from ray.data.aggregate import Count
+    """SimHash near-dup pipeline (skew-safe): sketches collapse into
+    hamming-0 classes first (vectorized groupby aggregate), then only
+    class representatives band into four 16-bit keys with a
+    deterministic per-bucket cap — see
+    functions/dedup.simhash_neardup_pipeline for the 100-TB design.
+    Output: star pairs (rep, member, 0) plus rep-rep pairs at
+    hamming 1..3. No SQL twin (engine-defined hash family) —
+    rows-only determinism check; golden-pinned in
+    tests/test_neardup_planted.py."""
+    from ..functions.dedup import simhash_neardup_pipeline
 
-    from ..functions.dedup import hamming64
-
-    def bands(batch: pd.DataFrame) -> pd.DataFrame:
-        h = simhash64(batch["text"])
-        ids = batch["doc_id"].to_numpy(np.int64)
-        parts = []
-        for b in range(4):
-            key = ((h >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
-            parts.append(pd.DataFrame(
-                {"band": np.int64(b), "key": key, "doc_id": ids,
-                 "simhash": h.astype(np.int64)}))
-        return pd.concat(parts, ignore_index=True)
-
-    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        bands, batch_format="pandas"
-    )
-
-    def pairs(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []}).astype(
-                {"doc_a": "int64", "doc_b": "int64", "hamming": "int64"})
-        df = df.sort_values("doc_id")
-        ids = df["doc_id"].to_numpy(np.int64)
-        hs = df["simhash"].to_numpy(np.int64).astype(np.uint64)
-        ai, bi = np.triu_indices(len(ids), 1)
-        d = hamming64(hs[ai], hs[bi])
-        keep = d <= 3
+    def sketch(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
-            {"doc_a": ids[ai[keep]], "doc_b": ids[bi[keep]],
-             "hamming": d[keep].astype(np.int64)}
+            {
+                "doc_id": batch["doc_id"].to_numpy(np.int64),
+                "simhash": simhash64(batch["text"]).astype(np.int64),
+            }
         )
 
-    cand = ds.groupby(["band", "key"]).map_groups(pairs, batch_format="pandas")
-
-    def dedup_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop_duplicates(["doc_a", "doc_b"])
-
-    # candidate pairs can repeat across bands — final exact dedup is a
-    # tiny groupby over (doc_a, doc_b)
-    return (
-        cand.groupby(["doc_a", "doc_b"])
-        .map_groups(dedup_pairs, batch_format="pandas")
+    sk = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        sketch, batch_format="pandas"
     )
+    return simhash_neardup_pipeline(sk)
 
 
 def q_langid(sf_dir: str):
@@ -1030,6 +1002,43 @@ def q_langid(sf_dir: str):
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         fn, batch_format="pandas"
     )
+
+
+def _langid_sql() -> str:
+    """SQL twin of functions/text.lang_id: per-language sums of
+    non-overlapping trigram counts over ' '||lower(first 400 chars)||' ',
+    first-argmax with the 'und' floor. Counts stay unscaled (len-diff =
+    3x count — argmax invariant)."""
+
+    def cnt(g: str) -> str:
+        esc = g.replace("'", "''")
+        return f"(length(s) - length(replace(s, '{esc}', '')))"
+
+    langs = list(textfn._LANG_PROFILES)
+    sums = ",\n  ".join(
+        " + ".join(cnt(g) for g in textfn._LANG_PROFILES[lang]) + f" AS s_{lang}"
+        for lang in langs
+    )
+    cases = "\n  ".join(
+        "WHEN "
+        + " AND ".join([f"s_{lang} >= s_{other}" for other in langs[i + 1:]]
+                       + [f"s_{lang} > 0"])
+        + f" THEN '{lang}'"
+        for i, lang in enumerate(langs)
+    )
+    return f"""
+WITH t AS (SELECT doc_id, ' ' || lower(substr(text, 1, 400)) || ' ' AS s FROM documents),
+sc AS (SELECT doc_id,
+  {sums}
+ FROM t)
+SELECT doc_id, CASE
+  {cases}
+  ELSE 'und' END AS lang_guess
+FROM sc ORDER BY doc_id
+"""
+
+
+SQL_LANGID = _langid_sql()
 
 
 def q_fingerprint(sf_dir: str):
@@ -1044,6 +1053,13 @@ def q_fingerprint(sf_dir: str):
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         fn, batch_format="pandas"
     )
+
+
+SQL_FINGERPRINT = """
+SELECT doc_id,
+  CAST(('0x' || substr(md5(text), 1, 16)) AS UBIGINT) AS fp64
+FROM documents ORDER BY doc_id
+"""
 
 
 def q_ann_cosine(sf_dir: str):
@@ -1381,11 +1397,13 @@ ORACLE_SQL = {
     "utm_fwd": SQL_UTM,
     "token_stats": SQL_TOKEN_STATS,
     "text_quality": SQL_TEXT_QUALITY,
+    "langid": SQL_LANGID,
+    "fingerprint": SQL_FINGERPRINT,
     "ann_cosine": SQL_ANN,
     "ann_ivf": SQL_ANN_IVF,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "embed_neardup": SQL_EMBED_NEARDUP,
     "op_routing": SQL_OP_ROUTING,
-    # utm_fwd / minhash_lsh / simhash / langid / fingerprint:
-    # engine-defined hashing or high-order series — rows-only check.
+    # minhash_lsh / simhash / simhash_neardup: engine-defined hash
+    # family — rows-only check + golden pins in tests/.
 }
