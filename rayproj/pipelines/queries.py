@@ -1091,15 +1091,18 @@ ORDER BY query_id, rank
 
 def q_ngram_jaccard(sf_dir: str):
     """Exact n-gram (3-token shingle) Jaccard similarity over candidate
-    doc pairs (doc_id < 60): the verification kernel of the near-dup
-    family. Shingle sets come from the batch kernel
-    (dedup.batch_shingle_hashes); at 100-TB scale the pair generation
-    is LSH-pruned (minhash_lsh) — this query is the exact-verify leg
-    run on candidates, expressed here over a fixed subset so the
-    DuckDB oracle can reproduce it from raw SQL."""
+    doc pairs: the verification kernel of the near-dup family. The
+    synthetic corpus carries almost no natural near-duplicates, so the
+    candidate set is AUGMENTED with deterministic planted variants
+    (doc_id < 30 -> doc_id + 100000, first token dropped) — the same
+    augmentation is expressed in the SQL twin, making the verify
+    kernel non-vacuous (tens of matching pairs instead of 0). At
+    100-TB scale pair generation is LSH-pruned (minhash_lsh); this is
+    the exact-verify leg run on candidates."""
     from ..functions.dedup import batch_shingle_hashes
 
     N_DOCS = 60
+    N_VARIANTS = 30
     K = 3
     THRESH = 0.2
 
@@ -1125,17 +1128,32 @@ def q_ngram_jaccard(sf_dir: str):
             {"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"}
         )
 
+    def augment(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["doc_id"] < N_DOCS][["doc_id", "text"]]
+        var = df[df["doc_id"] < N_VARIANTS].copy()
+        var["doc_id"] = var["doc_id"] + 100000
+        var["text"] = var["text"].fillna("").str.replace(
+            r"^\S+\s+", "", n=1, regex=True
+        )
+        return pd.concat([df, var], ignore_index=True)
+
     ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        lambda df: df[df["doc_id"] < N_DOCS], batch_format="pandas"
+        augment, batch_format="pandas"
     )
     # candidate set is tiny by construction — single-batch exact verify
     return pairs(ds.to_pandas())
 
 
 SQL_NGRAM_JACCARD = """
-WITH d AS (
+WITH base AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 60
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id,
+         regexp_replace(text, '^\\S+\\s+', '') AS text
+  FROM documents WHERE doc_id < 30),
+d AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
-  FROM documents WHERE doc_id < 60 AND length(trim(text)) > 0),
+  FROM base WHERE length(trim(text)) > 0),
 t AS (
   SELECT doc_id, u.tok, u.pos
   FROM d, LATERAL (SELECT unnest(toks) AS tok,
