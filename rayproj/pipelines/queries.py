@@ -1287,6 +1287,165 @@ ORDER BY query_id, rank
 """
 
 
+def _image_payloads(ids: np.ndarray) -> pa.Array:
+    """Deterministic image blobs from doc_id arithmetic: format cycles
+    PNG/GIF/BMP/JPEG, dims/colortype are integer formulas — so the SQL
+    oracle recomputes the truth while the engine must PARSE the bytes.
+    Fully vectorized: per-format byte matrices scattered into one Arrow
+    binary buffer (no per-row Python)."""
+    n = len(ids)
+    w = (16 + (ids * 7) % 300).astype(np.int64)
+    h = (16 + (ids * 13) % 200).astype(np.int64)
+    fmt = (ids % 4).astype(np.int64)  # 0 png, 1 gif, 2 bmp, 3 jpeg
+    lens = np.select([fmt == 0, fmt == 1, fmt == 2, fmt == 3], [26, 10, 26, 12])
+    offs = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(lens, out=offs[1:])
+    data = np.zeros(int(offs[-1]), dtype=np.uint8)
+
+    def scatter(rows: np.ndarray, mat: np.ndarray) -> None:
+        if len(rows):
+            data[offs[rows][:, None] + np.arange(mat.shape[1])] = mat
+
+    png = np.nonzero(fmt == 0)[0]
+    m = np.zeros((len(png), 26), np.uint8)
+    m[:, :8] = np.frombuffer(b"\x89PNG\r\n\x1a\n", np.uint8)
+    m[:, 11] = 13
+    m[:, 12:16] = np.frombuffer(b"IHDR", np.uint8)
+    for k in range(4):
+        m[:, 16 + k] = (w[png] >> (8 * (3 - k))) & 255
+        m[:, 20 + k] = (h[png] >> (8 * (3 - k))) & 255
+    m[:, 24] = 8
+    m[:, 25] = np.select(
+        [ids[png] % 3 == 0, ids[png] % 3 == 1, ids[png] % 3 == 2], [0, 2, 6]
+    )  # IHDR colortype -> channels 1 / 3 / 4
+    scatter(png, m)
+
+    gif = np.nonzero(fmt == 1)[0]
+    m = np.zeros((len(gif), 10), np.uint8)
+    m[:, :6] = np.frombuffer(b"GIF89a", np.uint8)
+    m[:, 6] = w[gif] & 255
+    m[:, 7] = w[gif] >> 8
+    m[:, 8] = h[gif] & 255
+    m[:, 9] = h[gif] >> 8
+    scatter(gif, m)
+
+    bmp = np.nonzero(fmt == 2)[0]
+    m = np.zeros((len(bmp), 26), np.uint8)
+    m[:, :2] = np.frombuffer(b"BM", np.uint8)
+    for k in range(4):
+        m[:, 18 + k] = (w[bmp] >> (8 * k)) & 255
+        m[:, 22 + k] = (h[bmp] >> (8 * k)) & 255
+    scatter(bmp, m)
+
+    jpg = np.nonzero(fmt == 3)[0]
+    m = np.zeros((len(jpg), 12), np.uint8)
+    m[:, :4] = np.frombuffer(b"\xff\xd8\xff\xc0", np.uint8)
+    m[:, 5] = 11  # SOF0 segment length
+    m[:, 6] = 8  # precision
+    m[:, 7] = h[jpg] >> 8
+    m[:, 8] = h[jpg] & 255
+    m[:, 9] = w[jpg] >> 8
+    m[:, 10] = w[jpg] & 255
+    m[:, 11] = 3
+    scatter(jpg, m)
+
+    return pa.Array.from_buffers(
+        pa.binary(), n, [None, pa.py_buffer(offs), pa.py_buffer(data)]
+    )
+
+
+def q_multimodal_meta(sf_dir: str):
+    """Image-metadata extraction through the real actor-pool decode
+    stage (stages/multimodal.ImageDecodeStage): blobs synthesized from
+    doc_id arithmetic, headers parsed back from the BYTES by the
+    vectorized PNG/GIF/BMP/JPEG parsers; the oracle recomputes the
+    planted dims/channels/format arithmetically — a full rows+hash
+    check of the parser path."""
+    from ..stages.multimodal import ImageDecodeStage
+
+    def gen(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "payload": _image_payloads(ids)})
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(gen, batch_format="pyarrow")
+    parsed = ds.map_batches(
+        ImageDecodeStage,
+        fn_constructor_kwargs={"bin_col": "payload"},
+        concurrency=2,
+        batch_format="pyarrow",
+    )
+    return parsed.select_columns(["doc_id", "img_h", "img_w", "img_c", "img_format"])
+
+
+SQL_MULTIMODAL_META = """
+SELECT doc_id,
+  CAST(16 + (doc_id * 13) % 200 AS INTEGER) AS img_h,
+  CAST(16 + (doc_id * 7) % 300 AS INTEGER) AS img_w,
+  CAST(CASE WHEN doc_id % 4 IN (1, 2, 3) THEN 3
+       WHEN doc_id % 3 = 0 THEN 1 WHEN doc_id % 3 = 1 THEN 3
+       ELSE 4 END AS INTEGER) AS img_c,
+  CAST(doc_id % 4 + 1 AS INTEGER) AS img_format
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_multimodal_audio(sf_dir: str):
+    """WAV metadata through stages/multimodal.AudioMetaStage: RIFF/fmt/
+    data chunk headers synthesized from doc_id arithmetic, chunk-walked
+    back from the bytes; oracle recomputes the planted values."""
+    from ..stages.multimodal import AudioMetaStage
+
+    def gen(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        n = len(ids)
+        ch = (1 + ids % 2).astype(np.int64)
+        rate = (8000 + (ids % 5) * 4000).astype(np.int64)
+        nsamp = (100 + ids % 50).astype(np.int64)
+        clen = nsamp * ch * 2  # 16-bit samples
+        m = np.zeros((n, 44), np.uint8)
+        m[:, :4] = np.frombuffer(b"RIFF", np.uint8)
+        m[:, 4] = 36  # riff size (unused by the parser)
+        m[:, 8:12] = np.frombuffer(b"WAVE", np.uint8)
+        m[:, 12:16] = np.frombuffer(b"fmt ", np.uint8)
+        m[:, 16] = 16
+        m[:, 20] = 1  # PCM
+        m[:, 22] = ch & 255
+        for k in range(4):
+            m[:, 24 + k] = (rate >> (8 * k)) & 255
+        m[:, 32] = 4  # block align (unused)
+        m[:, 34] = 16  # bits per sample
+        m[:, 36:40] = np.frombuffer(b"data", np.uint8)
+        for k in range(4):
+            m[:, 40 + k] = (clen >> (8 * k)) & 255
+        offs = np.arange(0, 44 * (n + 1), 44, dtype=np.int32)
+        payload = pa.Array.from_buffers(
+            pa.binary(), n,
+            [None, pa.py_buffer(offs), pa.py_buffer(np.ascontiguousarray(m).reshape(-1))],
+        )
+        return pa.table({"doc_id": batch.column("doc_id"), "payload": payload})
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(gen, batch_format="pyarrow")
+    parsed = ds.map_batches(
+        AudioMetaStage,
+        fn_constructor_kwargs={"bin_col": "payload"},
+        concurrency=2,
+        batch_format="pyarrow",
+    )
+    return parsed.select_columns(
+        ["doc_id", "audio_channels", "audio_rate", "audio_samples"]
+    )
+
+
+SQL_MULTIMODAL_AUDIO = """
+SELECT doc_id,
+  CAST(1 + doc_id % 2 AS INTEGER) AS audio_channels,
+  CAST(8000 + (doc_id % 5) * 4000 AS INTEGER) AS audio_rate,
+  CAST(100 + doc_id % 50 AS BIGINT) AS audio_samples
+FROM documents ORDER BY doc_id
+"""
+
+
 def q_op_routing(sf_dir: str):
     """Per-point coordinate-operation selection (4D_api.cpp:204-376 —
     bbox + accuracy candidate choice): three geogoffset candidates with
@@ -1388,6 +1547,8 @@ QUERIES = {
     "ann_ivf": q_ann_ivf,
     "ngram_jaccard": q_ngram_jaccard,
     "embed_neardup": q_embed_neardup,
+    "multimodal_meta": q_multimodal_meta,
+    "multimodal_audio": q_multimodal_audio,
     "op_routing": q_op_routing,
 }
 
@@ -1421,6 +1582,8 @@ ORACLE_SQL = {
     "ann_ivf": SQL_ANN_IVF,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "embed_neardup": SQL_EMBED_NEARDUP,
+    "multimodal_meta": SQL_MULTIMODAL_META,
+    "multimodal_audio": SQL_MULTIMODAL_AUDIO,
     "op_routing": SQL_OP_ROUTING,
     # minhash_lsh / simhash / simhash_neardup: engine-defined hash
     # family — rows-only check + golden pins in tests/.
