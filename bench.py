@@ -127,54 +127,85 @@ def run_headline() -> dict:
 
 
 def run_write_path() -> dict:
-    """Timed full-column output path once per bench: flagship over the
-    real sf documents table (text bytes carried through untouched) →
-    partitioned parquet under /tmp. Complements the fused aggregate
-    headline, which deliberately excludes wide-payload I/O."""
+    """Timed full-column output path at replicated scale (round-2
+    VERDICT #5: re-measure ≥10 M rows): the sf documents table is
+    replicated with offset doc_ids (text bytes carried through
+    untouched), run through the flagship chain and written as
+    partitioned parquet under /tmp — the resumable-output deployment
+    shape (one file per block, never one giant file)."""
     import shutil
 
+    import pyarrow as pa
     import ray.data as rd
 
     from rayproj.pipelines.flagship import run_flagship
 
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    target = int(os.environ.get("BENCH_WRITE_ROWS", "10000000"))
     out_dir = "/tmp/bench_flagship_out"
     shutil.rmtree(out_dir, ignore_errors=True)
+    base_tbl = pq.read_table(f"{SF_DIR}/documents.parquet")
+    n_base = base_tbl.num_rows
+    k = max(1, -(-target // n_base))
+    base_ids = base_tbl.column("doc_id").to_numpy()
+    id_idx = base_tbl.schema.get_field_index("doc_id")
+
+    def replicate(batch) -> pa.Table:
+        # one base copy per replica id, doc_ids offset into disjoint
+        # ranges; the small base table is broadcast once per worker
+        parts = []
+        for i in np.asarray(batch["id"]):
+            parts.append(base_tbl.set_column(
+                id_idx, "doc_id", pa.array(base_ids + int(i) * 100_000_000)
+            ))
+        return pa.concat_tables(parts)
+
     t0 = time.perf_counter()
-    ds = rd.read_parquet(f"{SF_DIR}/documents.parquet")
+    ds = rd.range(k).map_batches(
+        replicate, batch_format="numpy", batch_size=8
+    )
     out = run_flagship(ds, key_col="doc_id", lang_col="lang")
     out.write_parquet(out_dir)
     secs = time.perf_counter() - t0
     n_bytes = sum(
         os.path.getsize(os.path.join(out_dir, f)) for f in os.listdir(out_dir)
     )
+    n_files = len(os.listdir(out_dir))
     n_rows = rd.read_parquet(out_dir).count()
     shutil.rmtree(out_dir, ignore_errors=True)
     return {
         "seconds": round(secs, 3),
         "rows": int(n_rows),
+        "n_files": n_files,
         "mb_written": round(n_bytes / 1e6, 1),
         "rows_per_sec": round(n_rows / secs),
     }
 
 
 def run_queries() -> dict:
+    """Per-operator timings, min-of-3 with ROUNDS interleaved (round-2
+    VERDICT #5: single-shot timings on this time-shared host are noise;
+    interleaving rounds means every query sees every noise regime and
+    the min is comparable round-over-round)."""
     from rayproj.pipelines import queries as q
 
     names = [
-        "merc_fwd", "datum_hop_cs2cs", "tile_stats", "pip_assign",
-        "knn_anchors", "agg_lineitem", "dedup_exact", "ann_cosine",
+        "merc_fwd", "datum_hop_cs2cs", "hgridshift", "tile_stats",
+        "pip_assign", "knn_anchors", "agg_lineitem", "dedup_exact",
+        "ann_cosine", "events_sessions",
     ]
-    timings = {}
-    for name in names:
-        t0 = time.perf_counter()
-        res = q.QUERIES[name](SF_DIR)
-        if hasattr(res, "to_pandas"):
-            n = res.count() if hasattr(res, "count") else len(res)
-        else:
-            n = len(res)
-        timings[name] = round(time.perf_counter() - t0, 3)
-        del n
-    return timings
+    reps = int(os.environ.get("BENCH_QUERY_REPS", "3"))
+    timings: dict[str, list] = {n: [] for n in names}
+    for _ in range(reps):
+        for name in names:
+            t0 = time.perf_counter()
+            res = q.QUERIES[name](SF_DIR)
+            if hasattr(res, "to_pandas"):
+                res.count() if hasattr(res, "count") else len(res)
+            timings[name].append(time.perf_counter() - t0)
+    return {n: round(min(ts), 3) for n, ts in timings.items()}
 
 
 def main() -> None:
@@ -263,40 +294,50 @@ def scaling_measurement() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    pair = os.environ.get("BENCH_SCALING_PAIR", "8,32").split(",")
-    lo, hi = int(pair[0]), int(pair[1])
-    secs = {lo: [], hi: []}
-    pair_effs = []
+    levels = [int(x) for x in
+              os.environ.get("BENCH_SCALING_LEVELS", "8,16,32").split(",")]
+    lo, hi = levels[0], levels[-1]
+    secs: dict[int, list] = {p: [] for p in levels}
     for _ in range(iters):
-        s_l = run(lo)["value"]
-        s_h = run(hi)["value"]  # adjacent in time → shares noise regime
-        secs[lo].append(s_l)
-        secs[hi].append(s_h)
-        pair_effs.append((s_l / s_h) / (hi / lo))
-    s_lo, s_hi = min(secs[lo]), min(secs[hi])
+        # all levels adjacent in time → every pair shares a noise regime
+        for p in levels:
+            secs[p].append(run(p)["value"])
     n_rows = int(rows)
-    pair_effs.sort()
-    # headline estimator: the better of (a) min-of-level ratio and
-    # (b) median of adjacent-pair ratios — (a) wins when both levels
-    # caught clean windows, (b) is robust when the host drifts between
-    # iterations (one slow window would otherwise poison one level)
-    eff_minratio = (s_lo / s_hi) / (hi / lo)
-    eff_median = pair_effs[len(pair_effs) // 2]
-    eff = max(eff_minratio, eff_median)
+
+    def median(xs: list) -> float:
+        xs = sorted(xs)
+        return xs[len(xs) // 2]
+
+    # headline estimator: MEDIAN of adjacent-in-time pair ratios
+    # (round-2 VERDICT #10: max(minratio, median) biased upward —
+    # dropped); minratio still reported for transparency
+    pair_effs = sorted(
+        (secs[lo][i] / secs[hi][i]) / (hi / lo) for i in range(iters)
+    )
+    eff = median(pair_effs)
+    eff_minratio = (min(secs[lo]) / min(secs[hi])) / (hi / lo)
+    # intermediate pairs (e.g. 16→32) triangulate the host ceiling
+    mid_effs = {
+        f"scaling_efficiency_{p}_{hi}": round(
+            median([(secs[p][i] / secs[hi][i]) / (hi / p) for i in range(iters)]), 3
+        )
+        for p in levels[1:-1]
+    }
     ctrl = _hardware_scaling_control(lo, hi)
-    return {
-        f"sec_{lo}": s_lo,
-        f"sec_{hi}": s_hi,
-        f"docs_per_sec_{lo}": round(n_rows / s_lo),
-        f"docs_per_sec_{hi}": round(n_rows / s_hi),
+    out = {
         "scaling_efficiency": round(eff, 3),
         "scaling_efficiency_minratio": round(eff_minratio, 3),
         "scaling_efficiency_pairs": [round(e, 3) for e in pair_effs],
+        **mid_effs,
         "hardware_control_efficiency": ctrl,
         "relative_efficiency": round(eff / ctrl, 3) if ctrl else None,
         "rows": n_rows,
-        "cpus": [lo, hi],
+        "cpus": levels,
     }
+    for p in levels:
+        out[f"sec_{p}"] = min(secs[p])
+        out[f"docs_per_sec_{p}"] = round(n_rows / min(secs[p]))
+    return out
 
 
 def _control_work(args):

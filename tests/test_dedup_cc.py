@@ -97,3 +97,34 @@ def test_knn_grouped_matches_broadcast(ray_session):
     # dense points + coarse cells => every true top-3 lies inside the
     # anchor's 3x3 ring, so the two strategies agree exactly
     assert b[["anchor_id", "point_id"]].equals(g[["anchor_id", "point_id"]])
+
+
+def test_cc_million_edge_graph(ray_session):
+    """Round-2 VERDICT #8 acceptance: distributed CC on a 10^6-edge
+    synthetic graph finishes in seconds-scale wall time (vectorized
+    bucket star rounds, not per-node map_groups)."""
+    import time
+
+    import ray.data as rd
+
+    rng = np.random.default_rng(7)
+    comp = 100_000  # components: 0..comp-1
+    size = 10  # nodes per component
+    # each component: a chain plus random intra-component chords
+    base = np.arange(comp, dtype=np.int64)[:, None] * size
+    chain_a = (base + np.arange(size - 1)).reshape(-1)
+    chain_b = chain_a + 1
+    extra_a = base.reshape(-1).repeat(1)  # one chord per component
+    extra_b = extra_a + rng.integers(1, size, comp)
+    a = np.concatenate([chain_a, extra_a])
+    b = np.concatenate([chain_b, extra_b])
+    edges = pd.DataFrame({"a": a, "b": b})
+    assert len(edges) >= 1_000_000
+    t0 = time.monotonic()
+    out = dedup.connected_components_ds(rd.from_pandas(edges)).to_pandas()
+    elapsed = time.monotonic() - t0
+    assert len(out) == comp * size
+    out = out.sort_values("node").reset_index(drop=True)
+    exp = (out["node"].to_numpy(np.int64) // size) * size
+    assert (out["label"].to_numpy(np.int64) == exp).all()
+    assert elapsed < 300, f"CC on 1M edges took {elapsed:.0f}s"
