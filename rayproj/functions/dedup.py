@@ -304,6 +304,29 @@ def bucketed_group_apply(ds, key_col: str, fn, n_buckets: int = 64):
     )
 
 
+def dedup_pairs_ds(pairs, a_col: str, b_col: str, n_buckets: int = 64):
+    """Exact global dedup of a pair Dataset: map-side drop_duplicates
+    to shrink the shuffle, then bucketed_group_apply keyed on the pair
+    hash (pair cardinality is unbounded, so a per-pair groupby is the
+    same per-group pathology as any high-cardinality aggregate)."""
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates([a_col, b_col])
+
+    def add_key(df: pd.DataFrame) -> pd.DataFrame:
+        df = local(df).copy()
+        df["__pair"] = df[a_col].to_numpy(np.int64) * np.int64(1_000_003) + df[
+            b_col
+        ].to_numpy(np.int64)
+        return df
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return local(df).drop(columns="__pair")
+
+    keyed = pairs.map_batches(add_key, batch_format="pandas")
+    return bucketed_group_apply(keyed, "__pair", final, n_buckets=n_buckets)
+
+
 def simhash_neardup_pipeline(sketches, hamming_max: int = 3, bucket_cap: int = 2000):
     """Skew-safe SimHash near-duplicate candidate pipeline.
 
@@ -405,15 +428,9 @@ def simhash_neardup_pipeline(sketches, hamming_max: int = 3, bucket_cap: int = 2
 
     cand = banded.groupby(["band", "key"]).map_groups(bucket_pairs, batch_format="pandas")
 
-    def dedup_batch(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop_duplicates(["doc_a", "doc_b"])
-
-    # pairs repeat across bands: map-side dedup, then a tiny groupby
-    rep_pairs = (
-        cand.map_batches(dedup_batch, batch_format="pandas")
-        .groupby(["doc_a", "doc_b"])
-        .map_groups(dedup_batch, batch_format="pandas")
-    )
+    # pairs repeat across bands: map-side dedup, then a bucketed
+    # exact dedup (pair count is unbounded — never a per-pair groupby)
+    rep_pairs = dedup_pairs_ds(cand, "doc_a", "doc_b")
     return zero_pairs.union(rep_pairs)
 
 

@@ -889,8 +889,11 @@ SQL_DISTINCT_BRANDS = "SELECT p_brand, COUNT(*) AS n_parts FROM part GROUP BY 1 
 
 
 def q_dedup_exact(sf_dir: str):
-    """Exact dedup: hash-partition on content md5, keep min doc_id."""
-    from ray.data.aggregate import Count, Min
+    """Exact dedup: hash-partition on content md5, keep min doc_id.
+    Distinct-hash count grows with the corpus, so the aggregate goes
+    through the 64-bucket + C-speed-pandas pattern
+    (functions/dedup.bucketed_group_apply), not a per-group groupby."""
+    from ..functions.dedup import bucketed_group_apply
 
     def hashes(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -900,9 +903,14 @@ def q_dedup_exact(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         hashes, batch_format="pandas"
     )
-    return ds.groupby("text_md5").aggregate(
-        Min("doc_id", alias_name="keep_doc_id"), Count(alias_name="n_dups")
-    )
+
+    def collapse(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("text_md5", sort=False)["doc_id"]
+        out = g.min().to_frame("keep_doc_id")
+        out["n_dups"] = g.size()
+        return out.reset_index()
+
+    return bucketed_group_apply(ds, "text_md5", collapse)
 
 
 SQL_DEDUP_EXACT = """
@@ -1020,22 +1028,30 @@ FROM documents ORDER BY doc_id
 
 def q_minhash_lsh(sf_dir: str):
     """MinHash-LSH near-dup candidates (no SQL twin: engine-defined
-    hash family; the rows-only check pins shape/determinism)."""
-    from ray.data.aggregate import Count
+    hash family; rows-only + golden pin). Distinct (band, hash)
+    buckets scale with the corpus, so the bucket-size count goes
+    through the 64-bucket vectorized aggregate, not a per-bucket
+    groupby."""
+    from ..functions.dedup import bucketed_group_apply
 
     def bands(batch: pd.DataFrame) -> pd.DataFrame:
         mh = MinHasher()
-        return mh.band_rows(batch["doc_id"].to_numpy(), batch["text"])
+        df = mh.band_rows(batch["doc_id"].to_numpy(), batch["text"])
+        df["bkey"] = df["band_hash"].to_numpy(np.int64) * np.int64(31) + df[
+            "band_id"
+        ].to_numpy(np.int64)
+        return df
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         bands, batch_format="pandas"
     )
-    buckets = ds.groupby(["band_id", "band_hash"]).aggregate(Count(alias_name="n_docs"))
 
-    def pairs(df: pd.DataFrame) -> pd.DataFrame:
-        return df[df["n_docs"] > 1]
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["band_id", "band_hash"], sort=False).size()
+        out = g[g > 1].rename("n_docs").reset_index()
+        return out
 
-    return buckets.map_batches(pairs, batch_format="pandas")
+    return bucketed_group_apply(ds, "bkey", counts)
 
 
 def q_simhash(sf_dir: str):
@@ -1323,15 +1339,10 @@ def q_embed_neardup(sf_dir: str):
 
     cand = buckets.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
 
-    def dedup_batch(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop_duplicates(["vec_a", "vec_b"])
+    # pairs sharing >1 probe bucket repeat: bucketed exact dedup
+    from ..functions.dedup import dedup_pairs_ds
 
-    # pairs sharing >1 probe bucket repeat: map-side dedup + tiny groupby
-    return (
-        cand.map_batches(dedup_batch, batch_format="pandas")
-        .groupby(["vec_a", "vec_b"])
-        .map_groups(dedup_batch, batch_format="pandas")
-    )
+    return dedup_pairs_ds(cand, "vec_a", "vec_b")
 
 
 SQL_EMBED_NEARDUP = """
