@@ -138,8 +138,58 @@ def cmd_proj(args) -> int:
     return 0
 
 
+def _expand_crs_tokens(toks):
+    """'EPSG:nnnn' / 'epsg:nnnn' CRS shorthand → '+init=epsg:nnnn'
+    (resolved from the bundled static catalog + formulaic UTM
+    families; the full registry is proj.db scope)."""
+    out = []
+    for t in toks:
+        if t.upper().startswith("EPSG:") and t[5:].isdigit():
+            out.append(f"+init=epsg:{t[5:]}")
+        else:
+            out.append(t)
+    return out
+
+
+def cmd_projinfo(args) -> int:
+    """CRS resolution at the proj-string level (src/apps/projinfo.cpp
+    -o PROJ surface): expand EPSG codes / proj-strings, print the
+    normalized parameter list + derived ellipsoid; with -s and -t,
+    print the cs2cs datum-hub plan between them. WKT and
+    database-backed outputs are iso19111/factory.cpp scope
+    (SURVEY.md §2.1 — out of scope)."""
+
+    def describe(defn: str) -> None:
+        defn = " ".join(_expand_crs_tokens(defn.split()))
+        op = create_operation(defn)
+        toks = []
+        for k, v in op.params.pairs:
+            toks.append(f"+{k}={v}" if v is not None else f"+{k}")
+        print(f"definition: {defn}")
+        print(f"expansion:  {' '.join(toks)}")
+        e = op.ell
+        if e is not None:
+            rf = "inf" if e.f == 0 else f"{e.rf:.9f}"
+            print(f"ellipsoid:  a={e.a:.9g} rf={rf} es={e.es:.17g}")
+        print(f"operation:  {op.name} (angular_out={bool(op.angular_output(FWD))})")
+
+    if args.s_crs and args.t_crs:
+        print("== source ==")
+        describe(args.s_crs)
+        print("== target ==")
+        describe(args.t_crs)
+        s = " ".join(_expand_crs_tokens(args.s_crs.split()))
+        t = " ".join(_expand_crs_tokens(args.t_crs.split()))
+        print("== operation (WGS84 geodetic hub, cs2cs semantics) ==")
+        print(f"+proj=pipeline +step +inv {s} +step {t}")
+        return 0
+    for defn in args.crs:
+        describe(defn)
+    return 0
+
+
 def cmd_cs2cs(args) -> int:
-    toks = list(args.projargs)
+    toks = _expand_crs_tokens(list(args.projargs))
     if "+to" in toks:
         split = toks.index("+to")
     elif "to" in toks:
@@ -296,6 +346,11 @@ def main(argv=None) -> int:
     g = sub.add_parser("gie")
     g.add_argument("files", nargs="+")
     g.set_defaults(fn=cmd_gie)
+    pi = sub.add_parser("projinfo")
+    pi.add_argument("-s", "--s-crs", default=None)
+    pi.add_argument("-t", "--t-crs", default=None)
+    pi.add_argument("crs", nargs="*")
+    pi.set_defaults(fn=cmd_projinfo)
     args = ap.parse_args(argv)
     return args.fn(args)
 

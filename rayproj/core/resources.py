@@ -113,8 +113,43 @@ def load_init(key: str) -> list[tuple[str, str | None]]:
                 _init_cache[ck] = pairs
                 return pairs
     if bundled_epsg:
+        synth = _formulaic_epsg(section)
+        if synth is not None:
+            _init_cache[ck] = synth
+            return synth
         raise NotImplementedError(
             f"epsg:{section} not in the bundled static catalog (full EPSG "
             "database out of scope)"
         )
     raise ProjError(-2, f"init section {section!r} not found in {fname!r}")
+
+
+def _formulaic_epsg(section: str) -> list[tuple[str, str | None]] | None:
+    """Synthesize the formulaic UTM-grid EPSG families from the public
+    registry's parameterization (each family is one rule over the zone
+    number — no database needed): WGS 84 326xx/327xx, ETRS89 258xx,
+    NAD83 269xx, GDA94 MGA 283xx. Grid-dependent datums (e.g. NAD27)
+    are deliberately excluded — they need proj.db + grid files."""
+    try:
+        code = int(section)
+    except ValueError:
+        return None
+
+    def utm(zone: int, extra: str, south: bool = False):
+        s = f"proj=utm zone={zone}" + (" south" if south else "")
+        s += f" {extra} units=m no_defs"
+        return [
+            tuple(t.split("=", 1)) if "=" in t else (t, None) for t in s.split()
+        ]
+
+    if 32601 <= code <= 32660:
+        return utm(code - 32600, "datum=WGS84")
+    if 32701 <= code <= 32760:
+        return utm(code - 32700, "datum=WGS84", south=True)
+    if 25828 <= code <= 25838:
+        return utm(code - 25800, "ellps=GRS80 towgs84=0,0,0,0,0,0,0")
+    if 26901 <= code <= 26923:
+        return utm(code - 26900, "ellps=GRS80 towgs84=0,0,0,0,0,0,0")
+    if 28348 <= code <= 28358:
+        return utm(code - 28300, "ellps=GRS80 towgs84=0,0,0,0,0,0,0", south=True)
+    return None

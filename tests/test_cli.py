@@ -89,3 +89,41 @@ def test_proj_factors_tmerc():
     )
     assert rc == 0
     assert "0.99960000" in out  # k at the central meridian
+
+
+def test_projinfo_epsg_resolution(capsys):
+    rc = cli.main(["projinfo", "EPSG:32633"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "+proj=utm" in out and "+zone=33" in out
+    assert "a=6378137" in out
+
+
+def test_formulaic_epsg_utm_families():
+    """UTM-grid EPSG families synthesized without the database:
+    WGS84 N/S, ETRS89, NAD83, GDA94 MGA."""
+    from rayproj.core.factory import create_operation
+
+    for code, zone, south in [
+        (32601, 1, False), (32660, 60, False), (32733, 33, True),
+        (25832, 32, False), (26915, 15, False), (28355, 55, True),
+    ]:
+        op = create_operation(f"+init=epsg:{code}")
+        assert op.name == "utm"
+        assert op.params.str_("zone") == str(zone)
+        assert op.params.has("south") == south
+
+
+def test_cs2cs_epsg_shorthand(capsys):
+    # Rome through WGS84 -> UTM 33N, against the direct utm operation
+    stdin = sys.stdin
+    try:
+        sys.stdin = io.StringIO("12.4924 41.8902\n")
+        rc = cli.main(["cs2cs", "EPSG:4326", "+to", "EPSG:32633"])
+    finally:
+        sys.stdin = stdin
+    out = capsys.readouterr().out
+    assert rc == 0
+    x, y, _ = map(float, out.split())
+    assert x == pytest.approx(291962.59, abs=0.5)
+    assert y == pytest.approx(4640626.11, abs=0.5)
