@@ -1593,6 +1593,58 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_multimodal_video(sf_dir: str):
+    """Video frame sampling through stages/multimodal.FrameSampleStage:
+    minimal MP4 box trees (ftyp + moov>trak>mdia>minf>stbl>stsz) with
+    a planted stsz sample_count, box-walked back from the bytes and
+    exploded to every-30th-frame rows; oracle recomputes the planted
+    counts and the frame explosion arithmetically."""
+    from ..stages.multimodal import FrameSampleStage
+
+    def gen(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        n = len(ids)
+        fc = (24 + (ids * 11) % 1000).astype(np.int64)
+        m = np.zeros((n, 76), np.uint8)
+
+        def be32_at(col: int, val) -> None:
+            for k in range(4):
+                m[:, col + k] = (val >> (8 * (3 - k))) & 255
+
+        be32_at(0, 16)
+        m[:, 4:8] = np.frombuffer(b"ftyp", np.uint8)
+        m[:, 8:12] = np.frombuffer(b"isom", np.uint8)
+        for col, size, name in [(16, 60, b"moov"), (24, 52, b"trak"),
+                                (32, 44, b"mdia"), (40, 36, b"minf"),
+                                (48, 28, b"stbl"), (56, 20, b"stsz")]:
+            be32_at(col, size)
+            m[:, col + 4:col + 8] = np.frombuffer(name, np.uint8)
+        be32_at(72, fc)  # stsz sample_count
+        offs = np.arange(0, 76 * (n + 1), 76, dtype=np.int32)
+        payload = pa.Array.from_buffers(
+            pa.binary(), n,
+            [None, pa.py_buffer(offs), pa.py_buffer(np.ascontiguousarray(m).reshape(-1))],
+        )
+        return pa.table({"doc_id": batch.column("doc_id"), "payload": payload})
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(gen, batch_format="pyarrow")
+    return ds.map_batches(
+        FrameSampleStage,
+        fn_constructor_kwargs={"bin_col": "payload", "key_col": "doc_id",
+                               "every_n": 30},
+        concurrency=2,
+        batch_format="pyarrow",
+    )
+
+
+SQL_MULTIMODAL_VIDEO = """
+WITH d AS (SELECT doc_id, 24 + (doc_id * 11) % 1000 AS fc FROM documents)
+SELECT doc_id,
+  CAST(unnest(range(0, (fc + 29) // 30)) * 30 AS INTEGER) AS frame_idx
+FROM d ORDER BY doc_id, frame_idx
+"""
+
+
 def q_op_routing(sf_dir: str):
     """Per-point coordinate-operation selection (4D_api.cpp:204-376 —
     bbox + accuracy candidate choice): three geogoffset candidates with
@@ -1697,6 +1749,7 @@ QUERIES = {
     "embed_neardup": q_embed_neardup,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_audio": q_multimodal_audio,
+    "multimodal_video": q_multimodal_video,
     "op_routing": q_op_routing,
 }
 
@@ -1733,6 +1786,7 @@ ORACLE_SQL = {
     "embed_neardup": SQL_EMBED_NEARDUP,
     "multimodal_meta": SQL_MULTIMODAL_META,
     "multimodal_audio": SQL_MULTIMODAL_AUDIO,
+    "multimodal_video": SQL_MULTIMODAL_VIDEO,
     "op_routing": SQL_OP_ROUTING,
     # minhash_lsh / simhash / simhash_neardup: engine-defined hash
     # family — rows-only check + golden pins in tests/.
