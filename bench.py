@@ -93,11 +93,21 @@ def _fused_headline(n_target: int):
         )
         return _cached_stage(key, kw).tile_partial(t)
 
+    def combine(df):
+        return df.groupby("tile", as_index=False)["n_partial"].sum()
+
     partials = rd.range(n_target, override_num_blocks=N_BLOCKS).map_batches(
         fused, batch_format="numpy", batch_size=None
     )
-    df = partials.to_pandas()
-    return df.groupby("tile", as_index=False)["n_partial"].sum()
+    # hierarchical partial-merge: each block emits ~n_tiles rows, so
+    # N_BLOCKS x n_tiles rows (millions) must NOT hit the driver as-is
+    # — that serial to_pandas+groupby was a measured ~5 s Amdahl
+    # fraction that capped 16→32 scaling. Coalesce + vectorized local
+    # combine in Ray first; the driver sees ~16 x n_tiles rows.
+    combined = partials.repartition(16).map_batches(
+        combine, batch_format="pandas", batch_size=None
+    )
+    return combine(combined.to_pandas())
 
 
 def run_headline() -> dict:
