@@ -102,10 +102,11 @@ def _fused_headline(n_target: int):
     # hierarchical partial-merge: each block emits ~n_tiles rows, so
     # N_BLOCKS x n_tiles rows (millions) must NOT hit the driver as-is
     # — that serial to_pandas+groupby was a measured ~5 s Amdahl
-    # fraction that capped 16→32 scaling. Coalesce + vectorized local
-    # combine in Ray first; the driver sees ~16 x n_tiles rows.
-    combined = partials.repartition(16).map_batches(
-        combine, batch_format="pandas", batch_size=None
+    # fraction that capped 16→32 scaling. batch_size coalesces ~40
+    # consecutive blocks per combine task (no repartition shuffle);
+    # the driver sees a handful of n_tiles-row partials.
+    combined = partials.map_batches(
+        combine, batch_format="pandas", batch_size=1_000_000
     )
     return combine(combined.to_pandas())
 
@@ -289,7 +290,8 @@ def scaling_measurement() -> dict:
     the same discipline as min-of-runs within a level."""
     # enough compute that Ray Data's ~2s fixed executor overhead is
     # amortized — the criterion measures the scalable part of the job
-    rows = os.environ.get("BENCH_SCALING_ROWS", "96000000")
+    # (192M: ~0.8s/160s fixed fraction at the hi level)
+    rows = os.environ.get("BENCH_SCALING_ROWS", "192000000")
     # 3 interleaved iterations per level: the hi level's short runs are
     # the most noise-exposed, and min-of-9-runs reliably catches a
     # clean window (measured 0.81 raw efficiency; 2 iterations did not)

@@ -919,6 +919,77 @@ FROM documents GROUP BY 1 ORDER BY 1
 """
 
 
+def q_source_stats(sf_dir: str):
+    """Per-source corpus stats via MAP-SIDE PARTIAL AGGREGATION: each
+    batch emits one row per source (count, sum, min) and the shuffle
+    only moves those partials — the combiner pattern for low-cardinality
+    keys at 100 TB (contrast bucketed_group_apply, which is for keys
+    that grow with the corpus)."""
+    from ray.data.aggregate import Min, Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("source", sort=False)
+        out = g.agg(
+            n_docs=("doc_id", "size"),
+            total_chars=("n_chars", "sum"),
+            min_doc_id=("doc_id", "min"),
+        ).reset_index()
+        return out
+
+    partials = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"]).map_batches(
+        partial, batch_format="pandas"
+    )
+    return partials.groupby("source").aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("total_chars", alias_name="total_chars"),
+        Min("min_doc_id", alias_name="min_doc_id"),
+    )
+
+
+SQL_SOURCE_STATS = """
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+  MIN(doc_id) AS min_doc_id
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_source_top_chars(sf_dir: str):
+    """Per-key top-k (rank window): 3 longest docs per source. Each
+    batch emits its local top-3 per source (bounded partials), the
+    final per-source rank resolves in one tiny groupby — the
+    standard distributed top-k-per-key shape."""
+
+    def local_top(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["source", "n_chars", "doc_id"],
+                            ascending=[True, False, True], kind="mergesort")
+        return df.groupby("source", sort=False).head(3)
+
+    partials = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"]).map_batches(
+        local_top, batch_format="pandas"
+    )
+
+    def final_top(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["n_chars", "doc_id"], ascending=[False, True],
+                            kind="mergesort").head(3)
+        df = df.reset_index(drop=True)
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df[["source", "rank", "doc_id", "n_chars"]]
+
+    return partials.groupby("source").map_groups(final_top, batch_format="pandas")
+
+
+SQL_SOURCE_TOP_CHARS = """
+WITH r AS (
+  SELECT source, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+             ORDER BY n_chars DESC, doc_id) AS rank
+  FROM documents)
+SELECT source, rank, doc_id, n_chars FROM r WHERE rank <= 3
+ORDER BY source, rank
+"""
+
+
 def q_dedup_clusters(sf_dir: str):
     """Duplicate-cluster resolution end-to-end: candidate edges from
     TWO overlapping equivalence relations (exact text md5 + 24-char
@@ -1736,6 +1807,8 @@ QUERIES = {
     "distinct_brands": q_distinct_brands,
     "dedup_exact": q_dedup_exact,
     "dedup_clusters": q_dedup_clusters,
+    "source_stats": q_source_stats,
+    "source_top_chars": q_source_top_chars,
     "token_stats": q_token_stats,
     "text_quality": q_text_quality,
     "minhash_lsh": q_minhash_lsh,
@@ -1775,6 +1848,8 @@ ORACLE_SQL = {
     "distinct_brands": SQL_DISTINCT_BRANDS,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "source_stats": SQL_SOURCE_STATS,
+    "source_top_chars": SQL_SOURCE_TOP_CHARS,
     "utm_fwd": SQL_UTM,
     "token_stats": SQL_TOKEN_STATS,
     "text_quality": SQL_TEXT_QUALITY,
