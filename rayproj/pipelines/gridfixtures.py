@@ -102,8 +102,9 @@ def vgrid_bytes() -> bytes:
 def _write_atomic(path: str, data: bytes) -> None:
     if os.path.exists(path):
         try:
-            if os.path.getsize(path) == len(data):
-                return
+            with open(path, "rb") as f:
+                if f.read() == data:  # tiny files — exact content check
+                    return
         except OSError:
             pass
     os.makedirs(os.path.dirname(path), exist_ok=True)
