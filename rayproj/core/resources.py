@@ -128,8 +128,10 @@ def _formulaic_epsg(section: str) -> list[tuple[str, str | None]] | None:
     """Synthesize the formulaic UTM-grid EPSG families from the public
     registry's parameterization (each family is one rule over the zone
     number — no database needed): WGS 84 326xx/327xx, ETRS89 258xx,
-    NAD83 269xx, GDA94 MGA 283xx. Grid-dependent datums (e.g. NAD27)
-    are deliberately excluded — they need proj.db + grid files."""
+    NAD83 269xx, GDA94 MGA 283xx, ED50 UTM 230xx, DHDN Gauss-Krueger
+    3146x, Pulkovo 1942 Gauss-Krueger 284xx. Grid-dependent datums
+    (e.g. NAD27) are deliberately excluded — they need proj.db + grid
+    files."""
     try:
         code = int(section)
     except ValueError:
@@ -152,4 +154,24 @@ def _formulaic_epsg(section: str) -> list[tuple[str, str | None]] | None:
         return utm(code - 26900, "ellps=GRS80 towgs84=0,0,0,0,0,0,0")
     if 28348 <= code <= 28358:
         return utm(code - 28300, "ellps=GRS80 towgs84=0,0,0,0,0,0,0", south=True)
+    if 23028 <= code <= 23038:  # ED50 / UTM zones 28N-38N
+        return utm(code - 23000, "ellps=intl towgs84=-87,-98,-121,0,0,0,0")
+
+    def gk(zone: int, lon_0: float, extra: str):
+        s = (
+            f"proj=tmerc lat_0=0 lon_0={lon_0:g} k=1 "
+            f"x_0={zone * 1_000_000 + 500_000} y_0=0 {extra} units=m no_defs"
+        )
+        return [
+            tuple(t.split("=", 1)) if "=" in t else (t, None) for t in s.split()
+        ]
+
+    if 31466 <= code <= 31469:  # DHDN / 3-degree Gauss-Krueger zones 2-5
+        zone = code - 31464
+        return gk(zone, 3 * zone,
+                  "ellps=bessel towgs84=598.1,73.7,418.2,0.202,0.045,-2.455,6.7")
+    if 28402 <= code <= 28432:  # Pulkovo 1942 / 6-degree Gauss-Krueger
+        zone = code - 28400
+        return gk(zone, 6 * zone - 3,
+                  "ellps=krass towgs84=23.92,-141.27,-80.9,0,0.35,0.82,-0.12")
     return None
