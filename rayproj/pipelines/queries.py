@@ -1047,6 +1047,223 @@ SELECT node, CAST(lab AS BIGINT) AS label FROM r ORDER BY node
 """
 
 
+def q_paragraph_dedup(sf_dir: str):
+    """CCNet-style paragraph-level duplication audit: how much of each
+    document is made of passages that also occur in OTHER documents.
+    The synthetic corpus has no newlines, so the passage unit is a
+    non-overlapping 5-token chunk (the SQL twin applies the identical
+    chunking rule); cross-doc chunk sharing occurs naturally (~5% of
+    distinct chunks at sf0.01).
+
+    Scale shape (the CCNet recipe at 100 TB): only (chunk_md5, doc_id)
+    pairs shuffle — never text; chunk-key cardinality grows with the
+    corpus, so both the per-chunk doc-count and the per-doc rollup run
+    through bucketed_group_apply (64-bucket hash shuffle + C-speed
+    pandas inside) instead of a per-group groupby."""
+    from ..functions.dedup import bucketed_group_apply
+
+    CHUNK = 5
+
+    def chunk_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.strip().str.split()
+        n = toks.str.len().fillna(0).astype(np.int64).to_numpy()
+        ex = toks.explode()
+        ex = ex[ex.notna()]
+        arr = ex.to_numpy(object)
+        tok_doc = np.repeat(np.arange(len(df)), n)
+        pos = np.arange(n.sum()) - np.repeat(np.cumsum(n) - n, n)
+        keep = pos < (n[tok_doc] // CHUNK) * CHUNK
+        arr = arr[keep]
+        rows = tok_doc[keep][::CHUNK]
+        m = arr.reshape(-1, CHUNK)
+        chunk = pd.Series(m[:, 0], dtype=object).str.cat(
+            [pd.Series(m[:, j], dtype=object) for j in range(1, CHUNK)], sep=" "
+        )
+        out = pd.DataFrame(
+            {
+                "chunk_md5": textfn.md5_hex(chunk),
+                "doc_id": df["doc_id"].to_numpy(np.int64)[rows],
+            }
+        )
+        # distinct per doc: a chunk repeated inside one doc counts once
+        return out.drop_duplicates(ignore_index=True)
+
+    pairs = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        chunk_pairs, batch_format="pandas"
+    )
+
+    def flag_dups(df: pd.DataFrame) -> pd.DataFrame:
+        # pairs are doc-distinct, so group size == distinct-doc count
+        nd = df.groupby("chunk_md5", sort=False)["doc_id"].transform("size")
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"], "dup": (nd > 1).to_numpy(np.int64)}
+        )
+
+    flagged = bucketed_group_apply(pairs, "chunk_md5", flag_dups)
+
+    def per_doc(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("doc_id", sort=False)["dup"]
+        out = g.size().to_frame("n_chunks")
+        out["n_dup_chunks"] = g.sum()
+        return out.reset_index()
+
+    return bucketed_group_apply(flagged, "doc_id", per_doc)
+
+
+SQL_PARAGRAPH_DEDUP = """
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents WHERE length(trim(text)) > 0),
+t AS (
+  SELECT doc_id, u.tok, u.pos
+  FROM d, LATERAL (SELECT unnest(toks) AS tok,
+                          generate_subscripts(toks, 1) AS pos) u),
+ch AS (
+  SELECT doc_id, (pos - 1) // 5 AS cid,
+         string_agg(tok, ' ' ORDER BY pos) AS chunk
+  FROM t GROUP BY 1, 2 HAVING COUNT(*) = 5),
+p AS (SELECT DISTINCT doc_id, chunk FROM ch),
+c AS (SELECT chunk, COUNT(*) AS ndocs FROM p GROUP BY 1)
+SELECT p.doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN c.ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_chunks
+FROM p JOIN c USING (chunk) GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_gopher_repetition(sf_dir: str):
+    """Gopher-style within-document repetition signals (Rae et al.
+    2021 §A1.1: repeated n-gram filters): per doc, total bigram
+    instances, instances beyond the first occurrence of each distinct
+    bigram, and the top bigram's count. All-integer output -> exact
+    oracle match.
+
+    Scale shape: map-ONLY — each batch computes its docs' signals with
+    two C-speed pandas groupbys and emits one row per doc; no shuffle,
+    embarrassingly parallel, the cheapest possible 100-TB plan."""
+
+    def rep(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.strip().str.split()
+        n = toks.str.len().fillna(0).astype(np.int64).to_numpy()
+        ex = toks.explode()
+        arr = ex[ex.notna()].to_numpy(object)
+        tok_doc = np.repeat(np.arange(len(df)), n)
+        same = tok_doc[1:] == tok_doc[:-1] if len(arr) else np.zeros(0, bool)
+        big = pd.Series(arr[:-1][same], dtype=object).str.cat(
+            pd.Series(arr[1:][same], dtype=object), sep=" "
+        )
+        counts = (
+            pd.DataFrame({"row": tok_doc[:-1][same], "bigram": big})
+            .groupby(["row", "bigram"], sort=False)
+            .size()
+        )
+        per = counts.groupby(level=0)
+        n_bg = np.zeros(len(df), np.int64)
+        n_dist = np.zeros(len(df), np.int64)
+        top = np.zeros(len(df), np.int64)
+        idx = per.sum().index.to_numpy(np.int64)
+        n_bg[idx] = per.sum().to_numpy(np.int64)
+        n_dist[idx] = per.size().to_numpy(np.int64)
+        top[idx] = per.max().to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "n_bigrams": n_bg,
+                "n_dup_instances": n_bg - n_dist,
+                "top_bigram_n": top,
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        rep, batch_format="pandas"
+    )
+
+
+SQL_GOPHER_REPETITION = """
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents WHERE length(trim(text)) > 0),
+t AS (
+  SELECT doc_id, u.tok, u.pos
+  FROM d, LATERAL (SELECT unnest(toks) AS tok,
+                          generate_subscripts(toks, 1) AS pos) u),
+bg AS (
+  SELECT a.doc_id, a.tok || ' ' || b.tok AS bigram
+  FROM t a JOIN t b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+cnt AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+per AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+         CAST(SUM(c) - COUNT(*) AS BIGINT) AS n_dup_instances,
+         CAST(MAX(c) AS BIGINT) AS top_bigram_n
+  FROM cnt GROUP BY 1)
+SELECT documents.doc_id, COALESCE(n_bigrams, 0) AS n_bigrams,
+       COALESCE(n_dup_instances, 0) AS n_dup_instances,
+       COALESCE(top_bigram_n, 0) AS top_bigram_n
+FROM documents LEFT JOIN per USING (doc_id) ORDER BY doc_id
+"""
+
+
+def q_dedup_norm(sf_dir: str):
+    """Normalization-aware exact dedup (the C4/RefinedWeb first pass:
+    lowercase + whitespace-collapse before hashing). The corpus is
+    already lowercase/single-spaced, so the input is AUGMENTED with
+    deterministic planted variants (doc_id < 25 -> doc_id + 300000,
+    uppercased with doubled spaces) that normalize back to their
+    originals — the same augmentation is in the SQL twin, making the
+    normalizer the thing under test (25 collapsed groups).
+
+    Scale shape: identical to dedup_exact — only (norm_md5, doc_id)
+    shuffles, collapse via bucketed_group_apply."""
+    from ..functions.dedup import bucketed_group_apply
+
+    def augment(df: pd.DataFrame) -> pd.DataFrame:
+        var = df[df["doc_id"] < 25].copy()
+        var["doc_id"] = var["doc_id"] + 300000
+        var["text"] = var["text"].fillna("").str.upper().str.replace(
+            " ", "  ", regex=False
+        )
+        return pd.concat([df, var], ignore_index=True)
+
+    def norm_hash(df: pd.DataFrame) -> pd.DataFrame:
+        norm = (
+            df["text"].fillna("").str.lower()
+            .str.replace(r"[ ]+", " ", regex=True)
+            .str.strip(" ")
+        )
+        return pd.DataFrame(
+            {"norm_md5": textfn.md5_hex(norm), "doc_id": df["doc_id"]}
+        )
+
+    ds = (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(augment, batch_format="pandas")
+        .map_batches(norm_hash, batch_format="pandas")
+    )
+
+    def collapse(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("norm_md5", sort=False)["doc_id"]
+        out = g.min().to_frame("keep_doc_id")
+        out["n_dups"] = g.size()
+        return out.reset_index()
+
+    return bucketed_group_apply(ds, "norm_md5", collapse)
+
+
+SQL_DEDUP_NORM = """
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 300000 AS doc_id, replace(upper(text), ' ', '  ') AS text
+  FROM documents WHERE doc_id < 25),
+n AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '[ ]+', ' ', 'g'))) AS norm_md5
+  FROM base)
+SELECT norm_md5, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_dups
+FROM n GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_token_stats(sf_dir: str):
     def fn(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -1806,7 +2023,10 @@ QUERIES = {
     "top_orders": q_top_orders,
     "distinct_brands": q_distinct_brands,
     "dedup_exact": q_dedup_exact,
+    "dedup_norm": q_dedup_norm,
     "dedup_clusters": q_dedup_clusters,
+    "paragraph_dedup": q_paragraph_dedup,
+    "gopher_repetition": q_gopher_repetition,
     "source_stats": q_source_stats,
     "source_top_chars": q_source_top_chars,
     "token_stats": q_token_stats,
@@ -1847,7 +2067,10 @@ ORACLE_SQL = {
     "top_orders": SQL_TOP_ORDERS,
     "distinct_brands": SQL_DISTINCT_BRANDS,
     "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_norm": SQL_DEDUP_NORM,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
+    "gopher_repetition": SQL_GOPHER_REPETITION,
     "source_stats": SQL_SOURCE_STATS,
     "source_top_chars": SQL_SOURCE_TOP_CHARS,
     "utm_fwd": SQL_UTM,
