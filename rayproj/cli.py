@@ -152,16 +152,23 @@ def _expand_crs_tokens(toks):
 
 
 def cmd_projinfo(args) -> int:
-    """CRS resolution at the proj-string level (src/apps/projinfo.cpp
-    -o PROJ surface): expand EPSG codes / proj-strings, print the
-    normalized parameter list + derived ellipsoid; with -s and -t,
-    print the cs2cs datum-hub plan between them. WKT and
-    database-backed outputs are iso19111/factory.cpp scope
-    (SURVEY.md §2.1 — out of scope)."""
+    """CRS resolution at the proj-string level (src/apps/projinfo.cpp):
+    expand EPSG codes / proj-strings, print the normalized parameter
+    list + derived ellipsoid (-o proj, the default) or a WKT2:2019
+    rendering (-o wkt2 / wkt2:2019, the subset io.cpp's WKTFormatter
+    can express without proj.db); with -s and -t, print the cs2cs
+    datum-hub plan between them. Database-backed outputs remain
+    iso19111/factory.cpp scope (SURVEY.md §2.1)."""
+    want_wkt = args.output.lower().startswith("wkt2")
 
     def describe(defn: str) -> None:
         defn = " ".join(_expand_crs_tokens(defn.split()))
         op = create_operation(defn)
+        if want_wkt:
+            from .core.wkt import pretty, to_wkt2
+
+            print(pretty(to_wkt2(op)))
+            return
         toks = []
         for k, v in op.params.pairs:
             toks.append(f"+{k}={v}" if v is not None else f"+{k}")
@@ -349,6 +356,8 @@ def main(argv=None) -> int:
     pi = sub.add_parser("projinfo")
     pi.add_argument("-s", "--s-crs", default=None)
     pi.add_argument("-t", "--t-crs", default=None)
+    pi.add_argument("-o", "--output", default="proj",
+                    help="output format: proj (default) or wkt2[:2019]")
     pi.add_argument("crs", nargs="*")
     pi.set_defaults(fn=cmd_projinfo)
     args = ap.parse_args(argv)
