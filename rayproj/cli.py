@@ -139,16 +139,32 @@ def cmd_proj(args) -> int:
 
 
 def _expand_crs_tokens(toks):
-    """'EPSG:nnnn' / 'epsg:nnnn' CRS shorthand → '+init=epsg:nnnn'
-    (resolved from the bundled static catalog + formulaic UTM
-    families; the full registry is proj.db scope)."""
+    """CRS shorthand expansion: 'EPSG:nnnn' → '+init=epsg:nnnn'
+    (bundled static catalog + formulaic UTM families; the full
+    registry is proj.db scope), and a WKT1/WKT2 CRS string (passed
+    as one shell-quoted token) → its proj-string lowering via
+    rayproj.core.wkt.from_wkt (io.cpp importFromWkt direction)."""
+    from .core.wkt import from_wkt, looks_like_wkt
+
     out = []
     for t in toks:
         if t.upper().startswith("EPSG:") and t[5:].isdigit():
             out.append(f"+init=epsg:{t[5:]}")
+        elif looks_like_wkt(t):
+            out.extend(from_wkt(t).split())
         else:
             out.append(t)
     return out
+
+
+def _normalize_defn(defn: str) -> str:
+    """Whole-definition normalization: WKT strings (which contain
+    spaces inside quoted names) are lowered before token expansion."""
+    from .core.wkt import from_wkt, looks_like_wkt
+
+    if looks_like_wkt(defn):
+        return from_wkt(defn)
+    return " ".join(_expand_crs_tokens(defn.split()))
 
 
 def cmd_projinfo(args) -> int:
@@ -162,7 +178,7 @@ def cmd_projinfo(args) -> int:
     want_wkt = args.output.lower().startswith("wkt2")
 
     def describe(defn: str) -> None:
-        defn = " ".join(_expand_crs_tokens(defn.split()))
+        defn = _normalize_defn(defn)
         op = create_operation(defn)
         if want_wkt:
             from .core.wkt import pretty, to_wkt2
@@ -185,8 +201,8 @@ def cmd_projinfo(args) -> int:
         describe(args.s_crs)
         print("== target ==")
         describe(args.t_crs)
-        s = " ".join(_expand_crs_tokens(args.s_crs.split()))
-        t = " ".join(_expand_crs_tokens(args.t_crs.split()))
+        s = _normalize_defn(args.s_crs)
+        t = _normalize_defn(args.t_crs)
         print("== operation (WGS84 geodetic hub, cs2cs semantics) ==")
         print(f"+proj=pipeline +step +inv {s} +step {t}")
         return 0

@@ -241,21 +241,30 @@ def _bound(inner: str, towgs84: str) -> str:
     )
 
 
+def _escape_method(params) -> str:
+    toks = " ".join(
+        f"+{k}={v}" if v is not None else f"+{k}"
+        for k, v in params.pairs
+        if k != "no_defs"
+    )
+    return f"PROJ-based operation method: {toks}"
+
+
 def _projected(op) -> str:
     name = op.name
     params = op.params
     if name == "utm":
         # utm resolves to tmerc constants (lam0/k0/x0/y0 already set)
         method, plist = _METHODS["tmerc"]
+    elif name == "stere" and abs(abs(op.phi0 * RAD_TO_DEG) - 90.0) > 1e-9:
+        # Polar Stereographic variants require a polar origin; oblique
+        # stere has no proj-string-lossless EPSG method -> escape hatch
+        method, plist = _escape_method(params), []
     elif name in _METHODS:
         method, plist = _METHODS[name]
     else:
         # reference escape hatch for non-mappable operations
-        toks = " ".join(
-            f"+{k}={v}" if v is not None else f"+{k}" for k, v in params.pairs
-            if k != "no_defs"
-        )
-        method, plist = f"PROJ-based operation method: {toks}", []
+        method, plist = _escape_method(params), []
     conv_params = ",".join(
         f'PARAMETER["{pname}",{_num(_param_value(op, src))},'
         + (_ANGLEUNIT if pname.startswith(("Latitude", "Longitude")) else _METREUNIT)
@@ -289,6 +298,341 @@ def to_wkt2(op) -> str:
     if towgs84 and any(float(v) != 0.0 for v in towgs84.split(",")):
         return _bound(inner, towgs84)
     return inner
+
+
+# ---------------------------------------------------------------------------
+# WKT parsing (the importFromWkt direction of src/iso19111/io.cpp's
+# WKTParser, re-derived for the proj-string-expressible subset): a WKT2
+# GEOGCRS / PROJCRS / BOUNDCRS (or WKT1 GEOGCS / PROJCS) is lowered to
+# the equivalent proj-string, which the factory then resolves normally.
+
+_WKT_PARAM_KEYS = {
+    "Latitude of natural origin": "lat_0",
+    "Longitude of natural origin": "lon_0",
+    "Scale factor at natural origin": "k_0",
+    "False easting": "x_0",
+    "False northing": "y_0",
+    "Latitude of false origin": "lat_0",
+    "Longitude of false origin": "lon_0",
+    "Easting at false origin": "x_0",
+    "Northing at false origin": "y_0",
+    "Latitude of 1st standard parallel": "lat_1",
+    "Latitude of 2nd standard parallel": "lat_2",
+    "Latitude of standard parallel": "lat_ts",
+    "Longitude of origin": "lon_0",
+    "Latitude of projection centre": "lat_0",
+    "Longitude of projection centre": "lon_0",
+    "Scale factor on initial line": "k_0",
+    "Easting at projection centre": "x_0",
+    "Northing at projection centre": "y_0",
+    # WKT1 spellings
+    "latitude_of_origin": "lat_0",
+    "central_meridian": "lon_0",
+    "scale_factor": "k_0",
+    "false_easting": "x_0",
+    "false_northing": "y_0",
+    "standard_parallel_1": "lat_1",
+    "standard_parallel_2": "lat_2",
+}
+
+# EPSG method name -> proj name; single-standard-parallel methods remap
+# lat_1 to the parameter the kernel actually reads (lat_ts)
+_METHOD_PROJ = {
+    "Transverse Mercator": ("tmerc", {}),
+    "Transverse_Mercator": ("tmerc", {}),
+    "Polar_Stereographic": ("stere", {"lat_0": "lat_ts"}),
+    "Oblique_Stereographic": ("sterea", {}),
+    "Cylindrical_Equal_Area": ("cea", {"lat_1": "lat_ts"}),
+    "Mercator (variant A)": ("merc", {}),
+    "Mercator (variant B)": ("merc", {"lat_1": "lat_ts"}),
+    "Mercator_1SP": ("merc", {}),
+    "Mercator_2SP": ("merc", {"lat_1": "lat_ts"}),
+    "Popular Visualisation Pseudo Mercator": ("webmerc", {}),
+    "Lambert Conic Conformal (2SP)": ("lcc", {}),
+    "Lambert Conic Conformal (1SP)": ("lcc", {"lat_0": "lat_1"}),
+    "Lambert_Conformal_Conic_2SP": ("lcc", {}),
+    "Albers Equal Area": ("aea", {}),
+    "Albers_Conic_Equal_Area": ("aea", {}),
+    "Lambert Azimuthal Equal Area": ("laea", {}),
+    "Lambert_Azimuthal_Equal_Area": ("laea", {}),
+    "Lambert Cylindrical Equal Area": ("cea", {"lat_1": "lat_ts"}),
+    "Polar Stereographic (variant B)": ("stere", {}),
+    "Polar Stereographic (variant A)": ("stere", {"lat_0": "lat_ts"}),
+    "Hotine Oblique Mercator (variant B)": ("somerc", {}),
+    "Equidistant Cylindrical": ("eqc", {"lat_1": "lat_ts"}),
+    "Equirectangular": ("eqc", {"lat_1": "lat_ts"}),
+    "Orthographic": ("ortho", {}),
+    "Krovak": ("krovak", {}),
+    "Cassini-Soldner": ("cass", {}),
+    "American Polyconic": ("poly", {}),
+    "New Zealand Map Grid": ("nzmg", {}),
+}
+
+
+class WKTNode:
+    __slots__ = ("keyword", "args")
+
+    def __init__(self, keyword, args):
+        self.keyword = keyword
+        self.args = args
+
+    def find(self, *keywords):
+        for a in self.args:
+            if isinstance(a, WKTNode) and a.keyword in keywords:
+                return a
+        return None
+
+    def find_all(self, *keywords):
+        return [
+            a
+            for a in self.args
+            if isinstance(a, WKTNode) and a.keyword in keywords
+        ]
+
+
+def parse_wkt(text: str) -> WKTNode:
+    """Parse a WKT1/WKT2 string into a WKTNode tree.  Accepts [] or ()
+    delimiters and doubled-quote escapes, per ISO 19162 §6.3."""
+    pos = 0
+    n = len(text)
+
+    def skip_ws():
+        nonlocal pos
+        while pos < n and text[pos] in " \t\r\n":
+            pos += 1
+
+    def parse_node():
+        nonlocal pos
+        skip_ws()
+        start = pos
+        while pos < n and (text[pos].isalnum() or text[pos] in "_-"):
+            pos += 1
+        keyword = text[start:pos].upper()
+        skip_ws()
+        if pos >= n or text[pos] not in "[(":
+            raise ValueError(f"WKT: expected '[' after {keyword!r}")
+        close = "]" if text[pos] == "[" else ")"
+        pos += 1
+        args = []
+        while True:
+            skip_ws()
+            if pos >= n:
+                raise ValueError("WKT: unexpected end of input")
+            ch = text[pos]
+            if ch == close or ch in "])":
+                pos += 1
+                return WKTNode(keyword, args)
+            if ch == ",":
+                pos += 1
+                continue
+            if ch == '"':
+                pos += 1
+                buf = []
+                while pos < n:
+                    if text[pos] == '"':
+                        if pos + 1 < n and text[pos + 1] == '"':
+                            buf.append('"')
+                            pos += 2
+                            continue
+                        pos += 1
+                        break
+                    buf.append(text[pos])
+                    pos += 1
+                args.append("".join(buf))
+            elif ch.isalpha():
+                s = pos
+                while pos < n and (text[pos].isalnum() or text[pos] in "_-"):
+                    pos += 1
+                skip_ws()
+                if pos < n and text[pos] in "[(":
+                    pos = s
+                    args.append(parse_node())
+                else:
+                    args.append(text[s:pos])  # bare enum, e.g. north / east
+            else:
+                s = pos
+                while pos < n and text[pos] not in ",])":
+                    pos += 1
+                args.append(float(text[s:pos].strip()))
+        # unreachable
+
+    node = parse_node()
+    skip_ws()
+    return node
+
+
+def looks_like_wkt(s: str) -> bool:
+    head = s.lstrip()[:16].upper()
+    return any(
+        head.startswith(k)
+        for k in (
+            "GEOGCRS",
+            "PROJCRS",
+            "BOUNDCRS",
+            "GEOGCS",
+            "PROJCS",
+            "GEODCRS",
+            "COMPOUNDCRS",
+        )
+    )
+
+
+def _unit_factor(node: WKTNode, default: float = 1.0) -> float:
+    u = node.find("ANGLEUNIT", "LENGTHUNIT", "UNIT", "SCALEUNIT")
+    if u is None:
+        return default
+    for a in u.args:
+        if isinstance(a, float):
+            return a
+    return default
+
+
+def _ellps_tokens(ell: WKTNode) -> list[str]:
+    from .ellps import ELLPS_TABLE
+
+    name = ell.args[0] if isinstance(ell.args[0], str) else "unknown"
+    nums = [a for a in ell.args if isinstance(a, float)]
+    a, rf = nums[0], nums[1] if len(nums) > 1 else 0.0
+    a *= _unit_factor(ell)  # ELLIPSOID axis may carry a LENGTHUNIT
+    # prefer a named +ellps= when the numbers match the built-in table
+    for ename, (size, shape) in ELLPS_TABLE.items():
+        if not (size.startswith("a=") and shape.startswith("rf=")):
+            continue
+        if rf and abs(float(size[2:]) - a) < 1e-4 and abs(float(shape[3:]) - rf) < 1e-7:
+            return [f"+ellps={ename}"]
+    if rf == 0:
+        return [f"+a={_num(a)}", f"+b={_num(a)}"]  # sphere: rf omitted/0
+    return [f"+a={_num(a)}", f"+rf={_num(rf)}"]
+
+
+def _datum_tokens(crs: WKTNode) -> list[str]:
+    datum = crs.find("DATUM", "TRF", "GEODETICDATUM")
+    if datum is None:
+        return []
+    toks = []
+    dname = datum.args[0] if datum.args and isinstance(datum.args[0], str) else ""
+    for short, full in _DATUM_NAMES.items():
+        if dname == full:
+            toks.append(f"+datum={short}")
+            break
+    ell = datum.find("ELLIPSOID", "SPHEROID")
+    if not toks and ell is not None:
+        toks.extend(_ellps_tokens(ell))
+    # WKT1 TOWGS84 node inside DATUM
+    tw = datum.find("TOWGS84")
+    if tw is not None:
+        vals = [a for a in tw.args if isinstance(a, float)]
+        toks.append("+towgs84=" + ",".join(_num(v) for v in vals))
+    return toks
+
+
+def _primem_tokens(crs: WKTNode) -> list[str]:
+    pm = crs.find("PRIMEM")
+    if pm is None:
+        return []
+    nums = [a for a in pm.args if isinstance(a, float)]
+    if nums and nums[0] != 0.0:
+        deg = nums[0] * _unit_factor(pm, 0.0174532925199433) * RAD_TO_DEG
+        return [f"+pm={_num(round(deg, 12))}"]
+    return []
+
+
+def _geog_tokens(crs: WKTNode) -> list[str]:
+    return (
+        ["+proj=longlat"]
+        + _datum_tokens(crs)
+        + _primem_tokens(crs)
+        + ["+no_defs"]
+    )
+
+
+def _proj_tokens(crs: WKTNode) -> list[str]:
+    conv = crs.find("CONVERSION", "DERIVINGCONVERSION")
+    if conv is not None:
+        method = conv.find("METHOD", "PROJECTION")
+        params = conv.find_all("PARAMETER")
+    else:  # WKT1: PROJECTION / PARAMETER directly under PROJCS
+        method = crs.find("PROJECTION")
+        params = crs.find_all("PARAMETER")
+    if method is None:
+        raise ValueError("WKT: PROJCRS without METHOD/PROJECTION")
+    mname = method.args[0] if method.args else ""
+    if mname.startswith("PROJ-based operation method: "):
+        # io.cpp's escape hatch: the proj-string is embedded verbatim
+        return mname[len("PROJ-based operation method: "):].split()
+    if mname not in _METHOD_PROJ:
+        raise ValueError(f"WKT: unsupported projection method {mname!r}")
+    pname, remap = _METHOD_PROJ[mname]
+    toks = [f"+proj={pname}"]
+    for p in params:
+        wname = p.args[0]
+        key = _WKT_PARAM_KEYS.get(wname)
+        if key is None:
+            continue
+        key = remap.get(key, key)
+        val = next((a for a in p.args if isinstance(a, float)), 0.0)
+        if key.startswith(("lat_", "lon_")):
+            val = val * _unit_factor(p, 0.0174532925199433) * RAD_TO_DEG
+            val = round(val, 12)
+        elif key.startswith(("x_", "y_")):
+            val = val * _unit_factor(p)
+        toks.append(f"+{key}={_num(val)}")
+    if mname in ("Polar Stereographic (variant B)", "Polar_Stereographic"):
+        # the pole is implied by the standard parallel's hemisphere
+        ts = next(
+            (float(t.split("=")[1]) for t in toks if t.startswith("+lat_ts=")),
+            90.0,
+        )
+        toks.append(f"+lat_0={90 if ts >= 0 else -90}")
+    base = crs.find("BASEGEOGCRS", "GEOGCS", "BASEGEODCRS")
+    if base is not None:
+        toks.extend(_datum_tokens(base))
+        toks.extend(_primem_tokens(base))
+    # projected CS unit (WKT2: LENGTHUNIT under each AXIS or CS)
+    toks.append("+no_defs")
+    return toks
+
+
+def _bound_tokens(crs: WKTNode) -> list[str]:
+    src = crs.find("SOURCECRS")
+    xf = crs.find("ABRIDGEDTRANSFORMATION", "TRANSFORMATION")
+    if src is None or not src.args or not isinstance(src.args[0], WKTNode):
+        raise ValueError("WKT: BOUNDCRS without SOURCECRS")
+    toks = _crs_tokens(src.args[0])
+    if xf is not None:
+        vals = []
+        for p in xf.find_all("PARAMETER"):
+            vals.append(next((a for a in p.args if isinstance(a, float)), 0.0))
+        if vals:
+            # drop the +datum= a named source datum may have added: the
+            # explicit towgs84 IS the datum information for a BOUNDCRS
+            toks = [t for t in toks if not t.startswith("+towgs84=")]
+            toks.append("+towgs84=" + ",".join(_num(v) for v in vals[:7]))
+    return toks
+
+
+def _crs_tokens(node: WKTNode) -> list[str]:
+    if node.keyword in ("GEOGCRS", "GEOGCS", "GEODCRS"):
+        return _geog_tokens(node)
+    if node.keyword in ("PROJCRS", "PROJCS"):
+        return _proj_tokens(node)
+    if node.keyword == "BOUNDCRS":
+        return _bound_tokens(node)
+    raise ValueError(f"WKT: unsupported root node {node.keyword!r}")
+
+
+def from_wkt(text: str) -> str:
+    """Lower a WKT1/WKT2 CRS string to the equivalent proj-string
+    definition (the importFromWkt direction of io.cpp, for the subset
+    expressible without proj.db)."""
+    toks = _crs_tokens(parse_wkt(text))
+    # dedupe while preserving order (BOUNDCRS paths can repeat tokens)
+    seen, out = set(), []
+    for t in toks:
+        if t not in seen:
+            seen.add(t)
+            out.append(t)
+    return " ".join(out)
 
 
 def pretty(wkt: str, indent: int = 4) -> str:

@@ -61,6 +61,98 @@ def test_unmappable_op_escape_hatch():
     assert "+proj=eck4" in wkt
 
 
+def _fwd_xy(defn, lam_deg=9.5, phi_deg=45.0):
+    import numpy as np
+
+    from rayproj.core.op import Coords
+
+    op = create_operation(defn)
+    c = Coords(
+        np.radians(np.array([lam_deg])), np.radians(np.array([phi_deg]))
+    )
+    op.fwd(c)
+    return c.x[0], c.y[0]
+
+
+def test_from_wkt_roundtrip_projected():
+    import math
+
+    from rayproj.core.wkt import from_wkt
+
+    for defn in [
+        "+proj=tmerc +lat_0=0 +lon_0=9 +k_0=0.9996 +x_0=500000 +ellps=WGS84",
+        "+proj=lcc +lat_1=33 +lat_2=45 +lat_0=39 +lon_0=-96 +ellps=GRS80",
+        "+proj=aea +lat_1=29.5 +lat_2=45.5 +lat_0=23 +lon_0=-96 +ellps=GRS80",
+        "+proj=stere +lat_ts=-71 +lat_0=-90 +lon_0=0 +ellps=WGS84",
+        "+proj=merc +lat_ts=30 +ellps=WGS84",
+        "+proj=eck4 +ellps=WGS84",  # escape-hatch method embeds proj-string
+    ]:
+        back = from_wkt(to_wkt2(create_operation(defn)))
+        x1, y1 = _fwd_xy(defn)
+        x2, y2 = _fwd_xy(back)
+        assert math.isclose(x1, x2, rel_tol=1e-12, abs_tol=1e-9), defn
+        assert math.isclose(y1, y2, rel_tol=1e-12, abs_tol=1e-9), defn
+
+
+def test_from_wkt_boundcrs_towgs84():
+    from rayproj.core.wkt import from_wkt
+
+    defn = (
+        "+proj=longlat +ellps=bessel "
+        "+towgs84=598.1,73.7,418.2,0.202,0.045,-2.455,6.7"
+    )
+    back = from_wkt(to_wkt2(create_operation(defn)))
+    assert "+towgs84=598.1,73.7,418.2,0.202,0.045,-2.455,6.7" in back
+    assert "+ellps=bessel" in back
+
+
+def test_from_wkt1_gdal_style():
+    import math
+
+    from rayproj.core.wkt import from_wkt
+
+    # WKT1 (OGC 01-009 / GDAL): PROJCS/GEOGCS/SPHEROID/TOWGS84,
+    # underscore projection + parameter names, units via GEOGCS UNIT
+    wkt1 = (
+        'PROJCS["OSGB 1936 / British National Grid",'
+        'GEOGCS["OSGB 1936",DATUM["OSGB_1936",'
+        'SPHEROID["Airy 1830",6377563.396,299.3249646],'
+        "TOWGS84[446.448,-125.157,542.06,0.15,0.247,0.842,-20.489]],"
+        'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],'
+        'PROJECTION["Transverse_Mercator"],'
+        'PARAMETER["latitude_of_origin",49],'
+        'PARAMETER["central_meridian",-2],'
+        'PARAMETER["scale_factor",0.9996012717],'
+        'PARAMETER["false_easting",400000],'
+        'PARAMETER["false_northing",-100000],UNIT["metre",1]]'
+    )
+    back = from_wkt(wkt1)
+    ref = (
+        "+proj=tmerc +lat_0=49 +lon_0=-2 +k_0=0.9996012717 "
+        "+x_0=400000 +y_0=-100000 +ellps=airy "
+        "+towgs84=446.448,-125.157,542.06,0.15,0.247,0.842,-20.489"
+    )
+    x1, y1 = _fwd_xy(back, -0.1276, 51.5072)
+    x2, y2 = _fwd_xy(ref, -0.1276, 51.5072)
+    assert math.isclose(x1, x2, abs_tol=1e-6)
+    assert math.isclose(y1, y2, abs_tol=1e-6)
+
+
+def test_cli_accepts_wkt(capsys):
+    from rayproj import cli
+
+    wkt = to_wkt2(
+        create_operation(
+            "+proj=tmerc +lat_0=0 +lon_0=9 +k_0=0.9996 "
+            "+x_0=500000 +datum=WGS84"
+        )
+    )
+    rc = cli.main(["projinfo", wkt])
+    assert rc == 0
+    outp = capsys.readouterr().out
+    assert "+proj=tmerc" in outp and "+lon_0=9" in outp
+
+
 def test_pretty_roundtrip_structure():
     wkt = to_wkt2(create_operation("+proj=longlat +datum=WGS84"))
     p = pretty(wkt)
