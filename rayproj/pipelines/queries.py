@@ -1998,6 +1998,211 @@ FROM r ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# Corpus statistics: term/bigram frequency, quality gates, quantiles
+# ---------------------------------------------------------------------------
+
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def q_gopher_quality(sf_dir: str):
+    """Gopher quality-signal gate (Rae et al. 2021 §A1.1 heuristics,
+    integer-exact so the oracle hash matches): per-doc word count,
+    summed word length, stop-word occurrences and alphabetic-word
+    count, plus the combined keep/drop decision. All signals are
+    vectorized regex/str kernels — no per-row Python."""
+    import re
+
+    stop_pats = [
+        re.compile(rf"(?:^| ){w}(?= |$)") for w in _GOPHER_STOPWORDS
+    ]
+    nonalpha_pat = re.compile(r"(?:^| )[^A-Za-z ]+(?= |$)")
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch["text"].fillna("")
+        n_chars = s.str.len().to_numpy(np.int64)
+        n_spaces = s.str.count(" ").to_numpy(np.int64)
+        n_words = np.where(n_chars > 0, n_spaces + 1, 0)
+        sum_word_len = n_chars - n_spaces
+        n_stop = np.zeros(len(s), dtype=np.int64)
+        for pat in stop_pats:
+            n_stop += s.str.count(pat).to_numpy(np.int64)
+        n_alpha = n_words - s.str.count(nonalpha_pat).to_numpy(np.int64)
+        kept = (
+            (n_words >= 50)
+            & (n_words <= 100000)
+            & (3 * n_words <= sum_word_len)
+            & (sum_word_len <= 10 * n_words)
+            & (n_stop >= 2)
+            & (5 * n_alpha >= 4 * n_words)
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "n_words": n_words,
+                "sum_word_len": sum_word_len,
+                "n_stop": n_stop,
+                "n_alpha_words": n_alpha,
+                "kept": kept.astype(np.int64),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fn, batch_format="pandas"
+    )
+
+
+SQL_GOPHER_QUALITY = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS l,
+         length(text) AS n_chars,
+         length(text) - length(replace(text, ' ', '')) AS n_spaces
+  FROM documents),
+s AS (
+  SELECT doc_id,
+    CASE WHEN n_chars > 0 THEN n_spaces + 1 ELSE 0 END AS n_words,
+    n_chars - n_spaces AS sum_word_len,
+    CAST(len(list_filter(l, w -> w IN {_GOPHER_STOPWORDS})) AS BIGINT)
+        AS n_stop,
+    CAST(len(list_filter(l, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT)
+        AS n_alpha_words
+  FROM t)
+SELECT doc_id, n_words, sum_word_len, n_stop, n_alpha_words,
+  CAST(CASE WHEN n_words >= 50 AND n_words <= 100000
+        AND 3*n_words <= sum_word_len AND sum_word_len <= 10*n_words
+        AND n_stop >= 2 AND 5*n_alpha_words >= 4*n_words
+       THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM s ORDER BY doc_id
+"""
+
+
+def q_word_freq(sf_dir: str):
+    """Corpus-wide term frequency, top 50: per-batch value_counts is
+    the map-side combiner (shuffle moves distinct-words-per-batch,
+    not one row per token), then a small groupby-sum + sort + limit.
+    Tokenization is Arrow split_pattern over the flat UTF-8 buffer."""
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        words = pc.list_flatten(pc.split_pattern(batch.column("text"), " "))
+        vc = words.value_counts()
+        return pa.table(
+            {
+                "word": vc.field("values"),
+                "n": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["n", "word"], descending=[True, False])
+        .limit(50)
+    )
+
+
+SQL_WORD_FREQ = """
+SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+GROUP BY 1 ORDER BY n DESC, word LIMIT 50
+"""
+
+
+def q_bigram_stats(sf_dir: str):
+    """Top-30 bigram collocations. Bigrams are formed on the FLAT word
+    buffer (values[i] + ' ' + values[i+1]) with document boundaries
+    masked out via the list offsets — fully vectorized, no per-row
+    Python. Same combiner shape as q_word_freq."""
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lst = pc.split_pattern(
+            batch.column("text").combine_chunks(), " "
+        )
+        vals = lst.values
+        if len(vals) < 2:
+            return pa.table(
+                {"bigram": pa.array([], pa.string()),
+                 "n": pa.array([], pa.int64())}
+            )
+        pairs = pc.binary_join_element_wise(
+            vals.slice(0, len(vals) - 1), vals.slice(1), " "
+        )
+        # positions whose successor starts a new document are not bigrams
+        offsets = np.asarray(lst.offsets)
+        mask = np.ones(len(pairs), dtype=bool)
+        ends = offsets[1:] - 1  # last-word index of each doc
+        mask[ends[(ends >= 0) & (ends < len(pairs))]] = False
+        vc = pairs.filter(pa.array(mask)).value_counts()
+        return pa.table(
+            {
+                "bigram": vc.field("values"),
+                "n": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bigram")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["n", "bigram"], descending=[True, False])
+        .limit(30)
+    )
+
+
+SQL_BIGRAM_STATS = """
+WITH t AS (SELECT string_split(text, ' ') AS l FROM documents),
+p AS (SELECT unnest(list_zip(l, l[2:])) AS z FROM t)
+SELECT z[1] || ' ' || z[2] AS bigram, CAST(COUNT(*) AS BIGINT) AS n
+FROM p WHERE z[2] IS NOT NULL
+GROUP BY 1 ORDER BY n DESC, bigram LIMIT 30
+"""
+
+
+def q_token_quantiles(sf_dir: str):
+    """Exact per-source n_chars quantiles (p25/p50/p75), discrete
+    semantics: sorted[ceil(q*n)-1], matching DuckDB quantile_disc.
+    Source cardinality is bounded (it does not grow with the corpus),
+    so per-key map_groups is the right contract; unbounded keys would
+    need a sort-based or sketch (t-digest) plan instead."""
+
+    def qs(df: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(df["n_chars"].to_numpy(np.int64))
+        n = len(v)
+        idx = lambda q: v[int(np.ceil(q * n)) - 1]  # noqa: E731
+        return pd.DataFrame(
+            {
+                "source": [df["source"].iloc[0]],
+                "n_docs": np.array([n], dtype=np.int64),
+                "q25": np.array([idx(0.25)], dtype=np.int64),
+                "q50": np.array([idx(0.50)], dtype=np.int64),
+                "q75": np.array([idx(0.75)], dtype=np.int64),
+            }
+        )
+
+    return (
+        _read(sf_dir, "documents", ["source", "n_chars"])
+        .groupby("source")
+        .map_groups(qs, batch_format="pandas")
+    )
+
+
+SQL_TOKEN_QUANTILES = """
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  quantile_disc(n_chars, 0.25) AS q25,
+  quantile_disc(n_chars, 0.50) AS q50,
+  quantile_disc(n_chars, 0.75) AS q75
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -2029,6 +2234,10 @@ QUERIES = {
     "gopher_repetition": q_gopher_repetition,
     "source_stats": q_source_stats,
     "source_top_chars": q_source_top_chars,
+    "gopher_quality": q_gopher_quality,
+    "word_freq": q_word_freq,
+    "bigram_stats": q_bigram_stats,
+    "token_quantiles": q_token_quantiles,
     "token_stats": q_token_stats,
     "text_quality": q_text_quality,
     "minhash_lsh": q_minhash_lsh,
@@ -2073,6 +2282,10 @@ ORACLE_SQL = {
     "gopher_repetition": SQL_GOPHER_REPETITION,
     "source_stats": SQL_SOURCE_STATS,
     "source_top_chars": SQL_SOURCE_TOP_CHARS,
+    "gopher_quality": SQL_GOPHER_QUALITY,
+    "word_freq": SQL_WORD_FREQ,
+    "bigram_stats": SQL_BIGRAM_STATS,
+    "token_quantiles": SQL_TOKEN_QUANTILES,
     "utm_fwd": SQL_UTM,
     "token_stats": SQL_TOKEN_STATS,
     "text_quality": SQL_TEXT_QUALITY,
