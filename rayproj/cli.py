@@ -176,6 +176,7 @@ def cmd_projinfo(args) -> int:
     datum-hub plan between them. Database-backed outputs remain
     iso19111/factory.cpp scope (SURVEY.md §2.1)."""
     want_wkt = args.output.lower().startswith("wkt2")
+    want_json = args.output.lower() == "projjson"
 
     def describe(defn: str) -> None:
         defn = _normalize_defn(defn)
@@ -184,6 +185,13 @@ def cmd_projinfo(args) -> int:
             from .core.wkt import pretty, to_wkt2
 
             print(pretty(to_wkt2(op)))
+            return
+        if want_json:
+            import json as _json
+
+            from .core.wkt import to_projjson
+
+            print(_json.dumps(to_projjson(op), indent=2))
             return
         toks = []
         for k, v in op.params.pairs:
@@ -373,7 +381,8 @@ def main(argv=None) -> int:
     pi.add_argument("-s", "--s-crs", default=None)
     pi.add_argument("-t", "--t-crs", default=None)
     pi.add_argument("-o", "--output", default="proj",
-                    help="output format: proj (default) or wkt2[:2019]")
+                    help="output format: proj (default), wkt2[:2019], "
+                         "or projjson")
     pi.add_argument("crs", nargs="*")
     pi.set_defaults(fn=cmd_projinfo)
     args = ap.parse_args(argv)

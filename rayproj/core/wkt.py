@@ -301,6 +301,152 @@ def to_wkt2(op) -> str:
 
 
 # ---------------------------------------------------------------------------
+# PROJJSON emission (the exportToJSON direction of io.cpp; schema
+# https://proj.org/schemas/v0.7/projjson.schema.json) — same
+# proj-string-expressible subset as to_wkt2, as plain dicts.
+
+_PROJJSON_SCHEMA = "https://proj.org/schemas/v0.7/projjson.schema.json"
+
+
+def _pj_ellipsoid(op) -> dict:
+    a = getattr(op, "a_orig", None) or op.ell.a
+    es = getattr(op, "es_orig", None)
+    if es is None:
+        es = op.ell.es
+    name = op.params.str_("ellps") or "unknown"
+    f = 1.0 - (1.0 - es) ** 0.5
+    out = {"name": _ELLPS_NAMES.get(name, name), "semi_major_axis": a}
+    if f:
+        out["inverse_flattening"] = round(1.0 / f, 9)
+    else:
+        out["radius"] = a
+    return out
+
+
+def _pj_datum(op) -> dict:
+    return {
+        "type": "GeodeticReferenceFrame",
+        "name": _datum_name(op),
+        "ellipsoid": _pj_ellipsoid(op),
+    }
+
+
+def _pj_geog(op, name="unknown") -> dict:
+    return {
+        "type": "GeographicCRS",
+        "name": name,
+        "datum": _pj_datum(op),
+        "coordinate_system": {
+            "subtype": "ellipsoidal",
+            "axis": [
+                {"name": "Geodetic latitude", "abbreviation": "Lat",
+                 "direction": "north", "unit": "degree"},
+                {"name": "Geodetic longitude", "abbreviation": "Lon",
+                 "direction": "east", "unit": "degree"},
+            ],
+        },
+    }
+
+
+def _pj_conversion(op) -> dict:
+    name = op.name
+    if name == "utm":
+        method, plist = _METHODS["tmerc"]
+    elif name == "stere" and abs(abs(op.phi0 * RAD_TO_DEG) - 90.0) > 1e-9:
+        method, plist = _escape_method(op.params), []
+    elif name in _METHODS:
+        method, plist = _METHODS[name]
+    else:
+        method, plist = _escape_method(op.params), []
+    params = [
+        {
+            "name": pname,
+            "value": _param_value(op, src),
+            "unit": "degree"
+            if pname.startswith(("Latitude", "Longitude"))
+            else "metre",
+        }
+        for pname, src in plist
+    ]
+    return {
+        "type": "Conversion",
+        "name": "unknown",
+        "method": {"name": method},
+        "parameters": params,
+    }
+
+
+def to_projjson(op) -> dict:
+    """PROJJSON (v0.7 schema) for a resolved Operation — the JSON
+    twin of to_wkt2; BOUNDCRS becomes a BoundCRS object with the
+    towgs84 Helmert as the abridged transformation."""
+    if op.is_latlong:
+        inner = _pj_geog(op)
+    else:
+        inner = {
+            "type": "ProjectedCRS",
+            "name": "unknown",
+            "base_crs": _pj_geog(op),
+            "conversion": _pj_conversion(op),
+            "coordinate_system": {
+                "subtype": "Cartesian",
+                "axis": [
+                    {"name": "Easting", "abbreviation": "E",
+                     "direction": "east", "unit": "metre"},
+                    {"name": "Northing", "abbreviation": "N",
+                     "direction": "north", "unit": "metre"},
+                ],
+            },
+        }
+    towgs84 = op.params.str_("towgs84")
+    if towgs84 and any(float(v) != 0.0 for v in towgs84.split(",")):
+        vals = [float(v) for v in towgs84.split(",")]
+        vals += [0.0] * (7 - len(vals))
+        pnames = [
+            "X-axis translation", "Y-axis translation", "Z-axis translation",
+            "X-axis rotation", "Y-axis rotation", "Z-axis rotation",
+            "Scale difference",
+        ]
+        inner = {
+            "type": "BoundCRS",
+            "source_crs": inner,
+            "target_crs": {
+                "type": "GeographicCRS",
+                "name": "WGS 84",
+                "datum": {
+                    "type": "GeodeticReferenceFrame",
+                    "name": "World Geodetic System 1984",
+                    "ellipsoid": {
+                        "name": "WGS 84",
+                        "semi_major_axis": 6378137,
+                        "inverse_flattening": 298.257223563,
+                    },
+                },
+                "coordinate_system": {
+                    "subtype": "ellipsoidal",
+                    "axis": [
+                        {"name": "Geodetic latitude", "abbreviation": "Lat",
+                         "direction": "north", "unit": "degree"},
+                        {"name": "Geodetic longitude", "abbreviation": "Lon",
+                         "direction": "east", "unit": "degree"},
+                    ],
+                },
+            },
+            "transformation": {
+                "name": "Transformation from unknown to WGS84",
+                "method": {
+                    "name": "Position Vector transformation (geog2D domain)"
+                },
+                "parameters": [
+                    {"name": n, "value": v}
+                    for n, v in zip(pnames, vals)
+                ],
+            },
+        }
+    return {"$schema": _PROJJSON_SCHEMA, **inner}
+
+
+# ---------------------------------------------------------------------------
 # WKT parsing (the importFromWkt direction of src/iso19111/io.cpp's
 # WKTParser, re-derived for the proj-string-expressible subset): a WKT2
 # GEOGCRS / PROJCRS / BOUNDCRS (or WKT1 GEOGCS / PROJCS) is lowered to

@@ -153,6 +153,35 @@ def test_cli_accepts_wkt(capsys):
     assert "+proj=tmerc" in outp and "+lon_0=9" in outp
 
 
+def test_projjson_projected():
+    from rayproj.core.wkt import to_projjson
+
+    d = to_projjson(
+        create_operation(
+            "+proj=tmerc +lat_0=0 +lon_0=9 +k_0=0.9996 "
+            "+x_0=500000 +ellps=WGS84"
+        )
+    )
+    assert d["type"] == "ProjectedCRS"
+    assert d["conversion"]["method"]["name"] == "Transverse Mercator"
+    params = {p["name"]: p["value"] for p in d["conversion"]["parameters"]}
+    assert params["Longitude of natural origin"] == 9
+    assert params["False easting"] == 500000
+    assert d["base_crs"]["datum"]["ellipsoid"]["semi_major_axis"] == 6378137
+
+
+def test_projjson_boundcrs():
+    from rayproj.core.wkt import to_projjson
+
+    d = to_projjson(
+        create_operation("+proj=longlat +ellps=bessel +towgs84=1,2,3")
+    )
+    assert d["type"] == "BoundCRS"
+    assert d["source_crs"]["type"] == "GeographicCRS"
+    vals = [p["value"] for p in d["transformation"]["parameters"]]
+    assert vals == [1, 2, 3, 0, 0, 0, 0]
+
+
 def test_pretty_roundtrip_structure():
     wkt = to_wkt2(create_operation("+proj=longlat +datum=WGS84"))
     p = pretty(wkt)
