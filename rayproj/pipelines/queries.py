@@ -1997,6 +1997,65 @@ FROM r ORDER BY doc_id
 """
 
 
+def q_events_asof(sf_dir: str):
+    """Distributed AS-OF JOIN (a custom operator Ray Data lacks):
+    each 'purchase' event is matched to the same user's most recent
+    'signup' at or before its timestamp. Plan: prune both sides at
+    the read (columns + row filter), hash-partition by the join key
+    via groupby(user_id), then per-group sort-right + searchsorted —
+    the standard partitioned-merge as-of contract. Partitioning
+    assumption: one user's history fits in a group (keys grow with
+    the corpus but per-key rows stay bounded); a hot key would take
+    a (key, time-bucket) split with boundary carry-forward, exactly
+    like events_sessions. Oracle: DuckDB's native ASOF LEFT JOIN."""
+    def keep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(
+            pc.is_in(t["event_type"], value_set=pa.array(["purchase", "signup"]))
+        )
+
+    ds = _read(
+        sf_dir, "events", ["event_id", "ts", "user_id", "event_type"]
+    ).map_batches(keep, batch_format="pyarrow")
+
+    def asof(df: pd.DataFrame) -> pd.DataFrame:
+        left = df[df["event_type"] == "purchase"]
+        right = df[df["event_type"] == "signup"].sort_values(
+            ["ts", "event_id"], kind="mergesort"
+        )
+        lts = left["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        rts = right["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        pos = np.searchsorted(rts, lts, side="right") - 1
+        matched = pos >= 0
+        sid = np.full(len(left), -1, dtype=np.int64)
+        lag = np.full(len(left), -1, dtype=np.int64)
+        sid[matched] = right["event_id"].to_numpy(np.int64)[pos[matched]]
+        lag[matched] = lts[matched] - rts[pos[matched]]
+        return pd.DataFrame(
+            {
+                "event_id": left["event_id"].to_numpy(np.int64),
+                "user_id": left["user_id"].to_numpy(np.int64),
+                "ts_us": lts,
+                "signup_event_id": sid,
+                "asof_lag_us": lag,
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(asof, batch_format="pandas")
+
+
+SQL_EVENTS_ASOF = """
+SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+       COALESCE(s.event_id, -1) AS signup_event_id,
+       COALESCE(epoch_us(p.ts) - epoch_us(s.ts), -1) AS asof_lag_us
+FROM (SELECT * FROM events WHERE event_type='purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='signup') s
+  ON p.user_id = s.user_id AND p.ts >= s.ts
+ORDER BY p.event_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Corpus statistics: term/bigram frequency, quality gates, quantiles
 # ---------------------------------------------------------------------------
@@ -2234,6 +2293,7 @@ QUERIES = {
     "gopher_repetition": q_gopher_repetition,
     "source_stats": q_source_stats,
     "source_top_chars": q_source_top_chars,
+    "events_asof": q_events_asof,
     "gopher_quality": q_gopher_quality,
     "word_freq": q_word_freq,
     "bigram_stats": q_bigram_stats,
@@ -2282,6 +2342,7 @@ ORACLE_SQL = {
     "gopher_repetition": SQL_GOPHER_REPETITION,
     "source_stats": SQL_SOURCE_STATS,
     "source_top_chars": SQL_SOURCE_TOP_CHARS,
+    "events_asof": SQL_EVENTS_ASOF,
     "gopher_quality": SQL_GOPHER_QUALITY,
     "word_freq": SQL_WORD_FREQ,
     "bigram_stats": SQL_BIGRAM_STATS,
