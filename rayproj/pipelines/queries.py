@@ -2045,6 +2045,45 @@ def q_events_asof(sf_dir: str):
     return ds.groupby("user_id").map_groups(asof, batch_format="pandas")
 
 
+def q_html_extract(sf_dir: str):
+    """The input_hint invariant as a driver query: byte-identical
+    extracted text per url. The engine reads ONLY (url, html) from the
+    Common-Crawl-style pages fixture (column pruning — the stored text
+    column never enters the pipeline), runs the fully vectorized Arrow
+    extractor (split on <p>/</p> + chained entity decode,
+    sources/pages.py:extract_text_arrow), and the oracle selects the
+    generator's stored truth. A hash match proves the extraction chain
+    reproduces every text byte for every url."""
+    import ray.data as rd
+
+    from ..sources.pages import ensure_pages_fixture, extract_text_arrow
+
+    path = ensure_pages_fixture()
+
+    def fn(batch: pa.Table) -> pa.Table:
+        txt = extract_text_arrow(batch.column("html"))
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "url": batch.column("url"),
+                "text": txt,
+                "n_chars": pc.cast(pc.utf8_length(txt), pa.int64()),
+            }
+        )
+
+    return rd.read_parquet(path, columns=["url", "html"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
+SQL_HTML_EXTRACT = """
+SELECT url, text, CAST(length(text) AS BIGINT) AS n_chars
+FROM read_parquet('/tmp/rayproj_fixtures/pages.parquet')
+ORDER BY url
+"""
+
+
 SQL_EVENTS_ASOF = """
 SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
        COALESCE(s.event_id, -1) AS signup_event_id,
@@ -2294,6 +2333,7 @@ QUERIES = {
     "source_stats": q_source_stats,
     "source_top_chars": q_source_top_chars,
     "events_asof": q_events_asof,
+    "html_extract": q_html_extract,
     "gopher_quality": q_gopher_quality,
     "word_freq": q_word_freq,
     "bigram_stats": q_bigram_stats,
@@ -2343,6 +2383,7 @@ ORACLE_SQL = {
     "source_stats": SQL_SOURCE_STATS,
     "source_top_chars": SQL_SOURCE_TOP_CHARS,
     "events_asof": SQL_EVENTS_ASOF,
+    "html_extract": SQL_HTML_EXTRACT,
     "gopher_quality": SQL_GOPHER_QUALITY,
     "word_freq": SQL_WORD_FREQ,
     "bigram_stats": SQL_BIGRAM_STATS,

@@ -22,7 +22,24 @@ _WORDS = (
     "the data engine stream batch shuffle arrow ray projection mercator "
     "grid datum helmert coordinate latitude longitude tile cell polygon "
     "page crawl web text token index query vector hash cluster partition"
-).split()
+).split() + [
+    # entity-bearing tokens: literal & < > " ' must round-trip through
+    # html escaping byte-identically (the extractor decodes them back)
+    "r&d", "<tag>", 'say "hi"', "it's", "a<b>c", "x&y&z",
+]
+
+# escape/unescape table: order matters — '&' first on escape, last on
+# decode (the standard well-formed-entity round trip)
+_ESCAPES = [
+    ("&", "&amp;"), ("<", "&lt;"), (">", "&gt;"),
+    ('"', "&quot;"), ("'", "&#39;"),
+]
+
+
+def _escape(s: str) -> str:
+    for raw, ent in _ESCAPES:
+        s = s.replace(raw, ent)
+    return s
 
 
 def _rng_for(seed: int, block: int) -> np.random.Generator:
@@ -34,7 +51,9 @@ def make_pages_block(seed: int, start: int, n: int) -> pa.Table:
     rng = _rng_for(seed, start)
     row_id = np.arange(start, start + n, dtype=np.int64)
     lang = LANGS[row_id % len(LANGS)]
-    host_hash = (row_id * np.int64(0x9E3779B97F4A7C15)) & np.int64(0xFFFFFFFF)
+    host_hash = (row_id.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) & np.uint64(
+        0xFFFFFFFF
+    )
     urls = [
         f"https://{l}.example-{h:08x}.com/p/{r}"
         for l, h, r in zip(lang, host_hash, row_id)
@@ -52,7 +71,13 @@ def make_pages_block(seed: int, start: int, n: int) -> pa.Table:
         pos += k
         body = " ".join(words)
         text = f"page {row_id[i]}: {body}"
-        html = f"<html><head><title>p{row_id[i]}</title></head><body><p>{text}</p></body></html>"
+        html = (
+            f"<html><head><title>p{row_id[i]}</title>"
+            f"<script>var id={row_id[i]};</script></head>"
+            f"<body><nav>home | {lang[i]} | about</nav>"
+            f"<p>{_escape(text)}</p>"
+            f"<footer>&copy; example-{host_hash[i]:08x}</footer></body></html>"
+        )
         texts.append(text)
         htmls.append(html.encode())
     return pa.table(
@@ -68,13 +93,63 @@ def make_pages_block(seed: int, start: int, n: int) -> pa.Table:
 
 
 def extract_text_from_html(html: bytes) -> str:
-    """The deterministic text extractor matching make_pages_block:
-    content of the <p> element. Re-running it on ``html`` must
+    """Scalar reference extractor: content of the first <p> element with
+    the five standard entities decoded. Re-running it on ``html`` must
     reproduce ``text`` byte-identically (the per-url invariant)."""
     s = html.decode()
     start = s.index("<p>") + 3
-    end = s.index("</p>")
-    return s[start:end]
+    end = s.index("</p>", start)
+    frag = s[start:end]
+    for raw, ent in _ESCAPES[1:]:
+        frag = frag.replace(ent, raw)
+    return frag.replace("&amp;", "&")
+
+
+def extract_text_arrow(html_col: "pa.Array | pa.ChunkedArray") -> pa.Array:
+    """Vectorized extractor over an Arrow binary column — the map_batches
+    kernel. split_pattern('<p>') → element 1 → split_pattern('</p>') →
+    element 0, then chained replace_substring entity decodes ('&amp;'
+    last). All pyarrow.compute; no per-row Python."""
+    import pyarrow.compute as pc
+
+    s = pc.cast(html_col, pa.string())
+    after_p = pc.list_element(pc.split_pattern(s, "<p>", max_splits=1), 1)
+    frag = pc.list_element(pc.split_pattern(after_p, "</p>", max_splits=1), 0)
+    for raw, ent in _ESCAPES[1:]:
+        frag = pc.replace_substring(frag, ent, raw)
+    return pc.replace_substring(frag, "&amp;", "&")
+
+
+PAGES_FIX_DIR = "/tmp/rayproj_fixtures"
+PAGES_PATH = PAGES_FIX_DIR + "/pages.parquet"
+PAGES_N, PAGES_SEED = 5000, 42
+_PAGES_MARK = b"rayproj-pages-v2"
+
+
+def ensure_pages_fixture() -> str:
+    """Idempotently materialize the deterministic pages table (the
+    input_hint schema) as a parquet fixture both the engine query and
+    the DuckDB oracle read. A schema-metadata marker keys the content
+    version so stale fixtures are rewritten."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    try:
+        md = pq.read_schema(PAGES_PATH).metadata or {}
+        if md.get(b"rayproj_pages") == _PAGES_MARK:
+            return PAGES_PATH
+    except Exception:
+        pass
+    os.makedirs(PAGES_FIX_DIR, exist_ok=True)
+    t = make_pages_block(PAGES_SEED, 0, PAGES_N)
+    t = t.replace_schema_metadata({b"rayproj_pages": _PAGES_MARK})
+    fd, tmp = tempfile.mkstemp(dir=PAGES_FIX_DIR, suffix=".parquet")
+    os.close(fd)
+    pq.write_table(t, tmp)
+    os.replace(tmp, PAGES_PATH)
+    return PAGES_PATH
 
 
 def pages_dataset(n_rows: int, seed: int = 42, block_rows: int = 65536):
