@@ -2084,6 +2084,108 @@ ORDER BY url
 """
 
 
+def q_pages_pipeline(sf_dir: str):
+    """The north-rule pipeline end-to-end as ONE oracle-checked query:
+    Common-Crawl-style pages → vectorized html→text extraction →
+    geolocate → web-mercator tile assignment, with the extracted text
+    riding through to the output byte-identically per url. One fused
+    map_batches stage (no shuffle) — the deployment shape of
+    flagship.py, but with the byte-identity invariant IN the hash."""
+    import ray.data as rd
+
+    from ..sources.pages import ensure_pages_fixture, extract_text_arrow
+    from ..spatial.tiles import tile_xy
+
+    path = ensure_pages_fixture()
+
+    def fn(batch: pa.Table) -> pa.Table:
+        txt = extract_text_arrow(batch.column("html"))
+        lon, lat = geolocate_ids(batch.column("row_id").to_numpy())
+        tx, ty = tile_xy(lon, lat, ZOOM)
+        return pa.table(
+            {
+                "url": batch.column("url"),
+                "text": txt,
+                "tile_x": pa.array(tx),
+                "tile_y": pa.array(ty),
+            }
+        )
+
+    return rd.read_parquet(path, columns=["url", "html", "row_id"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
+SQL_PAGES_PIPELINE = f"""
+WITH g AS (
+  SELECT url, text,
+    ((row_id*9973) % 35000)/100.0 - 175.0 + 0.005 AS lon,
+    ((row_id*7919) % 16000)/100.0 - 80.0 + 0.005 AS lat
+  FROM read_parquet('/tmp/rayproj_fixtures/pages.parquet'))
+SELECT url, text,
+  CAST(LEAST(GREATEST(FLOOR((lon + 180.0)/360.0 * {1 << ZOOM}), 0), {(1 << ZOOM) - 1}) AS BIGINT) AS tile_x,
+  CAST(LEAST(GREATEST(FLOOR((1.0 - ln(tan(radians(lat)) + sqrt(1 + tan(radians(lat))*tan(radians(lat))))/pi())/2.0 * {1 << ZOOM}), 0), {(1 << ZOOM) - 1}) AS BIGINT) AS tile_y
+FROM g ORDER BY url
+"""
+
+
+_RJ_T0 = 1_704_067_200_000_000  # 2024-01-01T00:00:00 in epoch-us
+_RJ_STEP = 57_600_000_000  # window start cadence: 16 h
+_RJ_WIDTH = 144_000_000_000  # window width: 40 h (2.5x overlap)
+_RJ_NW = 45  # covers the 30-day event span
+
+
+def q_events_range_join(sf_dir: str):
+    """Distributed RANGE (interval) JOIN — another operator Ray Data
+    lacks: each event explodes to ALL overlapping campaign windows.
+    The window table is tiny and broadcast (a closure constant here;
+    `ray.put` once per job at scale — never a shuffle), so the join is
+    map-only: candidate window ids per point are bounded by
+    width/cadence (3 here) and computed by integer division +
+    vectorized containment masks, O(n * overlap) not O(n * windows).
+    For arbitrary non-uniform interval sets the same stage holds a
+    sorted-endpoint index per actor. Oracle: DuckDB non-equi JOIN
+    against a range()-generated window table."""
+    ds = _read(sf_dir, "events", ["event_id", "ts"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ts = (
+            batch.column("ts")
+            .cast(pa.timestamp("us"))
+            .to_numpy()
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        eid = batch.column("event_id").to_numpy()
+        k_hi = (ts - _RJ_T0) // _RJ_STEP
+        ncand = _RJ_WIDTH // _RJ_STEP + 1
+        cand = k_hi[:, None] - np.arange(ncand, dtype=np.int64)[None, :]
+        ws = _RJ_T0 + cand * _RJ_STEP
+        ok = (cand >= 0) & (cand < _RJ_NW)
+        ok &= (ts[:, None] >= ws) & (ts[:, None] < ws + _RJ_WIDTH)
+        r, c = np.nonzero(ok)
+        return pa.table(
+            {
+                "event_id": pa.array(eid[r]),
+                "window_id": pa.array(cand[r, c]),
+                "ts_us": pa.array(ts[r]),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_EVENTS_RANGE_JOIN = f"""
+WITH w AS (SELECT CAST(k AS BIGINT) AS window_id,
+                  {_RJ_T0} + k * {_RJ_STEP} AS ws
+           FROM range(0, {_RJ_NW}) t(k))
+SELECT e.event_id, w.window_id, epoch_us(e.ts) AS ts_us
+FROM events e JOIN w
+  ON epoch_us(e.ts) >= w.ws AND epoch_us(e.ts) < w.ws + {_RJ_WIDTH}
+ORDER BY e.event_id, w.window_id
+"""
+
+
 SQL_EVENTS_ASOF = """
 SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
        COALESCE(s.event_id, -1) AS signup_event_id,
@@ -2333,7 +2435,9 @@ QUERIES = {
     "source_stats": q_source_stats,
     "source_top_chars": q_source_top_chars,
     "events_asof": q_events_asof,
+    "events_range_join": q_events_range_join,
     "html_extract": q_html_extract,
+    "pages_pipeline": q_pages_pipeline,
     "gopher_quality": q_gopher_quality,
     "word_freq": q_word_freq,
     "bigram_stats": q_bigram_stats,
@@ -2383,7 +2487,9 @@ ORACLE_SQL = {
     "source_stats": SQL_SOURCE_STATS,
     "source_top_chars": SQL_SOURCE_TOP_CHARS,
     "events_asof": SQL_EVENTS_ASOF,
+    "events_range_join": SQL_EVENTS_RANGE_JOIN,
     "html_extract": SQL_HTML_EXTRACT,
+    "pages_pipeline": SQL_PAGES_PIPELINE,
     "gopher_quality": SQL_GOPHER_QUALITY,
     "word_freq": SQL_WORD_FREQ,
     "bigram_stats": SQL_BIGRAM_STATS,
