@@ -2186,6 +2186,63 @@ ORDER BY e.event_id, w.window_id
 """
 
 
+def q_events_sliding_window(sf_dir: str):
+    """SLIDING (hopping) window aggregate: 40-hour windows every 16
+    hours, so each event lands in up to 3 overlapping windows. The
+    explode is fused with a per-batch PARTIAL aggregate (np.unique
+    over the composite (window, type) key), so the shuffle moves only
+    tiny partials — never the 2.5x-exploded event rows. The global
+    combine is a small multi-key groupby. This is the standard
+    streaming hopping-window contract expressed as batch transforms."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ts = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        cents = np.floor(df["value"].to_numpy() * 100).astype(np.int64)
+        codes, uniq_types = pd.factorize(df["event_type"])
+        k_hi = (ts - _RJ_T0) // _RJ_STEP
+        ncand = _RJ_WIDTH // _RJ_STEP + 1
+        cand = k_hi[:, None] - np.arange(ncand, dtype=np.int64)[None, :]
+        ws = _RJ_T0 + cand * _RJ_STEP
+        ok = (cand >= 0) & (cand < _RJ_NW)
+        ok &= (ts[:, None] >= ws) & (ts[:, None] < ws + _RJ_WIDTH)
+        r, c = np.nonzero(ok)
+        key = cand[r, c] * len(uniq_types) + codes[r]
+        uk, inv = np.unique(key, return_inverse=True)
+        n = np.bincount(inv, minlength=len(uk)).astype(np.int64)
+        s = np.bincount(inv, weights=cents[r].astype(np.float64),
+                        minlength=len(uk)).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "window_id": uk // len(uniq_types),
+                "event_type": np.asarray(uniq_types)[uk % len(uniq_types)],
+                "n_partial": n,
+                "c_partial": s,
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+    return parts.groupby(["window_id", "event_type"]).aggregate(
+        Sum("n_partial", alias_name="n_events"),
+        Sum("c_partial", alias_name="sum_cents"),
+    )
+
+
+SQL_EVENTS_SLIDING_WINDOW = f"""
+WITH w AS (SELECT CAST(k AS BIGINT) AS window_id,
+                  {_RJ_T0} + k * {_RJ_STEP} AS ws
+           FROM range(0, {_RJ_NW}) t(k))
+SELECT w.window_id, e.event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(CAST(FLOOR(e.value*100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events e JOIN w
+  ON epoch_us(e.ts) >= w.ws AND epoch_us(e.ts) < w.ws + {_RJ_WIDTH}
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 SQL_EVENTS_ASOF = """
 SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
        COALESCE(s.event_id, -1) AS signup_event_id,
@@ -2436,6 +2493,7 @@ QUERIES = {
     "source_top_chars": q_source_top_chars,
     "events_asof": q_events_asof,
     "events_range_join": q_events_range_join,
+    "events_sliding_window": q_events_sliding_window,
     "html_extract": q_html_extract,
     "pages_pipeline": q_pages_pipeline,
     "gopher_quality": q_gopher_quality,
@@ -2488,6 +2546,7 @@ ORACLE_SQL = {
     "source_top_chars": SQL_SOURCE_TOP_CHARS,
     "events_asof": SQL_EVENTS_ASOF,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
+    "events_sliding_window": SQL_EVENTS_SLIDING_WINDOW,
     "html_extract": SQL_HTML_EXTRACT,
     "pages_pipeline": SQL_PAGES_PIPELINE,
     "gopher_quality": SQL_GOPHER_QUALITY,
