@@ -137,6 +137,55 @@ def run_headline() -> dict:
     }
 
 
+def run_pages_extract() -> dict:
+    """html→text extraction throughput at replicated scale (the webtext
+    payload leg): Common-Crawl-style pages are generated in parallel
+    tasks and MATERIALIZED untimed (generation is fixture cost, not
+    engine work), then the vectorized Arrow extractor streams over the
+    cached blocks; each batch emits one checksum row so the timed run
+    measures extraction, not result collection."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rayproj.sources.pages import extract_text_arrow, make_pages_block
+
+    n = int(os.environ.get("BENCH_PAGES_ROWS", "1000000"))
+    block = 65536
+    starts = [{"seed": 42, "start": s, "n": min(block, n - s)}
+              for s in range(0, n, block)]
+
+    def gen(df) -> pa.Table:
+        return make_pages_block(int(df["seed"][0]), int(df["start"][0]),
+                                int(df["n"][0]))
+
+    pages = (
+        rd.from_items(starts)
+        .repartition(len(starts))
+        .map_batches(gen, batch_format="pandas", batch_size=1)
+        .materialize()
+    )
+
+    def ext(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        txt = extract_text_arrow(t.column("html"))
+        total = pc.sum(pc.utf8_length(txt)).as_py() or 0
+        return pa.table({"chars": pa.array([int(total)], type=pa.int64())})
+
+    runs = []
+    chars = 0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        chars = pages.map_batches(ext, batch_format="pyarrow").sum("chars")
+        runs.append(time.perf_counter() - t0)
+    return {
+        "rows": n,
+        "seconds": round(min(runs), 3),
+        "docs_per_sec": round(n / min(runs)),
+        "text_chars": int(chars),
+    }
+
+
 def run_write_path() -> dict:
     """Timed full-column output path at replicated scale (round-2
     VERDICT #5: re-measure ≥10 M rows): the sf documents table is
@@ -205,7 +254,7 @@ def run_queries() -> dict:
     names = [
         "merc_fwd", "datum_hop_cs2cs", "hgridshift", "tile_stats",
         "pip_assign", "knn_anchors", "agg_lineitem", "dedup_exact",
-        "ann_cosine", "events_sessions",
+        "ann_cosine", "events_sessions", "minhash_lsh", "pages_pipeline",
     ]
     reps = int(os.environ.get("BENCH_QUERY_REPS", "3"))
     timings: dict[str, list] = {n: [] for n in names}
@@ -335,6 +384,9 @@ def main() -> None:
         queries = run_queries()
         write_path = None if os.environ.get("BENCH_SKIP_QUERIES") else run_write_path()
         kernels = None if os.environ.get("BENCH_SKIP_QUERIES") else run_kernel_baselines()
+        pages_extract = (
+            None if os.environ.get("BENCH_SKIP_QUERIES") else run_pages_extract()
+        )
     finally:
         ray.shutdown()
     out = {
@@ -347,6 +399,7 @@ def main() -> None:
         "queries": queries,
         "write_path": write_path,
         "kernel_baselines": kernels,
+        "pages_extract": pages_extract,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
     }

@@ -2084,6 +2084,54 @@ ORDER BY url
 """
 
 
+def q_domain_stats(sf_dir: str):
+    """Per-domain corpus stats over the pages fixture: vectorized URL
+    host extraction (pc.extract_regex — no per-row Python) fused with a
+    per-batch partial aggregate, then a small groupby combine. The
+    shuffle carries one row per (batch, host), never page rows."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..sources.pages import ensure_pages_fixture
+
+    path = ensure_pages_fixture()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = pc.extract_regex(batch.column("url"), r"^https://(?P<host>[^/]+)/")
+        host = pc.struct_field(m, "host")
+        nch = pc.utf8_length(batch.column("text")).cast(pa.int64())
+        df = pd.DataFrame({"host": host.to_pandas(), "n_chars": nch.to_pandas()})
+        g = df.groupby("host", sort=False, observed=True)["n_chars"].agg(
+            ["count", "sum"]
+        )
+        return pa.table(
+            {
+                "host": pa.array(g.index.to_numpy(), type=pa.string()),
+                "n_partial": pa.array(g["count"].to_numpy(np.int64)),
+                "c_partial": pa.array(g["sum"].to_numpy(np.int64)),
+            }
+        )
+
+    parts = rd.read_parquet(path, columns=["url", "text"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    return parts.groupby("host").aggregate(
+        Sum("n_partial", alias_name="n_pages"),
+        Sum("c_partial", alias_name="sum_chars"),
+    )
+
+
+SQL_DOMAIN_STATS = """
+SELECT regexp_extract(url, '^https://([^/]+)/', 1) AS host,
+  CAST(COUNT(*) AS BIGINT) AS n_pages,
+  CAST(SUM(length(text)) AS BIGINT) AS sum_chars
+FROM read_parquet('/tmp/rayproj_fixtures/pages.parquet')
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_pages_pipeline(sf_dir: str):
     """The north-rule pipeline end-to-end as ONE oracle-checked query:
     Common-Crawl-style pages → vectorized html→text extraction →
@@ -2495,6 +2543,7 @@ QUERIES = {
     "events_range_join": q_events_range_join,
     "events_sliding_window": q_events_sliding_window,
     "html_extract": q_html_extract,
+    "domain_stats": q_domain_stats,
     "pages_pipeline": q_pages_pipeline,
     "gopher_quality": q_gopher_quality,
     "word_freq": q_word_freq,
@@ -2548,6 +2597,7 @@ ORACLE_SQL = {
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
     "events_sliding_window": SQL_EVENTS_SLIDING_WINDOW,
     "html_extract": SQL_HTML_EXTRACT,
+    "domain_stats": SQL_DOMAIN_STATS,
     "pages_pipeline": SQL_PAGES_PIPELINE,
     "gopher_quality": SQL_GOPHER_QUALITY,
     "word_freq": SQL_WORD_FREQ,
