@@ -108,14 +108,31 @@ def checkpointed_flagship(parquet_path: str, out_dir: str, n_partitions: int = 8
 
     from .flagship import FlagshipStage
 
-    n_rows = pq.ParquetFile(parquet_path).metadata.num_rows
-    bounds = [int(round(i * n_rows / n_partitions)) for i in range(n_partitions + 1)]
+    if os.path.isdir(parquet_path):
+        # multi-file deployment shape: one partition per input file —
+        # the natural unit at 100 TB (a shard list from the catalog),
+        # so resume granularity matches the storage layout
+        files = sorted(
+            os.path.join(parquet_path, f)
+            for f in os.listdir(parquet_path)
+            if f.endswith(".parquet")
+        )
+        shards = [(f, 0, pq.ParquetFile(f).metadata.num_rows) for f in files]
+        n_partitions = len(shards)
+    else:
+        n_rows = pq.ParquetFile(parquet_path).metadata.num_rows
+        bounds = [
+            int(round(i * n_rows / n_partitions)) for i in range(n_partitions + 1)
+        ]
+        shards = [
+            (parquet_path, bounds[p], bounds[p + 1]) for p in range(n_partitions)
+        ]
     writer = LineageWriter(out_dir, pipeline_version)
 
     @ray.remote
-    def _process(lo: int, hi: int, tmp_dir: str) -> dict:
+    def _process(path: str, lo: int, hi: int, tmp_dir: str) -> dict:
         t0 = time.time()
-        tbl = pq.read_table(parquet_path).slice(lo, hi - lo)
+        tbl = pq.read_table(path).slice(lo, hi - lo)
         stage = FlagshipStage(key_col=key_col, lang_col=lang_col, **stage_kwargs)
         out = stage(tbl)
         pq.write_table(out, os.path.join(tmp_dir, "data.parquet"))
@@ -124,8 +141,8 @@ def checkpointed_flagship(parquet_path: str, out_dir: str, n_partitions: int = 8
     pending = []
     skipped = []
     for p in range(n_partitions):
-        lo, hi = bounds[p], bounds[p + 1]
-        sig = _input_signature(parquet_path, lo, hi)
+        path, lo, hi = shards[p]
+        sig = _input_signature(path, lo, hi)
         if writer.is_complete(p, sig):
             skipped.append(p)
             continue
@@ -134,7 +151,7 @@ def checkpointed_flagship(parquet_path: str, out_dir: str, n_partitions: int = 8
         if os.path.exists(tmp):
             shutil.rmtree(tmp)
         os.makedirs(tmp)
-        pending.append((p, sig, tmp, _process.remote(lo, hi, tmp)))
+        pending.append((p, sig, tmp, _process.remote(path, lo, hi, tmp)))
 
     records = []
     for p, sig, tmp, fut in pending:

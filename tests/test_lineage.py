@@ -56,3 +56,20 @@ def test_version_bump_invalidates(ray_session, out_dir):
     recs, skipped = checkpointed_flagship(SRC, out_dir, n_partitions=2,
                                           pipeline_version="2")
     assert [r["part"] for r in recs] == [0, 1] and skipped == []
+
+
+def test_multifile_directory_input(ray_session, tmp_path):
+    """Directory input: one partition per file; resume skips all."""
+    import pyarrow.parquet as pq
+
+    src_dir = tmp_path / "shards"
+    src_dir.mkdir()
+    tbl = pq.read_table(SRC)
+    for i in range(3):
+        pq.write_table(tbl.slice(i * 100, 100), str(src_dir / f"s{i}.parquet"))
+    out = str(tmp_path / "out")
+    recs, skipped = checkpointed_flagship(str(src_dir), out, key_col="doc_id")
+    assert len(recs) == 3 and not skipped
+    assert sum(r["metrics"]["rows"] for r in recs) == 300
+    recs2, skipped2 = checkpointed_flagship(str(src_dir), out, key_col="doc_id")
+    assert not recs2 and len(skipped2) == 3
