@@ -371,6 +371,54 @@ GROUP BY g.doc_id ORDER BY g.doc_id
 """
 
 
+def q_zonal_stats(sf_dir: str):
+    """Zonal statistics — the vector-side raster↔vector aggregation:
+    per-polygon doc count and value sum. PIP assignment (actor-held
+    polygon index, broadcast once per actor) is fused with a per-batch
+    partial aggregate over poly_id (np.bincount — one pass), so the
+    shuffle carries N_POLYS-row partials per batch, never doc rows."""
+    from ray.data.aggregate import Sum
+
+    class ZonalStage:
+        def __init__(self):
+            self.index = PolygonIndex(make_polygons(N_POLYS))
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            batch = _geoloc_batch(batch)
+            lon = batch.column("lon").to_numpy()
+            lat = batch.column("lat").to_numpy()
+            doc = batch.column("doc_id").to_numpy()
+            pid = self.index.assign(lon, lat).astype(np.int64)
+            shifted = pid + 1  # -1 (no polygon) → bin 0
+            n = np.bincount(shifted, minlength=N_POLYS + 1)
+            s = np.bincount(shifted, weights=doc.astype(np.float64),
+                            minlength=N_POLYS + 1)
+            keep = n > 0
+            return pa.table(
+                {
+                    "poly_id": pa.array(np.nonzero(keep)[0] - 1, type=pa.int32()),
+                    "n_partial": pa.array(n[keep].astype(np.int64)),
+                    "s_partial": pa.array(s[keep].astype(np.int64)),
+                }
+            )
+
+    parts = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        ZonalStage, batch_format="pyarrow", concurrency=2
+    )
+    return parts.groupby("poly_id").aggregate(
+        Sum("n_partial", alias_name="n_docs"),
+        Sum("s_partial", alias_name="sum_doc_id"),
+    )
+
+
+SQL_ZONAL_STATS = f"""
+WITH pip AS ({SQL_PIP.replace('ORDER BY g.doc_id', '')})
+SELECT poly_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+FROM pip GROUP BY 1 ORDER BY 1
+"""
+
+
 def _anchors():
     aid = np.arange(N_ANCHORS, dtype=np.int64)
     a_lon = ((aid * 6151 + 17) % 3000) / 10.0 - 150.0
@@ -2545,6 +2593,7 @@ QUERIES = {
     "html_extract": q_html_extract,
     "domain_stats": q_domain_stats,
     "pages_pipeline": q_pages_pipeline,
+    "zonal_stats": q_zonal_stats,
     "gopher_quality": q_gopher_quality,
     "word_freq": q_word_freq,
     "bigram_stats": q_bigram_stats,
@@ -2599,6 +2648,7 @@ ORACLE_SQL = {
     "html_extract": SQL_HTML_EXTRACT,
     "domain_stats": SQL_DOMAIN_STATS,
     "pages_pipeline": SQL_PAGES_PIPELINE,
+    "zonal_stats": SQL_ZONAL_STATS,
     "gopher_quality": SQL_GOPHER_QUALITY,
     "word_freq": SQL_WORD_FREQ,
     "bigram_stats": SQL_BIGRAM_STATS,
