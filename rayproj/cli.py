@@ -358,6 +358,33 @@ def cmd_gie(args) -> int:
     return 1 if tot.failed else 0
 
 
+def cmd_lists(args) -> int:
+    """-lp/-le/-lu/-ld listings (ref src/apps/proj.cpp list handling;
+    tables from src/pj_list.h, ellps.cpp, units.cpp, datums.cpp)."""
+    if getattr(args, "list_projs", False):
+        from .ops import REGISTRY, load_all
+
+        load_all()
+        for name in sorted(set(REGISTRY) | {"pipeline"}):
+            print(name)
+    if getattr(args, "list_ellps", False):
+        from .core.ellps import ELLPS_TABLE
+
+        for eid, (major, shape) in ELLPS_TABLE.items():
+            print(f"{eid:>12} {major:16} {shape:16}")
+    if getattr(args, "list_units", False):
+        from .core.units import LINEAR_UNITS
+
+        for uid, to_m in LINEAR_UNITS.items():
+            print(f"{uid:>12} {to_m:.12g} m")
+    if getattr(args, "list_datums", False):
+        from .core.datums import DATUM_TABLE
+
+        for did, (shift, ellps) in DATUM_TABLE.items():
+            print(f"{did:>14} {ellps:10} {shift}")
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="rayproj")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -368,6 +395,14 @@ def main(argv=None) -> int:
         p.add_argument("-d", "--digits", type=int, default=6)
         if name == "proj":
             p.add_argument("-V", "--verbose-factors", action="store_true")
+        p.add_argument("-lp", action="store_true", dest="list_projs",
+                       help="list projection ids")
+        p.add_argument("-le", action="store_true", dest="list_ellps",
+                       help="list ellipsoids")
+        p.add_argument("-lu", action="store_true", dest="list_units",
+                       help="list linear units")
+        p.add_argument("-ld", action="store_true", dest="list_datums",
+                       help="list datums")
         p.add_argument("--parquet", nargs=2, metavar=("IN", "OUT"))
         p.add_argument("--x-col", default="lon")
         p.add_argument("--y-col", default="lat")
@@ -386,6 +421,9 @@ def main(argv=None) -> int:
     pi.add_argument("crs", nargs="*")
     pi.set_defaults(fn=cmd_projinfo)
     args = ap.parse_args(argv)
+    if getattr(args, "list_projs", False) or getattr(args, "list_ellps", False) \
+            or getattr(args, "list_units", False) or getattr(args, "list_datums", False):
+        return cmd_lists(args)
     return args.fn(args)
 
 

@@ -127,3 +127,17 @@ def test_cs2cs_epsg_shorthand(capsys):
     x, y, _ = map(float, out.split())
     assert x == pytest.approx(291962.59, abs=0.5)
     assert y == pytest.approx(4640626.11, abs=0.5)
+
+
+def test_list_flags(capsys):
+    from rayproj.cli import main
+
+    assert main(["proj", "-lp"]) == 0
+    out = capsys.readouterr().out.splitlines()
+    assert len(out) == 176 and "merc" in out and "pipeline" in out
+    assert main(["proj", "-le"]) == 0
+    assert "GRS80" in capsys.readouterr().out
+    assert main(["cs2cs", "-lu"]) == 0
+    assert "us-ft" in capsys.readouterr().out
+    assert main(["proj", "-ld"]) == 0
+    assert "NAD27" in capsys.readouterr().out
