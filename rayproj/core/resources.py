@@ -117,11 +117,30 @@ def load_init(key: str) -> list[tuple[str, str | None]]:
         if synth is not None:
             _init_cache[ck] = synth
             return synth
+        dbp = _projdb_epsg(section)
+        if dbp is not None:
+            _init_cache[ck] = dbp
+            return dbp
         raise NotImplementedError(
-            f"epsg:{section} not in the bundled static catalog (full EPSG "
-            "database out of scope)"
+            f"epsg:{section} not in the bundled static catalog and the EPSG "
+            "database (data/sql) is unavailable or lacks the code"
         )
     raise ProjError(-2, f"init section {section!r} not found in {fname!r}")
+
+
+def _projdb_epsg(section: str) -> list[tuple[str, str | None]] | None:
+    """Full-registry fallback: resolve the code from the EPSG database
+    built out of the reference's data/sql scripts (state/projdb.py).
+    Returns None when the database can't be built here or the code is
+    unknown/unmapped — callers then raise the catalog error."""
+    try:
+        from ..state import projdb
+
+        if not projdb.available():
+            return None
+        return projdb.resolve_epsg(section)
+    except (KeyError, NotImplementedError, ValueError, OSError):
+        return None
 
 
 def _formulaic_epsg(section: str) -> list[tuple[str, str | None]] | None:

@@ -1,0 +1,418 @@
+"""EPSG database (proj.db) build + CRS resolution.
+
+The reference serves EPSG codes from a SQLite proj.db built by piping
+``data/sql/*.sql`` (in the order of data/sql_filelist.cmake) into the
+sqlite3 shell; iso19111/factory.cpp then materializes CRS objects from
+the tables. This module re-derives the proj-string-producing subset
+with the stdlib sqlite3 module: it builds the SAME database from the
+reference's public EPSG SQL scripts (one-time, cached under /tmp; on a
+cluster this is a shared artifact like the grid files) and resolves
+
+* geographic/geocentric CRS codes  → +proj=longlat/geocent + ellipsoid
+  + prime meridian + best available +towgs84 (helmert_transformation
+  rows to WGS 84, position-vector convention),
+* projected CRS codes → base geodetic parameters + the conversion's
+  EPSG method/parameters mapped to proj operators (the method/param
+  code mapping re-derived from iso19111/coordinateoperation.cpp's
+  EPSG_CODE_METHOD_* / EPSG_CODE_PARAMETER_* constants),
+
+as classic ``+init=epsg:`` parameter pair lists — the proj.4 cs2cs
+semantics the rest of the engine consumes (core/resources.py falls
+back here when a code is outside the bundled static catalog).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sqlite3
+import tempfile
+
+PROJDB_PATH = "/tmp/rayproj_fixtures/proj.db"
+SQL_DIR = os.environ.get("RAYPROJ_EPSG_SQL_DIR", "/root/reference/data/sql")
+_DB_VERSION = 1
+
+# data/sql_filelist.cmake order — triggers and FK checks require it
+_SQL_ORDER = [
+    "begin.sql", "proj_db_table_defs.sql", "conversion_triggers.sql",
+    "metadata.sql", "unit_of_measure.sql", "extent.sql", "scope.sql",
+    "coordinate_system.sql", "axis.sql", "ellipsoid.sql",
+    "prime_meridian.sql", "geodetic_datum.sql",
+    "geodetic_datum_ensemble_member.sql", "vertical_datum.sql",
+    "vertical_datum_ensemble_member.sql", "conversion.sql",
+    "geodetic_crs.sql", "projected_crs.sql", "vertical_crs.sql",
+    "compound_crs.sql", "helmert_transformation.sql",
+    "grid_transformation.sql", "grid_transformation_custom.sql",
+    "other_transformation.sql", "other_transformation_custom.sql",
+    "concatenated_operation.sql", "concatenated_operation_step.sql",
+    "alias_name.sql", "supersession.sql", "deprecation.sql", "esri.sql",
+    "ignf.sql", "grid_alternatives.sql",
+    "grid_alternatives_generated_noaa.sql", "customizations.sql",
+    "commit.sql",
+]
+
+_conn: sqlite3.Connection | None = None
+
+
+def available() -> bool:
+    return os.path.isfile(PROJDB_PATH) or os.path.isdir(SQL_DIR)
+
+
+def ensure_proj_db() -> str:
+    """Build (once) and cache the EPSG database. Single transaction +
+    journaling off: ~1 min for the full registry, then mmap-fast."""
+    if _valid(PROJDB_PATH):
+        return PROJDB_PATH
+    if not os.path.isdir(SQL_DIR):
+        raise FileNotFoundError(f"EPSG SQL scripts not found at {SQL_DIR}")
+    os.makedirs(os.path.dirname(PROJDB_PATH), exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(PROJDB_PATH), suffix=".db")
+    os.close(fd)
+    os.unlink(tmp)
+    con = sqlite3.connect(tmp)
+    try:
+        con.executescript("PRAGMA journal_mode=OFF; PRAGMA synchronous=OFF;")
+        script = "\n".join(
+            open(os.path.join(SQL_DIR, f), encoding="utf-8").read()
+            for f in _SQL_ORDER
+        )
+        con.executescript(script)
+        con.execute(f"PRAGMA user_version = {_DB_VERSION}")
+        con.commit()
+    finally:
+        con.close()
+    os.replace(tmp, PROJDB_PATH)
+    return PROJDB_PATH
+
+
+def _valid(path: str) -> bool:
+    if not os.path.isfile(path):
+        return False
+    try:
+        con = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
+        ok = con.execute("PRAGMA user_version").fetchone()[0] == _DB_VERSION
+        con.close()
+        return ok
+    except sqlite3.Error:
+        return False
+
+
+def _db() -> sqlite3.Connection:
+    global _conn
+    if _conn is None:
+        _conn = sqlite3.connect(f"file:{ensure_proj_db()}?mode=ro", uri=True)
+    return _conn
+
+
+# --- unit conversion -------------------------------------------------------
+
+_ARCSEC_PER_URAD = 3600.0 * 180.0 / math.pi * 1e-6
+
+
+def _sexagesimal_to_deg(v: float) -> float:
+    """EPSG uom 9110: DDD.MMSSsss → decimal degrees."""
+    sign = -1.0 if v < 0 else 1.0
+    v = abs(v)
+    d = math.floor(v + 1e-13)
+    r = (v - d) * 100.0
+    m = math.floor(r + 1e-11)
+    s = (r - m) * 100.0
+    return sign * (d + m / 60.0 + s / 3600.0)
+
+
+def _angle_deg(value: float, uom: str) -> float:
+    if uom == "9102" or uom == "9122":  # degree
+        return value
+    if uom == "9110":
+        return _sexagesimal_to_deg(value)
+    if uom == "9101":  # radian
+        return value * 180.0 / math.pi
+    if uom == "9105":  # grad
+        return value * 0.9
+    cf = _uom_factor(uom)  # generic: conv_factor is to-radian for angles
+    return value * cf * 180.0 / math.pi
+
+
+def _uom_factor(uom: str) -> float:
+    row = _db().execute(
+        "SELECT conv_factor FROM unit_of_measure WHERE auth_name='EPSG' AND code=?",
+        (uom,),
+    ).fetchone()
+    if row is None:
+        raise KeyError(f"unknown uom {uom}")
+    return float(row[0])
+
+
+def _length_m(value: float, uom: str) -> float:
+    if uom == "9001":
+        return value
+    return value * _uom_factor(uom)
+
+
+def _scale(value: float, uom: str) -> float:
+    if uom == "9201":  # unity
+        return value
+    if uom == "9202":  # parts per million (scale difference)
+        return value
+    raise KeyError(f"unsupported scale uom {uom}")
+
+
+def _fmt(x: float) -> str:
+    s = f"{x:.12g}"
+    return s
+
+
+# --- ellipsoid / datum / prime meridian ------------------------------------
+
+
+def _geodetic_pairs(code: str) -> list[tuple[str, str | None]] | None:
+    """Datum-level parameter pairs for a geodetic CRS code (no +proj)."""
+    con = _db()
+    row = con.execute(
+        "SELECT type, datum_code FROM geodetic_crs "
+        "WHERE auth_name='EPSG' AND code=?",
+        (code,),
+    ).fetchone()
+    if row is None:
+        return None
+    _, datum_code = row
+    drow = con.execute(
+        "SELECT ellipsoid_code, prime_meridian_code FROM geodetic_datum "
+        "WHERE auth_name='EPSG' AND code=?",
+        (datum_code,),
+    ).fetchone()
+    if drow is None:
+        return None
+    ell_code, pm_code = drow
+    erow = con.execute(
+        "SELECT semi_major_axis, uom_code, inv_flattening, semi_minor_axis "
+        "FROM ellipsoid WHERE auth_name='EPSG' AND code=?",
+        (ell_code,),
+    ).fetchone()
+    a, a_uom, rf, b = erow
+    a_m = _length_m(float(a), str(a_uom))
+    pairs: list[tuple[str, str | None]] = [("a", _fmt(a_m))]
+    if rf is not None:
+        if float(rf) == 0.0:
+            pairs.append(("b", _fmt(a_m)))  # sphere
+        else:
+            pairs.append(("rf", _fmt(float(rf))))
+    else:
+        pairs.append(("b", _fmt(_length_m(float(b), str(a_uom)))))
+    prow = con.execute(
+        "SELECT longitude, uom_code FROM prime_meridian "
+        "WHERE auth_name='EPSG' AND code=?",
+        (pm_code,),
+    ).fetchone()
+    if prow is not None:
+        pm_deg = _angle_deg(float(prow[0]), str(prow[1]))
+        if pm_deg != 0.0:
+            pairs.append(("pm", _fmt(pm_deg)))
+    tw = _towgs84(code)
+    if tw is not None:
+        pairs.append(("towgs84", tw))
+    return pairs
+
+
+def _towgs84(crs_code: str) -> str | None:
+    """Best non-deprecated helmert to WGS 84 (4326), position-vector
+    convention (coordinate-frame rotations negated), arcsec/ppm units —
+    the classic +towgs84 contract (ref transform.cpp datum hub)."""
+    con = _db()
+    row = con.execute(
+        "SELECT method_code, tx, ty, tz, rx, ry, rz, scale_difference, "
+        "  rotation_uom_code, scale_difference_uom_code, translation_uom_code "
+        "FROM helmert_transformation "
+        "WHERE auth_name='EPSG' AND source_crs_code=? AND target_crs_code='4326' "
+        "  AND deprecated=0 AND method_code IN "
+        "  ('9603','9606','9607','1031','1032','1033') "
+        "ORDER BY (accuracy IS NULL), accuracy, CAST(code AS INTEGER) LIMIT 1",
+        (crs_code,),
+    ).fetchone()
+    if row is None:
+        return None
+    (method, tx, ty, tz, rx, ry, rz, ds, rot_uom, ds_uom, tr_uom) = row
+    tx, ty, tz = (
+        _length_m(float(v), str(tr_uom or "9001")) for v in (tx, ty, tz)
+    )
+    if method in ("9603", "1031"):  # geocentric translations
+        return f"{_fmt(tx)},{_fmt(ty)},{_fmt(tz)}"
+    rots = []
+    for v in (rx, ry, rz):
+        v = float(v or 0.0)
+        if str(rot_uom) == "9104":  # arc-second
+            pass
+        elif str(rot_uom) == "9109":  # microradian
+            v *= _ARCSEC_PER_URAD
+        else:
+            v = _angle_deg(v, str(rot_uom)) * 3600.0
+        rots.append(v)
+    if method in ("9607", "1032"):  # coordinate frame → position vector
+        rots = [-v for v in rots]
+    ppm = float(ds or 0.0)
+    if str(ds_uom or "9202") != "9202":
+        ppm = _scale(ppm, str(ds_uom)) * 1e6
+    return ",".join(_fmt(v) for v in (tx, ty, tz, *rots, ppm))
+
+
+# --- projection method mapping ---------------------------------------------
+
+# EPSG parameter code → proj parameter name (angles in degrees, lengths
+# converted to metres). Re-derived from iso19111/coordinateoperation.cpp.
+_PARAM = {
+    "8801": ("lat_0", "a"), "8802": ("lon_0", "a"), "8805": ("k", "s"),
+    "8806": ("x_0", "l"), "8807": ("y_0", "l"),
+    "8811": ("lat_0", "a"), "8812": ("lonc", "a"), "8813": ("alpha", "a"),
+    "8814": ("gamma", "a"), "8815": ("k", "s"), "8816": ("x_0", "l"),
+    "8817": ("y_0", "l"),
+    "8821": ("lat_0", "a"), "8822": ("lon_0", "a"), "8823": ("lat_1", "a"),
+    "8824": ("lat_2", "a"), "8826": ("x_0", "l"), "8827": ("y_0", "l"),
+    "8832": ("lat_ts", "a"), "8833": ("lon_0", "a"),
+    "1038": ("k_0", "s"), "1039": ("h_0", "l"),
+}
+
+# EPSG method code → (proj operator, param-name overrides, extra pairs)
+_METHOD = {
+    "9807": ("tmerc", {}, []),
+    "9808": ("tmerc", {}, [("axis", "wsu")]),  # TM South Orientated
+    "9801": ("lcc", {"8801": "lat_1"}, []),  # 1SP: lat_0 == lat_1
+    "9802": ("lcc", {}, []),
+    "9804": ("merc", {}, []),  # variant A (k)
+    "9805": ("merc", {"8823": "lat_ts"}, []),  # variant B
+    "1024": ("webmerc", {}, []),
+    "9806": ("cass", {}, []),
+    "9809": ("sterea", {}, []),
+    "9810": ("stere", {}, []),
+    "9829": ("stere", {}, []),  # variant B: lat_0 from lat_ts sign
+    "9815": ("omerc", {}, []),
+    "9812": ("omerc", {}, [("no_uoff", None)]),
+    "9820": ("laea", {}, []),
+    "9821": ("laea", {}, []),
+    "1027": ("laea", {}, []),
+    "9822": ("aea", {}, []),
+    "1028": ("eqc", {"8823": "lat_ts"}, []),
+    "1029": ("eqc", {"8823": "lat_ts"}, []),
+    "9811": ("nzmg", {}, []),
+    "1078": ("eqearth", {}, []),
+    "9817": ("lcca", {"8801": "lat_0"}, []),
+    "gstm": ("gstmerc", {}, []),
+    "9818": ("poly", {}, []),
+    # krovak: PROJ derives the cone constants internally and ignores
+    # EPSG's co-latitude/pseudo-parallel params (constants.hpp:359-375);
+    # 9819 is the south-west-orientated variant → axis=swu
+    "9819": ("krovak", {}, [("axis", "swu")]),
+    "1041": ("krovak", {}, []),
+    "9813": ("labrd", {"8812": "lon_0", "8813": "azi"}, []),
+    "1052": ("col_urban", {}, []),
+    "1051": ("lcc", {}, []),  # 2SP Michigan: k_0 via param 1038
+}
+
+
+def _conversion_pairs(conv_code: str) -> list[tuple[str, str | None]]:
+    con = _db()
+    row = con.execute(
+        "SELECT method_code, "
+        + ", ".join(
+            f"param{i}_code, param{i}_value, param{i}_uom_code"
+            for i in range(1, 8)
+        )
+        + " FROM conversion WHERE auth_name='EPSG' AND code=?",
+        (conv_code,),
+    ).fetchone()
+    if row is None:
+        raise KeyError(f"conversion {conv_code} not found")
+    method = str(row[0])
+    if method not in _METHOD:
+        raise NotImplementedError(f"EPSG method {method} not mapped")
+    op, overrides, extra = _METHOD[method]
+    pairs: list[tuple[str, str | None]] = [("proj", op)]
+    lat_1_for_1sp = None
+    for i in range(7):
+        pcode, pval, puom = row[1 + 3 * i: 4 + 3 * i]
+        if pcode is None:
+            continue
+        pcode = str(pcode)
+        if pcode not in _PARAM:
+            continue
+        name, kind = _PARAM[pcode]
+        name = overrides.get(pcode, name)
+        v = float(pval)
+        if kind == "a":
+            v = _angle_deg(v, str(puom))
+        elif kind == "l":
+            v = _length_m(v, str(puom))
+        else:
+            v = _scale(v, str(puom))
+        if method == "9801" and pcode == "8801":
+            lat_1_for_1sp = v  # emit both lat_1 and lat_0
+        if method == "9829" and name == "lat_ts":
+            pairs.append(("lat_0", "90" if v >= 0 else "-90"))
+        pairs.append((name, _fmt(v)))
+    if lat_1_for_1sp is not None:
+        pairs.append(("lat_0", _fmt(lat_1_for_1sp)))
+    pairs.extend(extra)
+    if method == "9815":
+        d = dict(pairs)
+        if d.get("alpha") == "90" and d.get("gamma") == "90":
+            # Swiss-style: Hotine B with alpha=gamma=90° is the
+            # rectified skew orthomorphic == somerc
+            # (coordinateoperation.cpp maps this family specially)
+            keep = {"lat_0", "k", "x_0", "y_0"}
+            out = [("proj", "somerc")]
+            out += [("lon_0", d["lonc"])]
+            out += [(k, v) for k, v in pairs if k in keep]
+            return out
+    return pairs
+
+
+def _projected_unit(cs_code: str) -> list[tuple[str, str | None]]:
+    con = _db()
+    row = con.execute(
+        "SELECT uom_code FROM axis WHERE coordinate_system_auth_name='EPSG' "
+        "AND coordinate_system_code=? ORDER BY coordinate_system_order LIMIT 1",
+        (cs_code,),
+    ).fetchone()
+    if row is None or str(row[0]) == "9001":
+        return [("units", "m")]
+    uom = str(row[0])
+    short = con.execute(
+        "SELECT proj_short_name, conv_factor FROM unit_of_measure "
+        "WHERE auth_name='EPSG' AND code=?",
+        (uom,),
+    ).fetchone()
+    if short and short[0]:
+        return [("units", str(short[0]))]
+    return [("to_meter", _fmt(float(short[1])))]
+
+
+def resolve_epsg(code: str | int) -> list[tuple[str, str | None]]:
+    """EPSG code → classic proj.4 init parameter pairs. Raises KeyError
+    for unknown codes, NotImplementedError for unmapped methods."""
+    code = str(int(code))
+    con = _db()
+    row = con.execute(
+        "SELECT type FROM geodetic_crs WHERE auth_name='EPSG' AND code=?",
+        (code,),
+    ).fetchone()
+    if row is not None:
+        base = _geodetic_pairs(code)
+        if base is None:
+            raise KeyError(code)
+        head = [("proj", "geocent" if row[0] == "geocentric" else "longlat")]
+        return head + base + [("no_defs", None)]
+    prow = con.execute(
+        "SELECT geodetic_crs_code, conversion_code, coordinate_system_code "
+        "FROM projected_crs WHERE auth_name='EPSG' AND code=?",
+        (code,),
+    ).fetchone()
+    if prow is None:
+        raise KeyError(f"EPSG:{code} not found in proj.db")
+    geo_code, conv_code, cs_code = (str(x) for x in prow)
+    pairs = _conversion_pairs(conv_code)
+    base = _geodetic_pairs(geo_code)
+    if base is None:
+        raise KeyError(f"base geodetic CRS {geo_code} not found")
+    pairs += base
+    pairs += _projected_unit(cs_code)
+    pairs.append(("no_defs", None))
+    return pairs

@@ -1,0 +1,131 @@
+"""EPSG database (proj.db) build + full-registry CRS resolution.
+
+The db is built once from the reference's public data/sql scripts
+(cached under /tmp); resolution is validated three ways: natural-origin
+invariants taken straight from the EPSG parameterization, agreement
+with the independently-derived static/formulaic catalog, and a random
+sweep of the live registry."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from rayproj.core.constants import DEG_TO_RAD
+from rayproj.core.factory import create_operation
+from rayproj.core.op import FWD, Coords
+from rayproj.state import projdb
+
+pytestmark = pytest.mark.skipif(
+    not projdb.available(), reason="EPSG SQL scripts not available"
+)
+
+
+def _op(code, strip_towgs=False):
+    pairs = projdb.resolve_epsg(code)
+    if strip_towgs:
+        pairs = [(k, v) for k, v in pairs if k != "towgs84"]
+    return create_operation(
+        " ".join(f"+{k}={v}" if v is not None else f"+{k}" for k, v in pairs)
+    )
+
+
+# (code, lon, lat, expected easting/northing): each point is the
+# conversion's own natural/false origin, so the expectation comes from
+# the EPSG parameters themselves, not from any other implementation
+ORIGIN_CASES = [
+    (2154, 3.0, 46.5, 700000.0, 6600000.0),      # RGF93 / Lambert-93 (9802)
+    (27700, -2.0, 49.0, 400000.0, -100000.0),    # OSGB (9807)
+    (32632, 9.0, 0.0, 500000.0, 0.0),            # UTM 32N
+    (2056, 7.43958333333333, 46.9524055555556, 2600000.0, 1200000.0),  # somerc
+    (5070, -96.0, 23.0, 0.0, 0.0),               # Conus Albers (9822)
+    (28355, 147.0, 0.0, 500000.0, 10000000.0),   # GDA94 MGA55 south
+    (3857, 0.0, 0.0, 0.0, 0.0),                  # webmerc (1024)
+    (3116, -74.0775079167, 4.59620041667, 1000000.0, 1000000.0),  # Bogota
+]
+
+
+@pytest.mark.parametrize("code,lon,lat,ex,ey", ORIGIN_CASES)
+def test_natural_origin_invariants(code, lon, lat, ex, ey):
+    op = _op(code, strip_towgs=True)
+    c = Coords(np.array([lon]) * DEG_TO_RAD, np.array([lat]) * DEG_TO_RAD)
+    op.trans(FWD, c)
+    assert abs(c.x[0] - ex) < 1e-3 and abs(c.y[0] - ey) < 1e-3, (
+        code, float(c.x[0]), float(c.y[0]))
+
+
+def test_agrees_with_formulaic_catalog():
+    """db-resolved UTM codes must transform identically to the
+    independent formulaic +init resolution (GIGS-validated path)."""
+    rng = np.random.default_rng(3)
+    lon = rng.uniform(6, 12, 500)
+    lat = rng.uniform(-80, 84, 500)
+    for code in (32632, 32732, 25832, 23032):
+        op_db = _op(code)
+        op_cat = create_operation(f"+init=epsg:{code}")
+        c1 = Coords(lon * DEG_TO_RAD, lat * DEG_TO_RAD)
+        op_db.trans(FWD, c1)
+        c2 = Coords(lon * DEG_TO_RAD, lat * DEG_TO_RAD)
+        op_cat.trans(FWD, c2)
+        # ED50 towgs84 differs between the classic init table and the
+        # accuracy-ranked EPSG pick; the projection itself must agree
+        tol = 5.0 if code == 23032 else 1e-9
+        assert np.nanmax(np.abs(c1.x - c2.x)) <= tol, code
+        assert np.nanmax(np.abs(c1.y - c2.y)) <= tol, code
+
+
+def test_load_init_fallback():
+    """+init=epsg:NNNN outside the static catalog AND the formulaic
+    families resolves via the db (3116 MAGNA-SIRGAS / Bogota zone)."""
+    from rayproj.core.resources import load_init
+
+    pairs = load_init("epsg:3116")
+    d = dict(pairs)
+    assert d["proj"] == "tmerc" and d["x_0"] == "1000000"
+    op = create_operation("+init=epsg:3116")
+    c = Coords(
+        np.array([-74.0775079167]) * DEG_TO_RAD,
+        np.array([4.59620041667]) * DEG_TO_RAD,
+    )
+    op.trans(FWD, c)
+    assert abs(c.x[0] - 1000000.0) < 1e-3  # towgs84=0 for MAGNA-SIRGAS
+
+
+def test_registry_sweep():
+    """A random sample of the live registry resolves AND constructs."""
+    con = projdb._db()
+    codes = [
+        r[0]
+        for r in con.execute(
+            "SELECT code FROM projected_crs WHERE auth_name='EPSG' "
+            "AND deprecated=0 ORDER BY code"
+        )
+    ]
+    rng = np.random.default_rng(11)
+    sample = rng.choice(len(codes), size=250, replace=False)
+    ok = 0
+    for i in sample:
+        try:
+            pairs = projdb.resolve_epsg(codes[i])
+            create_operation(
+                " ".join(
+                    f"+{k}={v}" if v is not None else f"+{k}" for k, v in pairs
+                )
+            )
+            ok += 1
+        except (KeyError, NotImplementedError):
+            pass
+    assert ok / len(sample) > 0.97, ok
+
+
+def test_towgs84_conventions():
+    """Coordinate-frame rotations are negated to position-vector (ref
+    transform.cpp towgs84 semantics); 3-param stays 3-term."""
+    pairs = dict(projdb.resolve_epsg(4230))  # ED50: 9606/9607 family
+    tw = [float(v) for v in pairs["towgs84"].split(",")]
+    assert len(tw) == 7
+    pairs_3 = dict(projdb.resolve_epsg(4218))  # Bogota 1975
+    assert len(pairs_3["towgs84"].split(",")) in (3, 7)
