@@ -66,7 +66,12 @@ def load_init(key: str) -> list[tuple[str, str | None]]:
     if override is not None and section in override:
         return override[section]
     if fname == "IGNF":
-        raise NotImplementedError(f"init catalog {fname!r} requires the EPSG database")
+        dbp = _projdb_crs("IGNF", section)
+        if dbp is not None:
+            return dbp
+        raise NotImplementedError(
+            f"init catalog {fname!r} requires the EPSG database"
+        )
     ck = (fname, section)
     if ck in _init_cache:
         return _init_cache[ck]
@@ -128,18 +133,26 @@ def load_init(key: str) -> list[tuple[str, str | None]]:
     raise ProjError(-2, f"init section {section!r} not found in {fname!r}")
 
 
-def _projdb_epsg(section: str) -> list[tuple[str, str | None]] | None:
-    """Full-registry fallback: resolve the code from the EPSG database
-    built out of the reference's data/sql scripts (state/projdb.py).
-    Returns None when the database can't be built here or the code is
-    unknown/unmapped — callers then raise the catalog error."""
+def _projdb_crs(auth: str, section: str) -> list[tuple[str, str | None]] | None:
+    """Full-registry fallback: resolve the (authority, code) from the
+    EPSG database built out of the reference's data/sql scripts
+    (state/projdb.py). Returns None when the database can't be built
+    here or the code is unknown/unmapped — callers then raise the
+    catalog error."""
     try:
         from ..state import projdb
 
         if not projdb.available():
             return None
-        return projdb.resolve_epsg(section)
+        return projdb.resolve_crs(auth, section)
     except (KeyError, NotImplementedError, ValueError, OSError):
+        return None
+
+
+def _projdb_epsg(section: str) -> list[tuple[str, str | None]] | None:
+    try:
+        return _projdb_crs("EPSG", str(int(section)))
+    except ValueError:
         return None
 
 

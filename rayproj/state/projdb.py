@@ -165,29 +165,30 @@ def _fmt(x: float) -> str:
 # --- ellipsoid / datum / prime meridian ------------------------------------
 
 
-def _geodetic_pairs(code: str) -> list[tuple[str, str | None]] | None:
+def _geodetic_pairs(auth: str, code: str) -> list[tuple[str, str | None]] | None:
     """Datum-level parameter pairs for a geodetic CRS code (no +proj)."""
     con = _db()
     row = con.execute(
-        "SELECT type, datum_code FROM geodetic_crs "
-        "WHERE auth_name='EPSG' AND code=?",
-        (code,),
+        "SELECT type, datum_auth_name, datum_code FROM geodetic_crs "
+        "WHERE auth_name=? AND code=?",
+        (auth, code),
     ).fetchone()
     if row is None:
         return None
-    _, datum_code = row
+    _, datum_auth, datum_code = row
     drow = con.execute(
-        "SELECT ellipsoid_code, prime_meridian_code FROM geodetic_datum "
-        "WHERE auth_name='EPSG' AND code=?",
-        (datum_code,),
+        "SELECT ellipsoid_auth_name, ellipsoid_code, "
+        "  prime_meridian_auth_name, prime_meridian_code FROM geodetic_datum "
+        "WHERE auth_name=? AND code=?",
+        (datum_auth, datum_code),
     ).fetchone()
     if drow is None:
         return None
-    ell_code, pm_code = drow
+    ell_auth, ell_code, pm_auth, pm_code = drow
     erow = con.execute(
         "SELECT semi_major_axis, uom_code, inv_flattening, semi_minor_axis "
-        "FROM ellipsoid WHERE auth_name='EPSG' AND code=?",
-        (ell_code,),
+        "FROM ellipsoid WHERE auth_name=? AND code=?",
+        (ell_auth, ell_code),
     ).fetchone()
     a, a_uom, rf, b = erow
     a_m = _length_m(float(a), str(a_uom))
@@ -201,20 +202,20 @@ def _geodetic_pairs(code: str) -> list[tuple[str, str | None]] | None:
         pairs.append(("b", _fmt(_length_m(float(b), str(a_uom)))))
     prow = con.execute(
         "SELECT longitude, uom_code FROM prime_meridian "
-        "WHERE auth_name='EPSG' AND code=?",
-        (pm_code,),
+        "WHERE auth_name=? AND code=?",
+        (pm_auth, pm_code),
     ).fetchone()
     if prow is not None:
         pm_deg = _angle_deg(float(prow[0]), str(prow[1]))
         if pm_deg != 0.0:
             pairs.append(("pm", _fmt(pm_deg)))
-    tw = _towgs84(code)
+    tw = _towgs84(auth, code)
     if tw is not None:
         pairs.append(("towgs84", tw))
     return pairs
 
 
-def _towgs84(crs_code: str) -> str | None:
+def _towgs84(auth: str, crs_code: str) -> str | None:
     """Best non-deprecated helmert to WGS 84 (4326), position-vector
     convention (coordinate-frame rotations negated), arcsec/ppm units —
     the classic +towgs84 contract (ref transform.cpp datum hub)."""
@@ -223,11 +224,12 @@ def _towgs84(crs_code: str) -> str | None:
         "SELECT method_code, tx, ty, tz, rx, ry, rz, scale_difference, "
         "  rotation_uom_code, scale_difference_uom_code, translation_uom_code "
         "FROM helmert_transformation "
-        "WHERE auth_name='EPSG' AND source_crs_code=? AND target_crs_code='4326' "
+        "WHERE source_crs_auth_name=? AND source_crs_code=? "
+        "  AND target_crs_auth_name='EPSG' AND target_crs_code='4326' "
         "  AND deprecated=0 AND method_code IN "
         "  ('9603','9606','9607','1031','1032','1033') "
-        "ORDER BY (accuracy IS NULL), accuracy, CAST(code AS INTEGER) LIMIT 1",
-        (crs_code,),
+        "ORDER BY (accuracy IS NULL), accuracy, code LIMIT 1",
+        (auth, crs_code),
     ).fetchone()
     if row is None:
         return None
@@ -308,7 +310,7 @@ _METHOD = {
 }
 
 
-def _conversion_pairs(conv_code: str) -> list[tuple[str, str | None]]:
+def _conversion_pairs(conv_auth: str, conv_code: str) -> list[tuple[str, str | None]]:
     con = _db()
     row = con.execute(
         "SELECT method_code, "
@@ -316,8 +318,8 @@ def _conversion_pairs(conv_code: str) -> list[tuple[str, str | None]]:
             f"param{i}_code, param{i}_value, param{i}_uom_code"
             for i in range(1, 8)
         )
-        + " FROM conversion WHERE auth_name='EPSG' AND code=?",
-        (conv_code,),
+        + " FROM conversion WHERE auth_name=? AND code=?",
+        (conv_auth, conv_code),
     ).fetchone()
     if row is None:
         raise KeyError(f"conversion {conv_code} not found")
@@ -365,12 +367,12 @@ def _conversion_pairs(conv_code: str) -> list[tuple[str, str | None]]:
     return pairs
 
 
-def _projected_unit(cs_code: str) -> list[tuple[str, str | None]]:
+def _projected_unit(cs_auth: str, cs_code: str) -> list[tuple[str, str | None]]:
     con = _db()
     row = con.execute(
-        "SELECT uom_code FROM axis WHERE coordinate_system_auth_name='EPSG' "
+        "SELECT uom_code FROM axis WHERE coordinate_system_auth_name=? "
         "AND coordinate_system_code=? ORDER BY coordinate_system_order LIMIT 1",
-        (cs_code,),
+        (cs_auth, cs_code),
     ).fetchone()
     if row is None or str(row[0]) == "9001":
         return [("units", "m")]
@@ -388,31 +390,43 @@ def _projected_unit(cs_code: str) -> list[tuple[str, str | None]]:
 def resolve_epsg(code: str | int) -> list[tuple[str, str | None]]:
     """EPSG code → classic proj.4 init parameter pairs. Raises KeyError
     for unknown codes, NotImplementedError for unmapped methods."""
-    code = str(int(code))
+    return resolve_crs("EPSG", str(int(code)))
+
+
+def resolve_crs(auth: str, code: str) -> list[tuple[str, str | None]]:
+    """(authority, code) → proj.4 init pairs; EPSG, IGNF and ESRI
+    authorities all load from the same registry tables."""
     con = _db()
     row = con.execute(
-        "SELECT type FROM geodetic_crs WHERE auth_name='EPSG' AND code=?",
-        (code,),
+        "SELECT type FROM geodetic_crs WHERE auth_name=? AND code=?",
+        (auth, code),
     ).fetchone()
     if row is not None:
-        base = _geodetic_pairs(code)
+        base = _geodetic_pairs(auth, code)
         if base is None:
             raise KeyError(code)
         head = [("proj", "geocent" if row[0] == "geocentric" else "longlat")]
         return head + base + [("no_defs", None)]
     prow = con.execute(
-        "SELECT geodetic_crs_code, conversion_code, coordinate_system_code "
-        "FROM projected_crs WHERE auth_name='EPSG' AND code=?",
-        (code,),
+        "SELECT geodetic_crs_auth_name, geodetic_crs_code, "
+        "  conversion_auth_name, conversion_code, "
+        "  coordinate_system_auth_name, coordinate_system_code "
+        "FROM projected_crs WHERE auth_name=? AND code=?",
+        (auth, code),
     ).fetchone()
     if prow is None:
-        raise KeyError(f"EPSG:{code} not found in proj.db")
-    geo_code, conv_code, cs_code = (str(x) for x in prow)
-    pairs = _conversion_pairs(conv_code)
-    base = _geodetic_pairs(geo_code)
+        raise KeyError(f"{auth}:{code} not found in proj.db")
+    if prow[3] is None:
+        # e.g. ESRI rows carrying only a WKT text_definition
+        raise NotImplementedError(f"{auth}:{code} has no conversion reference")
+    geo_auth, geo_code, conv_auth, conv_code, cs_auth, cs_code = (
+        str(x) for x in prow
+    )
+    pairs = _conversion_pairs(conv_auth, conv_code)
+    base = _geodetic_pairs(geo_auth, geo_code)
     if base is None:
         raise KeyError(f"base geodetic CRS {geo_code} not found")
     pairs += base
-    pairs += _projected_unit(cs_code)
+    pairs += _projected_unit(cs_auth, cs_code)
     pairs.append(("no_defs", None))
     return pairs

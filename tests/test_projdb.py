@@ -129,3 +129,16 @@ def test_towgs84_conventions():
     assert len(tw) == 7
     pairs_3 = dict(projdb.resolve_epsg(4218))  # Bogota 1975
     assert len(pairs_3["towgs84"].split(",")) in (3, 7)
+
+
+def test_ignf_catalog():
+    """+init=IGNF:LAMB93 resolves through the registry (the reference
+    serves IGNF from the same proj.db, factory.cpp)."""
+    from rayproj.core.resources import load_init
+
+    d = dict(load_init("IGNF:LAMB93"))
+    assert d["proj"] == "lcc" and d["x_0"] == "700000"
+    op = create_operation("+init=IGNF:LAMB93")
+    c = Coords(np.array([3.0]) * DEG_TO_RAD, np.array([46.5]) * DEG_TO_RAD)
+    op.trans(FWD, c)
+    assert abs(c.x[0] - 700000.0) < 1e-3 and abs(c.y[0] - 6600000.0) < 1e-3
