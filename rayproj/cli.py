@@ -167,6 +167,42 @@ def _normalize_defn(defn: str) -> str:
     return " ".join(_expand_crs_tokens(defn.split()))
 
 
+def _print_db_candidates(s_crs: str, t_crs: str) -> None:
+    """Registry-backed candidate transformations between the geodetic
+    bases of two authority:code CRSs (iso19111/factory.cpp
+    createOperations direct leg), accuracy-ranked."""
+    import re
+
+    m_s = re.match(r"^(EPSG|IGNF|ESRI):(.+)$", s_crs, re.I)
+    m_t = re.match(r"^(EPSG|IGNF|ESRI):(.+)$", t_crs, re.I)
+    if not (m_s and m_t):
+        return
+    try:
+        from .state import projdb
+
+        if not projdb.available():
+            return
+        b_s = projdb.geodetic_base(m_s.group(1).upper(), m_s.group(2))
+        b_t = projdb.geodetic_base(m_t.group(1).upper(), m_t.group(2))
+        if not (b_s and b_t):
+            return
+        ops = projdb.candidate_operations(*b_s, *b_t)
+    except Exception:
+        return
+    if not ops:
+        return
+    print(f"== candidate operations between geodetic bases "
+          f"{b_s[0]}:{b_s[1]} and {b_t[0]}:{b_t[1]} (proj.db): {len(ops)} ==")
+    for o in ops[:10]:
+        acc = "?" if o["accuracy"] is None else f"{o['accuracy']:g} m"
+        inv = " (inverse)" if o["inverse"] else ""
+        extra = f" grid={o['grid']}" if o.get("grid") else ""
+        print(f"  {o['auth']}:{o['code']} {o['name']} [{o['method']}] "
+              f"acc={acc}{extra}{inv}")
+    if len(ops) > 10:
+        print(f"  ... {len(ops) - 10} more")
+
+
 def cmd_projinfo(args) -> int:
     """CRS resolution at the proj-string level (src/apps/projinfo.cpp):
     expand EPSG codes / proj-strings, print the normalized parameter
@@ -213,6 +249,7 @@ def cmd_projinfo(args) -> int:
         t = _normalize_defn(args.t_crs)
         print("== operation (WGS84 geodetic hub, cs2cs semantics) ==")
         print(f"+proj=pipeline +step +inv {s} +step {t}")
+        _print_db_candidates(args.s_crs, args.t_crs)
         return 0
     for defn in args.crs:
         describe(defn)

@@ -430,3 +430,77 @@ def resolve_crs(auth: str, code: str) -> list[tuple[str, str | None]]:
     pairs += _projected_unit(cs_auth, cs_code)
     pairs.append(("no_defs", None))
     return pairs
+
+
+# --- candidate operation listing (factory.cpp createOperations subset) -----
+
+
+def candidate_operations(s_auth: str, s_code: str, t_auth: str,
+                         t_code: str) -> list[dict]:
+    """Direct registry operations between two geodetic CRSs, both
+    directions, accuracy-ranked — the proj.db leg of the reference's
+    createOperations (iso19111/factory.cpp); hub composition and
+    per-point selection live in core/altops.py."""
+    con = _db()
+    out: list[dict] = []
+    for (sa, sc, ta, tc), inverse in (
+        ((s_auth, s_code, t_auth, t_code), False),
+        ((t_auth, t_code, s_auth, s_code), True),
+    ):
+        for row in con.execute(
+            "SELECT auth_name, code, name, method_name, accuracy, "
+            "  tx, ty, tz, rx, ry, rz, scale_difference "
+            "FROM helmert_transformation "
+            "WHERE source_crs_auth_name=? AND source_crs_code=? "
+            "  AND target_crs_auth_name=? AND target_crs_code=? "
+            "  AND deprecated=0",
+            (sa, sc, ta, tc),
+        ):
+            out.append(
+                {
+                    "auth": row[0], "code": row[1], "name": row[2],
+                    "method": row[3], "accuracy": row[4],
+                    "inverse": inverse,
+                    "params": {
+                        "tx": row[5], "ty": row[6], "tz": row[7],
+                        "rx": row[8], "ry": row[9], "rz": row[10],
+                        "ds": row[11],
+                    },
+                }
+            )
+        for row in con.execute(
+            "SELECT auth_name, code, name, method_name, accuracy, grid_name "
+            "FROM grid_transformation "
+            "WHERE source_crs_auth_name=? AND source_crs_code=? "
+            "  AND target_crs_auth_name=? AND target_crs_code=? "
+            "  AND deprecated=0",
+            (sa, sc, ta, tc),
+        ):
+            out.append(
+                {
+                    "auth": row[0], "code": row[1], "name": row[2],
+                    "method": row[3], "accuracy": row[4],
+                    "inverse": inverse, "grid": row[5],
+                }
+            )
+    out.sort(key=lambda r: (r["accuracy"] is None, r["accuracy"] or 0.0,
+                            r["inverse"], str(r["code"])))
+    return out
+
+
+def geodetic_base(auth: str, code: str) -> tuple[str, str] | None:
+    """(auth, code) of the geodetic CRS underlying a CRS code (identity
+    for geodetic codes, the base for projected ones)."""
+    con = _db()
+    if con.execute(
+        "SELECT 1 FROM geodetic_crs WHERE auth_name=? AND code=?", (auth, code)
+    ).fetchone():
+        return (auth, code)
+    row = con.execute(
+        "SELECT geodetic_crs_auth_name, geodetic_crs_code FROM projected_crs "
+        "WHERE auth_name=? AND code=?",
+        (auth, code),
+    ).fetchone()
+    if row is None:
+        return None
+    return (str(row[0]), str(row[1]))

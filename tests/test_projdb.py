@@ -142,3 +142,18 @@ def test_ignf_catalog():
     c = Coords(np.array([3.0]) * DEG_TO_RAD, np.array([46.5]) * DEG_TO_RAD)
     op.trans(FWD, c)
     assert abs(c.x[0] - 700000.0) < 1e-3 and abs(c.y[0] - 6600000.0) < 1e-3
+
+
+def test_candidate_operations_listing(capsys):
+    """projinfo -s/-t surfaces accuracy-ranked registry candidates."""
+    ops = projdb.candidate_operations("EPSG", "4267", "EPSG", "4326")
+    assert len(ops) > 20
+    accs = [o["accuracy"] for o in ops if o["accuracy"] is not None]
+    assert accs == sorted(accs)
+    assert any(o.get("grid") for o in ops)  # NTv2/NADCON legs present
+
+    from rayproj.cli import main
+
+    assert main(["projinfo", "-s", "EPSG:4267", "-t", "EPSG:4326"]) == 0
+    out = capsys.readouterr().out
+    assert "candidate operations" in out and "NTv2" in out
