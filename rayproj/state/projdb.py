@@ -504,3 +504,91 @@ def geodetic_base(auth: str, code: str) -> tuple[str, str] | None:
     if row is None:
         return None
     return (str(row[0]), str(row[1]))
+
+
+def _extent_bbox(object_table: str, auth: str, code: str):
+    """(west, south, east, north) degrees via usage→extent, or None."""
+    row = _db().execute(
+        "SELECT e.west_lon, e.south_lat, e.east_lon, e.north_lat "
+        "FROM usage u JOIN extent e ON e.auth_name=u.extent_auth_name "
+        "  AND e.code=u.extent_code "
+        "WHERE u.object_table_name=? AND u.object_auth_name=? "
+        "  AND u.object_code=? LIMIT 1",
+        (object_table, auth, code),
+    ).fetchone()
+    if row is None or any(v is None for v in row):
+        return None
+    return tuple(float(v) for v in row)
+
+
+def routed_datum_operation(s_auth: str, s_code: str,
+                           t_auth: str, t_code: str):
+    """Per-point-routed datum shift between two geodetic CRSs: every
+    non-deprecated registry Helmert candidate becomes a cart→helmert→
+    cart⁻¹ pipeline bounded by its usage extent and ranked by accuracy;
+    RoutedOperation then picks per point exactly like
+    proj_create_crs_to_crs + pj_get_suggested_operation (4D_api.cpp).
+    Grid-based candidates are excluded (grid files not bundled)."""
+    import math as _m
+
+    from ..core.altops import AltOperation, RoutedOperation
+    from ..core.factory import create_operation
+
+    s_base = geodetic_base(s_auth, s_code)
+    t_base = geodetic_base(t_auth, t_code)
+    if not (s_base and t_base):
+        raise KeyError("geodetic base not found")
+
+    def ell_str(auth, code):
+        pairs = [p for p in (_geodetic_pairs(auth, code) or [])
+                 if p[0] in ("a", "rf", "b")]
+        return " ".join(f"+{k}={v}" for k, v in pairs)
+
+    s_ell = ell_str(*s_base)
+    t_ell = ell_str(*t_base)
+    alts = []
+    for o in candidate_operations(*s_base, *t_base):
+        if "grid" in o:
+            continue
+        p = o["params"]
+        inv = o["inverse"]
+        convention = (
+            "coordinate_frame" if "Coordinate Frame" in (o["method"] or "")
+            else "position_vector"
+        )
+        h = (f"+x={p['tx'] or 0} +y={p['ty'] or 0} +z={p['tz'] or 0}")
+        if any(p[k] for k in ("rx", "ry", "rz", "ds")):
+            h += (f" +rx={p['rx'] or 0} +ry={p['ry'] or 0} "
+                  f"+rz={p['rz'] or 0} +s={p['ds'] or 0} "
+                  f"+convention={convention}")
+        step = f"+step +proj=helmert {h}"
+        if inv:
+            step = f"+step +inv +proj=helmert {h}"
+        op = create_operation(
+            "+proj=pipeline "
+            f"+step +proj=cart {s_ell} "
+            f"{step} "
+            f"+step +inv +proj=cart {t_ell}"
+        )
+        bbox = _extent_bbox("helmert_transformation", o["auth"], o["code"])
+        kw = {}
+        if bbox:
+            d2r = _m.pi / 180.0
+            kw = dict(
+                minx_src=bbox[0] * d2r, miny_src=bbox[1] * d2r,
+                maxx_src=bbox[2] * d2r, maxy_src=bbox[3] * d2r,
+                minx_dst=bbox[0] * d2r, miny_dst=bbox[1] * d2r,
+                maxx_dst=bbox[2] * d2r, maxy_dst=bbox[3] * d2r,
+            )
+        alts.append(
+            AltOperation(
+                op=op, name=f"{o['auth']}:{o['code']} {o['name']}",
+                accuracy=-1.0 if o["accuracy"] is None else float(o["accuracy"]),
+                **kw,
+            )
+        )
+    if not alts:
+        raise KeyError(
+            f"no helmert candidates between {s_base} and {t_base}"
+        )
+    return RoutedOperation(alts)

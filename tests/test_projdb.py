@@ -157,3 +157,23 @@ def test_candidate_operations_listing(capsys):
     assert main(["projinfo", "-s", "EPSG:4267", "-t", "EPSG:4326"]) == 0
     out = capsys.readouterr().out
     assert "candidate operations" in out and "NTv2" in out
+
+
+def test_routed_datum_operation():
+    """Registry-driven per-point datum routing: NAD27→WGS84 picks a
+    region-appropriate Helmert per point (bbox+accuracy selection),
+    so CONUS / Canada / Mexico points get distinct shifts of sane
+    NAD27 magnitude (tens of metres)."""
+    from rayproj.state.projdb import routed_datum_operation
+
+    op = routed_datum_operation("EPSG", "4267", "EPSG", "4326")
+    lon = np.array([-98.0, -106.0, -99.0])
+    lat = np.array([39.0, 52.0, 19.4])
+    c = Coords(lon * DEG_TO_RAD, lat * DEG_TO_RAD, np.zeros(3))
+    op.trans(FWD, c)
+    dlon = (c.x / DEG_TO_RAD - lon) * 3600.0
+    dlat = (c.y / DEG_TO_RAD - lat) * 3600.0
+    shifts = set(zip(np.round(dlon, 4), np.round(dlat, 4)))
+    assert len(shifts) == 3  # different candidates per region
+    mags = np.hypot(dlon * 30.0, dlat * 30.0)  # ~30 m per arcsec
+    assert np.all(mags > 5) and np.all(mags < 150), mags
