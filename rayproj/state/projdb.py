@@ -592,3 +592,80 @@ def routed_datum_operation(s_auth: str, s_code: str,
             f"no helmert candidates between {s_base} and {t_base}"
         )
     return RoutedOperation(alts)
+
+
+def create_crs_to_crs(s_crs: str, t_crs: str):
+    """proj_create_crs_to_crs parity for authority codes
+    ('EPSG:4267', 'IGNF:LAMB93', ...): inverse source projection →
+    datum step → forward target projection as one Operation (ref
+    4D_api.cpp proj_create_crs_to_crs + factory.createOperations).
+    Like the reference, a DIRECT registry operation between the bases
+    is preferred (per-point routed by usage extent + accuracy, the
+    towgs84 hub ends stripped so the shift applies exactly once); with
+    no direct candidate it falls back to the classic towgs84
+    hub-and-spoke built into the +init expansions."""
+    from ..core.factory import create_operation
+    from ..core.op import FWD, INV, Operation
+
+    def parse(c):
+        auth, code = c.split(":", 1)
+        return auth.upper(), code
+
+    sa, sc = parse(s_crs)
+    ta, tc = parse(t_crs)
+    s_base = geodetic_base(sa, sc)
+    t_base = geodetic_base(ta, tc)
+    if not (s_base and t_base):
+        raise KeyError(f"unknown CRS {s_crs} / {t_crs}")
+
+    mid = None
+    if s_base != t_base:
+        s_datum = _db().execute(
+            "SELECT datum_auth_name, datum_code FROM geodetic_crs "
+            "WHERE auth_name=? AND code=?", s_base).fetchone()
+        t_datum = _db().execute(
+            "SELECT datum_auth_name, datum_code FROM geodetic_crs "
+            "WHERE auth_name=? AND code=?", t_base).fetchone()
+        if s_datum != t_datum:
+            try:
+                mid = routed_datum_operation(*s_base, *t_base)
+            except KeyError:
+                mid = None
+
+    def end_op(auth, code):
+        pairs = resolve_crs(auth, code)
+        if mid is not None:
+            pairs = [p for p in pairs if p[0] != "towgs84"]
+        return create_operation(
+            " ".join(f"+{k}={v}" if v is not None else f"+{k}"
+                     for k, v in pairs)
+        )
+
+    s_op = end_op(sa, sc)
+    t_op = end_op(ta, tc)
+
+    class CrsToCrs(Operation):
+        name = "crs_to_crs"
+
+        def __init__(self):
+            self.params = s_op.params
+            self.ell = getattr(s_op, "ell", None)
+
+        def has_inverse(self) -> bool:
+            return True
+
+        def angular_input(self, direction):
+            return (s_op if direction == FWD else t_op).angular_output(FWD)
+
+        def angular_output(self, direction):
+            return (t_op if direction == FWD else s_op).angular_output(FWD)
+
+        def trans(self, direction, coo):
+            a, b = (s_op, t_op) if direction == FWD else (t_op, s_op)
+            a.trans(INV, coo)
+            if mid is not None:
+                mid.trans(direction, coo)
+            b.trans(FWD, coo)
+            return coo
+
+    return CrsToCrs()

@@ -177,3 +177,34 @@ def test_routed_datum_operation():
     assert len(shifts) == 3  # different candidates per region
     mags = np.hypot(dlon * 30.0, dlat * 30.0)  # ~30 m per arcsec
     assert np.all(mags > 5) and np.all(mags < 150), mags
+
+
+def test_create_crs_to_crs():
+    """proj_create_crs_to_crs parity: direct registry datum step
+    (routed, hub ends stripped), exact round-trip, same-datum equals
+    the plain +init path."""
+    from rayproj.core.op import INV
+    from rayproj.state.projdb import create_crs_to_crs
+
+    op = create_crs_to_crs("EPSG:4267", "EPSG:32614")  # NAD27 → WGS84 UTM14N
+    lon, lat = np.array([-98.0]), np.array([39.0])
+    c = Coords(lon * DEG_TO_RAD, lat * DEG_TO_RAD, np.zeros(1))
+    op.trans(FWD, c)
+    x_shifted, y_shifted = float(c.x[0]), float(c.y[0])
+    op.trans(INV, c)
+    assert abs(c.x[0] / DEG_TO_RAD - lon[0]) < 1e-9
+    assert abs(c.y[0] / DEG_TO_RAD - lat[0]) < 1e-9
+
+    # without the datum step the result must differ by tens of metres
+    utm = create_operation("+init=epsg:32614")
+    c2 = Coords(lon * DEG_TO_RAD, lat * DEG_TO_RAD, np.zeros(1))
+    utm.trans(FWD, c2)
+    d = np.hypot(c2.x[0] - x_shifted, c2.y[0] - y_shifted)
+    assert 5 < d < 150, d
+
+    # same datum: identical to the plain +init forward
+    op3 = create_crs_to_crs("EPSG:4326", "EPSG:32632")
+    c3 = Coords(np.array([9.0]) * DEG_TO_RAD, np.array([0.0]) * DEG_TO_RAD,
+                np.zeros(1))
+    op3.trans(FWD, c3)
+    assert abs(c3.x[0] - 500000.0) < 1e-6 and abs(c3.y[0]) < 1e-6
