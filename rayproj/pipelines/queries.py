@@ -103,6 +103,50 @@ FROM g, e ORDER BY doc_id
 """
 
 
+def q_lcc_fwd(sf_dir: str):
+    """Lambert Conformal Conic 2SP (RGF93 / Lambert-93 parameters,
+    EPSG:2154 — the registry resolution is pinned bit-equal in
+    tests/test_projdb.py; the proj-string here keeps the driver oracle
+    independent of the proj.db build). Oracle = the full ellipsoidal
+    2SP chain (Snyder 15-1..15-10 / ref src/projections/lcc.cpp) in
+    ANSI SQL."""
+    return _projected_query(
+        sf_dir,
+        "+proj=lcc +lat_0=46.5 +lon_0=3 +lat_1=49 +lat_2=44 "
+        "+x_0=700000 +y_0=6600000 +ellps=GRS80",
+    )
+
+
+SQL_LCC = f"""
+WITH g AS ({GEOLOC_SQL}),
+c AS (SELECT 6378137.0 AS a, 1.0/298.257222101 AS f,
+             radians(49.0) AS p1, radians(44.0) AS p2,
+             radians(46.5) AS p0, radians(3.0) AS l0),
+e AS (SELECT *, sqrt(2*f - f*f) AS ec FROM c),
+m AS (SELECT *,
+  cos(p1)/sqrt(1 - (ec*sin(p1))*(ec*sin(p1))) AS m1,
+  cos(p2)/sqrt(1 - (ec*sin(p2))*(ec*sin(p2))) AS m2,
+  tan(pi()/4 - p1/2) / pow((1 - ec*sin(p1))/(1 + ec*sin(p1)), ec/2) AS t1,
+  tan(pi()/4 - p2/2) / pow((1 - ec*sin(p2))/(1 + ec*sin(p2)), ec/2) AS t2,
+  tan(pi()/4 - p0/2) / pow((1 - ec*sin(p0))/(1 + ec*sin(p0)), ec/2) AS t0
+ FROM e),
+k AS (SELECT *, (ln(m1) - ln(m2)) / (ln(t1) - ln(t2)) AS n FROM m),
+q AS (SELECT *, m1 / (n * pow(t1, n)) AS bigf FROM k),
+r AS (SELECT *, a * bigf * pow(t0, n) AS rho0 FROM q),
+pt AS (SELECT g.doc_id, radians(g.lat) AS phi, radians(g.lon) AS lam, r.*
+       FROM g, r),
+tt AS (SELECT *,
+  tan(pi()/4 - phi/2) / pow((1 - ec*sin(phi))/(1 + ec*sin(phi)), ec/2) AS t
+ FROM pt),
+xy AS (SELECT doc_id,
+  a * bigf * pow(t, n) * sin(n * (lam - l0)) AS dx,
+  rho0 - a * bigf * pow(t, n) * cos(n * (lam - l0)) AS dy
+ FROM tt)
+SELECT doc_id, ROUND(700000.0 + dx, 1) AS x, ROUND(6600000.0 + dy, 1) AS y
+FROM xy ORDER BY doc_id
+"""
+
+
 def q_webmerc_fwd(sf_dir: str):
     return _projected_query(sf_dir, "+proj=webmerc +ellps=WGS84")
 
@@ -2564,6 +2608,7 @@ QUERIES = {
     "merc_fwd": q_merc_fwd,
     "webmerc_fwd": q_webmerc_fwd,
     "utm_fwd": q_utm_fwd,
+    "lcc_fwd": q_lcc_fwd,
     "cart_fwd": q_cart_fwd,
     "helmert_towgs84": q_helmert,
     "datum_hop_cs2cs": q_datum_hop,
@@ -2654,6 +2699,7 @@ ORACLE_SQL = {
     "bigram_stats": SQL_BIGRAM_STATS,
     "token_quantiles": SQL_TOKEN_QUANTILES,
     "utm_fwd": SQL_UTM,
+    "lcc_fwd": SQL_LCC,
     "token_stats": SQL_TOKEN_STATS,
     "text_quality": SQL_TEXT_QUALITY,
     "langid": SQL_LANGID,
