@@ -147,6 +147,107 @@ FROM xy ORDER BY doc_id
 """
 
 
+def q_aea_fwd(sf_dir: str):
+    """Albers Equal Area (EPSG:5070 CONUS parameters). Oracle = the
+    ellipsoidal chain Snyder 14-1..14-12 / ref src/projections/aea.cpp
+    in ANSI SQL."""
+    return _projected_query(
+        sf_dir,
+        "+proj=aea +lat_0=23 +lon_0=-96 +lat_1=29.5 +lat_2=45.5 "
+        "+x_0=0 +y_0=0 +ellps=GRS80",
+    )
+
+
+SQL_AEA = f"""
+WITH g AS ({GEOLOC_SQL}),
+c AS (SELECT 6378137.0 AS a, 1.0/298.257222101 AS f,
+             radians(29.5e0) AS p1, radians(45.5e0) AS p2,
+             radians(23.0e0) AS p0, radians(-96.0e0) AS l0),
+e AS (SELECT *, 2*f - f*f AS es, sqrt(2*f - f*f) AS ec FROM c),
+qq AS (SELECT *,
+  (1-es)*( sin(p1)/(1-es*sin(p1)*sin(p1))
+           - (1/(2*ec))*ln((1-ec*sin(p1))/(1+ec*sin(p1))) ) AS q1,
+  (1-es)*( sin(p2)/(1-es*sin(p2)*sin(p2))
+           - (1/(2*ec))*ln((1-ec*sin(p2))/(1+ec*sin(p2))) ) AS q2,
+  (1-es)*( sin(p0)/(1-es*sin(p0)*sin(p0))
+           - (1/(2*ec))*ln((1-ec*sin(p0))/(1+ec*sin(p0))) ) AS q0,
+  cos(p1)/sqrt(1-es*sin(p1)*sin(p1)) AS m1,
+  cos(p2)/sqrt(1-es*sin(p2)*sin(p2)) AS m2
+ FROM e),
+k AS (SELECT *, (m1*m1 - m2*m2)/(q2 - q1) AS n FROM qq),
+cc AS (SELECT *, m1*m1 + n*q1 AS bigc FROM k),
+r AS (SELECT *, a*sqrt(bigc - n*q0)/n AS rho0 FROM cc),
+pt AS (SELECT g.doc_id, radians(g.lat) AS phi,
+       radians(g.lon) - l0
+         - 2*pi()*round((radians(g.lon) - l0)/(2*pi())) AS dl, r.*
+       FROM g, r),
+qp AS (SELECT *,
+  (1-es)*( sin(phi)/(1-es*sin(phi)*sin(phi))
+           - (1/(2*ec))*ln((1-ec*sin(phi))/(1+ec*sin(phi))) ) AS q
+ FROM pt),
+xy AS (SELECT doc_id,
+  a*sqrt(bigc - n*q)/n * sin(n*dl) AS x,
+  rho0 - a*sqrt(bigc - n*q)/n * cos(n*dl) AS y
+ FROM qp)
+SELECT doc_id, ROUND(x, 1) AS x, ROUND(y, 1) AS y FROM xy ORDER BY doc_id
+"""
+
+
+def q_stere_fwd(sf_dir: str):
+    """Polar Stereographic variant B (EPSG:3413 NSIDC Sea Ice North
+    parameters), northern points only — the projection's area of use.
+    Oracle = ellipsoidal polar chain Snyder 21-33..21-34 / ref
+    src/projections/stere.cpp in ANSI SQL."""
+    op = create_operation(
+        "+proj=stere +lat_0=90 +lat_ts=70 +lon_0=-45 +x_0=0 +y_0=0 "
+        "+ellps=GRS80"
+    )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        batch = _geoloc_batch(batch)
+        lon = batch.column("lon").to_numpy()
+        lat = batch.column("lat").to_numpy()
+        m = lat > 10.0
+        coo = Coords(lon[m] * DEG_TO_RAD, lat[m] * DEG_TO_RAD)
+        op.trans(FWD, coo)
+        return pa.table(
+            {
+                "doc_id": pa.array(batch.column("doc_id").to_numpy()[m]),
+                "x": pa.array(np.round(coo.x, 1)),
+                "y": pa.array(np.round(coo.y, 1)),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
+SQL_STERE = f"""
+WITH g0 AS ({GEOLOC_SQL}),
+g AS (SELECT * FROM g0 WHERE lat > 10),
+c AS (SELECT 6378137.0 AS a, 1.0/298.257222101 AS f,
+             radians(70.0e0) AS pts, radians(-45.0e0) AS l0),
+e AS (SELECT *, 2*f - f*f AS es, sqrt(2*f - f*f) AS ec FROM c),
+k AS (SELECT *,
+  cos(pts)/sqrt(1-es*sin(pts)*sin(pts)) AS mf,
+  tan(pi()/4 - pts/2) / pow((1-ec*sin(pts))/(1+ec*sin(pts)), ec/2) AS tf
+ FROM e),
+pt AS (SELECT g.doc_id, radians(g.lat) AS phi,
+       radians(g.lon) - l0
+         - 2*pi()*round((radians(g.lon) - l0)/(2*pi())) AS dl, k.*
+       FROM g, k),
+tt AS (SELECT *,
+  tan(pi()/4 - phi/2) / pow((1-ec*sin(phi))/(1+ec*sin(phi)), ec/2) AS t
+ FROM pt),
+xy AS (SELECT doc_id,
+  a * mf * t / tf * sin(dl) AS x,
+  -(a * mf * t / tf) * cos(dl) AS y
+ FROM tt)
+SELECT doc_id, ROUND(x, 1) AS x, ROUND(y, 1) AS y FROM xy ORDER BY doc_id
+"""
+
+
 def q_webmerc_fwd(sf_dir: str):
     return _projected_query(sf_dir, "+proj=webmerc +ellps=WGS84")
 
@@ -2609,6 +2710,8 @@ QUERIES = {
     "webmerc_fwd": q_webmerc_fwd,
     "utm_fwd": q_utm_fwd,
     "lcc_fwd": q_lcc_fwd,
+    "aea_fwd": q_aea_fwd,
+    "stere_fwd": q_stere_fwd,
     "cart_fwd": q_cart_fwd,
     "helmert_towgs84": q_helmert,
     "datum_hop_cs2cs": q_datum_hop,
@@ -2700,6 +2803,8 @@ ORACLE_SQL = {
     "token_quantiles": SQL_TOKEN_QUANTILES,
     "utm_fwd": SQL_UTM,
     "lcc_fwd": SQL_LCC,
+    "aea_fwd": SQL_AEA,
+    "stere_fwd": SQL_STERE,
     "token_stats": SQL_TOKEN_STATS,
     "text_quality": SQL_TEXT_QUALITY,
     "langid": SQL_LANGID,
