@@ -248,6 +248,43 @@ SELECT doc_id, ROUND(x, 1) AS x, ROUND(y, 1) AS y FROM xy ORDER BY doc_id
 """
 
 
+def q_utm_roundtrip(sf_dir: str):
+    """Driver-level inverse-kernel check: fwd UTM then inv UTM must
+    reproduce the geolocated lon/lat to sub-nanometre (the cs2cs
+    round-trip contract, ref test/cli/testvarious round trips). Oracle
+    is the identity on the geolocation formula — any fwd/inv asymmetry
+    breaks the hash."""
+    op = create_operation("+proj=utm +zone=31 +ellps=GRS80")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        from ..core.op import INV
+
+        batch = _geoloc_batch(batch)
+        lon = batch.column("lon").to_numpy()
+        lat = batch.column("lat").to_numpy()
+        m = (lat > -80.0) & (lat < 84.0) & (lon > -42.0) & (lon < 48.0)
+        coo = Coords(lon[m] * DEG_TO_RAD, lat[m] * DEG_TO_RAD)
+        op.trans(FWD, coo)
+        op.trans(INV, coo)
+        return pa.table(
+            {
+                "doc_id": pa.array(batch.column("doc_id").to_numpy()[m]),
+                "lon": pa.array(np.round(coo.x * RAD_TO_DEG, 9)),
+                "lat": pa.array(np.round(coo.y * RAD_TO_DEG, 9)),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
+SQL_UTM_ROUNDTRIP = f"""
+SELECT doc_id, ROUND(lon, 9) AS lon, ROUND(lat, 9) AS lat
+FROM ({GEOLOC_SQL}) WHERE lat > -80 AND lat < 84 AND lon > -42 AND lon < 48 ORDER BY doc_id
+"""
+
+
 def q_webmerc_fwd(sf_dir: str):
     return _projected_query(sf_dir, "+proj=webmerc +ellps=WGS84")
 
@@ -2712,6 +2749,7 @@ QUERIES = {
     "lcc_fwd": q_lcc_fwd,
     "aea_fwd": q_aea_fwd,
     "stere_fwd": q_stere_fwd,
+    "utm_roundtrip": q_utm_roundtrip,
     "cart_fwd": q_cart_fwd,
     "helmert_towgs84": q_helmert,
     "datum_hop_cs2cs": q_datum_hop,
@@ -2805,6 +2843,7 @@ ORACLE_SQL = {
     "lcc_fwd": SQL_LCC,
     "aea_fwd": SQL_AEA,
     "stere_fwd": SQL_STERE,
+    "utm_roundtrip": SQL_UTM_ROUNDTRIP,
     "token_stats": SQL_TOKEN_STATS,
     "text_quality": SQL_TEXT_QUALITY,
     "langid": SQL_LANGID,
