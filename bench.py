@@ -176,7 +176,9 @@ def run_pages_extract() -> dict:
     chars = 0
     for _ in range(3):
         t0 = time.perf_counter()
-        chars = pages.map_batches(ext, batch_format="pyarrow").sum("chars")
+        chars = pages.map_batches(
+            ext, batch_format="pyarrow", batch_size=None
+        ).sum("chars")
         runs.append(time.perf_counter() - t0)
     return {
         "rows": n,

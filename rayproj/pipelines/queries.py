@@ -2303,7 +2303,7 @@ def q_html_extract(sf_dir: str):
         )
 
     return rd.read_parquet(path, columns=["url", "html"]).map_batches(
-        fn, batch_format="pyarrow"
+        fn, batch_format="pyarrow", batch_size=None
     )
 
 
@@ -2390,7 +2390,7 @@ def q_pages_pipeline(sf_dir: str):
         )
 
     return rd.read_parquet(path, columns=["url", "html", "row_id"]).map_batches(
-        fn, batch_format="pyarrow"
+        fn, batch_format="pyarrow", batch_size=None
     )
 
 
@@ -2610,6 +2610,102 @@ FROM s ORDER BY doc_id
 """
 
 
+def q_corpus_curation(sf_dir: str):
+    """End-to-end webtext curation decision per document — the
+    composite the LLM-data brief centers on: Gopher quality gate THEN
+    exact dedup among the survivors (canonical = min doc_id of each
+    content-hash class). One map stage computes signals + md5 per
+    batch (vectorized); one hash-partitioned shuffle (64-bucket
+    bucketed_group_apply) resolves canonicals; output is one decision
+    row per document. Oracle: the same gate + window-free canonical
+    join in SQL."""
+    import re
+
+    from ..functions.dedup import bucketed_group_apply
+
+    stop_pats = [
+        re.compile(rf"(?:^| ){w}(?= |$)") for w in _GOPHER_STOPWORDS
+    ]
+    nonalpha_pat = re.compile(r"(?:^| )[^A-Za-z ]+(?= |$)")
+
+    def signals(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch["text"].fillna("")
+        n_chars = s.str.len().to_numpy(np.int64)
+        n_spaces = s.str.count(" ").to_numpy(np.int64)
+        n_words = np.where(n_chars > 0, n_spaces + 1, 0)
+        sum_word_len = n_chars - n_spaces
+        n_stop = np.zeros(len(s), dtype=np.int64)
+        for pat in stop_pats:
+            n_stop += s.str.count(pat).to_numpy(np.int64)
+        n_alpha = n_words - s.str.count(nonalpha_pat).to_numpy(np.int64)
+        kept = (
+            (n_words >= 50)
+            & (n_words <= 100000)
+            & (3 * n_words <= sum_word_len)
+            & (sum_word_len <= 10 * n_words)
+            & (n_stop >= 2)
+            & (5 * n_alpha >= 4 * n_words)
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(np.int64),
+                "text_md5": textfn.md5_hex(batch["text"]),
+                "kept_quality": kept.astype(np.int64),
+            }
+        )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        signals, batch_format="pandas"
+    )
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        kept_ids = df["doc_id"].where(df["kept_quality"] == 1)
+        keep_min = kept_ids.groupby(df["text_md5"]).transform("min")
+        kf = (
+            (df["kept_quality"] == 1) & (df["doc_id"] == keep_min)
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "kept_quality": df["kept_quality"],
+                "kept_final": kf,
+            }
+        )
+
+    return bucketed_group_apply(ds, "text_md5", resolve)
+
+
+SQL_CORPUS_CURATION = f"""
+WITH t AS (
+  SELECT doc_id, md5(text) AS hh, string_split(text, ' ') AS l,
+         length(text) AS n_chars,
+         length(text) - length(replace(text, ' ', '')) AS n_spaces
+  FROM documents),
+s AS (
+  SELECT doc_id, hh,
+    CASE WHEN n_chars > 0 THEN n_spaces + 1 ELSE 0 END AS n_words,
+    n_chars - n_spaces AS sum_word_len,
+    CAST(len(list_filter(l, w -> w IN {_GOPHER_STOPWORDS})) AS BIGINT)
+        AS n_stop,
+    CAST(len(list_filter(l, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT)
+        AS n_alpha_words
+  FROM t),
+q AS (
+  SELECT doc_id, hh,
+    CAST(CASE WHEN n_words >= 50 AND n_words <= 100000
+          AND 3*n_words <= sum_word_len AND sum_word_len <= 10*n_words
+          AND n_stop >= 2 AND 5*n_alpha_words >= 4*n_words
+         THEN 1 ELSE 0 END AS BIGINT) AS kept_quality
+  FROM s),
+canon AS (SELECT hh, MIN(doc_id) AS keep_id FROM q WHERE kept_quality=1
+          GROUP BY 1)
+SELECT q.doc_id, q.kept_quality,
+  CAST(CASE WHEN q.kept_quality=1 AND c.keep_id=q.doc_id
+       THEN 1 ELSE 0 END AS BIGINT) AS kept_final
+FROM q LEFT JOIN canon c ON q.hh=c.hh ORDER BY q.doc_id
+"""
+
+
 def q_word_freq(sf_dir: str):
     """Corpus-wide term frequency, top 50: per-batch value_counts is
     the map-side combiner (shuffle moves distinct-words-per-batch,
@@ -2781,6 +2877,7 @@ QUERIES = {
     "pages_pipeline": q_pages_pipeline,
     "zonal_stats": q_zonal_stats,
     "gopher_quality": q_gopher_quality,
+    "corpus_curation": q_corpus_curation,
     "word_freq": q_word_freq,
     "bigram_stats": q_bigram_stats,
     "token_quantiles": q_token_quantiles,
@@ -2836,6 +2933,7 @@ ORACLE_SQL = {
     "pages_pipeline": SQL_PAGES_PIPELINE,
     "zonal_stats": SQL_ZONAL_STATS,
     "gopher_quality": SQL_GOPHER_QUALITY,
+    "corpus_curation": SQL_CORPUS_CURATION,
     "word_freq": SQL_WORD_FREQ,
     "bigram_stats": SQL_BIGRAM_STATS,
     "token_quantiles": SQL_TOKEN_QUANTILES,
