@@ -1708,6 +1708,61 @@ ORDER BY query_id, rank
 """
 
 
+def q_knn_join(sf_dir: str):
+    """Embedding kNN self-join: every vector's top-k cosine neighbors
+    (self excluded). The corpus matrix is broadcast once (ray.put-style
+    side input — a closure capture here at fixture scale) and each
+    batch does ONE matmul against it; at 100 TB the same stage probes
+    IVF buckets (functions/ann.IVFIndex, oracle-checked in ann_ivf)
+    instead of the dense matrix. Map-only: no shuffle, output is
+    (vec_id, rank, neighbor_id)."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids_all = np.asarray(tbl.column("vec_id").to_pylist(), dtype=np.int64)
+    mat = np.stack(tbl.column("embedding").to_pylist()).astype(np.float64)
+    matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        q = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+        sims = qn @ matn.T
+        qids = batch["vec_id"].to_numpy(np.int64)
+        # self-exclusion, then top-k with (cosine desc, vec_id asc) ties
+        sims[qids[:, None] == ids_all[None, :]] = -np.inf
+        order = np.lexsort((ids_all[None, :].repeat(len(qids), 0), -sims),
+                           axis=1)[:, :KNN_K]
+        rows = np.repeat(qids, KNN_K)
+        ranks = np.tile(np.arange(1, KNN_K + 1, dtype=np.int64), len(qids))
+        return pd.DataFrame(
+            {
+                "vec_id": rows,
+                "rank": ranks,
+                "neighbor_id": ids_all[order].ravel(),
+            }
+        )
+
+    return _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        fn, batch_format="pandas"
+    )
+
+
+SQL_KNN_JOIN = f"""
+WITH d AS (
+  SELECT a.vec_id, b.vec_id AS neighbor_id,
+         list_cosine_similarity(a.embedding, b.embedding) AS cosine
+  FROM embeddings a CROSS JOIN embeddings b
+  WHERE a.vec_id <> b.vec_id),
+r AS (
+  SELECT vec_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM d)
+SELECT vec_id, rank, neighbor_id FROM r WHERE rank <= {KNN_K}
+ORDER BY vec_id, rank
+"""
+
+
 def q_ngram_jaccard(sf_dir: str):
     """Exact n-gram (3-token shingle) Jaccard similarity over candidate
     doc pairs: the verification kernel of the near-dup family. The
@@ -2889,6 +2944,7 @@ QUERIES = {
     "langid": q_langid,
     "fingerprint": q_fingerprint,
     "ann_cosine": q_ann_cosine,
+    "knn_join": q_knn_join,
     "ann_ivf": q_ann_ivf,
     "ngram_jaccard": q_ngram_jaccard,
     "embed_neardup": q_embed_neardup,
@@ -2947,6 +3003,7 @@ ORACLE_SQL = {
     "langid": SQL_LANGID,
     "fingerprint": SQL_FINGERPRINT,
     "ann_cosine": SQL_ANN,
+    "knn_join": SQL_KNN_JOIN,
     "ann_ivf": SQL_ANN_IVF,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "embed_neardup": SQL_EMBED_NEARDUP,
