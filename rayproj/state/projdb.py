@@ -393,6 +393,31 @@ def resolve_epsg(code: str | int) -> list[tuple[str, str | None]]:
     return resolve_crs("EPSG", str(int(code)))
 
 
+def _vertical_pairs(auth: str, code: str) -> list[tuple[str, str | None]]:
+    """Vertical-unit pairs for a vertical CRS code (+vunits/+vto_meter)."""
+    con = _db()
+    row = con.execute(
+        "SELECT a.uom_code FROM vertical_crs v JOIN axis a "
+        "  ON a.coordinate_system_auth_name=v.coordinate_system_auth_name "
+        " AND a.coordinate_system_code=v.coordinate_system_code "
+        "WHERE v.auth_name=? AND v.code=? LIMIT 1",
+        (auth, code),
+    ).fetchone()
+    if row is None:
+        raise KeyError(f"vertical CRS {auth}:{code} not found")
+    uom = str(row[0])
+    if uom == "9001":
+        return [("vunits", "m")]
+    srow = con.execute(
+        "SELECT proj_short_name, conv_factor FROM unit_of_measure "
+        "WHERE auth_name='EPSG' AND code=?",
+        (uom,),
+    ).fetchone()
+    if srow and srow[0]:
+        return [("vunits", str(srow[0]))]
+    return [("vto_meter", _fmt(float(srow[1])))]
+
+
 def resolve_crs(auth: str, code: str) -> list[tuple[str, str | None]]:
     """(authority, code) → proj.4 init pairs; EPSG, IGNF and ESRI
     authorities all load from the same registry tables."""
@@ -415,6 +440,28 @@ def resolve_crs(auth: str, code: str) -> list[tuple[str, str | None]]:
         (auth, code),
     ).fetchone()
     if prow is None:
+        comp = con.execute(
+            "SELECT horiz_crs_auth_name, horiz_crs_code, "
+            "  vertical_crs_auth_name, vertical_crs_code "
+            "FROM compound_crs WHERE auth_name=? AND code=?",
+            (auth, code),
+        ).fetchone()
+        if comp is not None:
+            horiz = resolve_crs(str(comp[0]), str(comp[1]))
+            vert = _vertical_pairs(str(comp[2]), str(comp[3]))
+            tail = [p for p in horiz if p[0] == "no_defs"]
+            head = [p for p in horiz if p[0] != "no_defs"]
+            return head + vert + tail
+        if con.execute(
+            "SELECT 1 FROM vertical_crs WHERE auth_name=? AND code=?",
+            (auth, code),
+        ).fetchone():
+            # standalone vertical CRS: unit-only (geoid grids are files
+            # the sandbox doesn't carry; cs2cs emulation would attach
+            # +geoidgrids here, ref transform.cpp has_geoidgrids)
+            return [("proj", "longlat")] + _vertical_pairs(auth, code) + [
+                ("no_defs", None)
+            ]
         raise KeyError(f"{auth}:{code} not found in proj.db")
     if prow[3] is None:
         # e.g. ESRI rows carrying only a WKT text_definition

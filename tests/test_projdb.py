@@ -208,3 +208,17 @@ def test_create_crs_to_crs():
                 np.zeros(1))
     op3.trans(FWD, c3)
     assert abs(c3.x[0] - 500000.0) < 1e-6 and abs(c3.y[0]) < 1e-6
+
+
+def test_vertical_and_compound():
+    """Vertical CRSs resolve to unit pairs, compound = horizontal +
+    vertical unit (ref factory.cpp createCompoundCRS; geoid grids are
+    files the sandbox doesn't carry, so unit-only)."""
+    d = dict(projdb.resolve_crs("EPSG", "5703"))   # NAVD88 height
+    assert d["vunits"] == "m"
+    d = dict(projdb.resolve_crs("EPSG", "6360"))   # NAVD88 ftUS
+    assert d["vunits"] == "us-ft"
+    d = dict(projdb.resolve_crs("EPSG", "3901"))   # KKJ + N60
+    assert d["proj"] == "tmerc" and d["vunits"] == "m"
+    op = create_operation("+init=epsg:3901")
+    assert op is not None
