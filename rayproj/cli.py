@@ -257,7 +257,10 @@ def cmd_projinfo(args) -> int:
 
 
 def cmd_cs2cs(args) -> int:
-    toks = _expand_crs_tokens(list(args.projargs))
+    raw = list(args.projargs)
+    if getattr(args, "db_route", False):
+        return _cs2cs_db_route(args, raw)
+    toks = _expand_crs_tokens(raw)
     if "+to" in toks:
         split = toks.index("+to")
     elif "to" in toks:
@@ -290,6 +293,47 @@ def cmd_cs2cs(args) -> int:
         return 0
     arr = _read_text(sys.stdin)
     coo = Coords(arr[:, 0].copy(), arr[:, 1].copy(), arr[:, 2].copy(), arr[:, 3].copy())
+    transform(coo)
+    _emit(coo, False, args.digits)
+    return 0
+
+
+def _cs2cs_db_route(args, toks) -> int:
+    """cs2cs --db-route EPSG:A +to EPSG:B: route through the registry's
+    direct datum candidates (per-point bbox+accuracy selection,
+    state/projdb.create_crs_to_crs) instead of the towgs84 hub —
+    the reference's proj_create_crs_to_crs default behavior."""
+    from .state.projdb import create_crs_to_crs
+
+    sep = "+to" if "+to" in toks else ("to" if "to" in toks else None)
+    if sep is None:
+        print("cs2cs: missing +to separator", file=sys.stderr)
+        return 2
+    split = toks.index(sep)
+    s_crs = " ".join(toks[:split]).strip()
+    t_crs = " ".join(toks[split + 1:]).strip()
+    if args.inverse:
+        s_crs, t_crs = t_crs, s_crs
+    op = create_crs_to_crs(s_crs, t_crs)
+    ang_in = op.angular_input(FWD)
+    ang_out = op.angular_output(FWD)
+
+    def transform(coo: Coords) -> Coords:
+        if ang_in:
+            coo.x *= DEG_TO_RAD
+            coo.y *= DEG_TO_RAD
+        op.trans(FWD, coo)
+        if ang_out:
+            coo.x *= RAD_TO_DEG
+            coo.y *= RAD_TO_DEG
+        return coo
+
+    if args.parquet:
+        _apply_parquet(args, transform)
+        return 0
+    arr = _read_text(sys.stdin)
+    coo = Coords(arr[:, 0].copy(), arr[:, 1].copy(), arr[:, 2].copy(),
+                 arr[:, 3].copy())
     transform(coo)
     _emit(coo, False, args.digits)
     return 0
@@ -440,6 +484,10 @@ def main(argv=None) -> int:
                        help="list linear units")
         p.add_argument("-ld", action="store_true", dest="list_datums",
                        help="list datums")
+        if name == "cs2cs":
+            p.add_argument("--db-route", action="store_true",
+                           help="route datum shift through registry "
+                                "candidates (per-point bbox+accuracy)")
         p.add_argument("--parquet", nargs=2, metavar=("IN", "OUT"))
         p.add_argument("--x-col", default="lon")
         p.add_argument("--y-col", default="lat")

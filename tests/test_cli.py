@@ -141,3 +141,21 @@ def test_list_flags(capsys):
     assert "us-ft" in capsys.readouterr().out
     assert main(["proj", "-ld"]) == 0
     assert "NAD27" in capsys.readouterr().out
+
+
+def test_cs2cs_db_route(monkeypatch, capsys):
+    import io
+
+    from rayproj.cli import main
+    from rayproj.state import projdb
+
+    if not projdb.available():
+        import pytest
+
+        pytest.skip("EPSG registry unavailable")
+    monkeypatch.setattr("sys.stdin", io.StringIO("-98 39 0\n"))
+    assert main(["cs2cs", "--db-route", "EPSG:4267", "+to", "EPSG:32614"]) == 0
+    x, y = [float(v) for v in capsys.readouterr().out.split()[:2]]
+    # the routed CONUS candidate (library-tested in test_projdb) —
+    # ~10 m from the single-towgs84 hub answer
+    assert abs(x - 586562.62) < 0.1 and abs(y - 4317253.67) < 0.1
