@@ -2797,6 +2797,112 @@ GROUP BY 1 ORDER BY n DESC, word LIMIT 50
 """
 
 
+def q_tfidf_top(sf_dir: str):
+    """Top-3 tf-idf terms per source: ONE tokenize pass emits both
+    partial aggregates (tf per (source, term); doc-frequency per term —
+    per-doc dedup is local because documents never span batches),
+    tagged by kind so a single small shuffle combines them; the final
+    (sources × terms) join is driver-side on combiner output. Scores
+    are fixed-point micro-units so the hash is integer-exact."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lst = pc.split_pattern(batch.column("text"), " ")
+        par = pc.list_parent_indices(lst)
+        toks = pc.list_flatten(lst)
+        src = pc.take(batch.column("source"), par)
+        df = pd.DataFrame(
+            {
+                "d": par.to_numpy(),
+                "t": toks.to_pandas(),
+                "s": src.to_pandas(),
+            }
+        )
+        tf = (
+            df.groupby(["s", "t"], sort=False, observed=True)
+            .size()
+            .reset_index(name="n")
+        )
+        dfreq = (
+            df.drop_duplicates(["d", "t"])
+            .groupby("t", sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.table(
+            {
+                "kind": pa.array(
+                    np.concatenate(
+                        [np.zeros(len(tf), np.int64), np.ones(len(dfreq), np.int64)]
+                    )
+                ),
+                "key1": pa.array(
+                    pd.concat([tf["s"], pd.Series([""] * len(dfreq))],
+                              ignore_index=True).astype(str)
+                ),
+                "term": pa.array(
+                    pd.concat([tf["t"], dfreq["t"]], ignore_index=True).astype(str)
+                ),
+                "n": pa.array(
+                    np.concatenate(
+                        [tf["n"].to_numpy(np.int64), dfreq["n"].to_numpy(np.int64)]
+                    )
+                ),
+            }
+        )
+
+    agg = (
+        _read(sf_dir, "documents", ["text", "source"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["kind", "key1", "term"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    tf = agg[agg["kind"] == 0][["key1", "term", "n"]].rename(
+        columns={"key1": "source", "n": "tf"}
+    )
+    dfreq = agg[agg["kind"] == 1][["term", "n"]].rename(columns={"n": "df"})
+    j = tf.merge(dfreq, on="term")
+    j["score_micro"] = np.round(
+        j["tf"].to_numpy(np.float64)
+        * np.log(float(n_docs) / j["df"].to_numpy(np.float64))
+        * 1e6
+    ).astype(np.int64)
+    j = j.sort_values(
+        ["source", "score_micro", "term"], ascending=[True, False, True],
+        kind="mergesort",
+    )
+    j["rank"] = j.groupby("source").cumcount() + 1
+    out = j[j["rank"] <= 3][["source", "rank", "term", "score_micro"]]
+    return out.reset_index(drop=True).astype(
+        {"rank": "int64", "score_micro": "int64"}
+    )
+
+
+SQL_TFIDF_TOP = """
+WITH tok AS (
+  SELECT doc_id, source, unnest(string_split(text, ' ')) AS term
+  FROM documents),
+tf AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM tok GROUP BY 1, 2),
+df AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+       FROM tok GROUP BY 1),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM documents),
+s AS (SELECT tf.source, tf.term,
+        CAST(ROUND(tf.tf * ln(n.nd / df.df) * 1e6) AS BIGINT) AS score_micro
+      FROM tf JOIN df ON tf.term = df.term, n),
+r AS (SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY source ORDER BY score_micro DESC, term) AS rank
+      FROM s)
+SELECT source, CAST(rank AS BIGINT) AS rank, term, score_micro
+FROM r WHERE rank <= 3 ORDER BY source, rank
+"""
+
+
 def q_bigram_stats(sf_dir: str):
     """Top-30 bigram collocations. Bigrams are formed on the FLAT word
     buffer (values[i] + ' ' + values[i+1]) with document boundaries
@@ -2934,6 +3040,7 @@ QUERIES = {
     "gopher_quality": q_gopher_quality,
     "corpus_curation": q_corpus_curation,
     "word_freq": q_word_freq,
+    "tfidf_top": q_tfidf_top,
     "bigram_stats": q_bigram_stats,
     "token_quantiles": q_token_quantiles,
     "token_stats": q_token_stats,
@@ -2991,6 +3098,7 @@ ORACLE_SQL = {
     "gopher_quality": SQL_GOPHER_QUALITY,
     "corpus_curation": SQL_CORPUS_CURATION,
     "word_freq": SQL_WORD_FREQ,
+    "tfidf_top": SQL_TFIDF_TOP,
     "bigram_stats": SQL_BIGRAM_STATS,
     "token_quantiles": SQL_TOKEN_QUANTILES,
     "utm_fwd": SQL_UTM,
