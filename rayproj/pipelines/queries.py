@@ -2903,6 +2903,83 @@ FROM r WHERE rank <= 3 ORDER BY source, rank
 """
 
 
+def q_inverted_index(sf_dir: str):
+    """Posting lists for the corpus's top-20 terms: pass 1 aggregates
+    term totals (map-side value_counts combiner) and broadcasts the
+    top set; pass 2 tokenizes, filters to the set (pc.is_in), emits
+    per-batch-distinct (term, doc_id) pairs and groupby(term) builds
+    the sorted posting string. Posting lists are the one genuinely
+    list-valued output — serialized as comma strings so the value
+    hash is format-stable across engines."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    TOP = 20
+
+    def counts(batch: pa.Table) -> pa.Table:
+        words = pc.list_flatten(pc.split_pattern(batch.column("text"), " "))
+        vc = words.value_counts()
+        return pa.table(
+            {
+                "term": vc.field("values"),
+                "n": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    top_df = (
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(counts, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values(["n", "term"], ascending=[False, True], kind="mergesort")
+        .head(TOP)
+    )
+    top_terms = pa.array(top_df["term"].tolist())
+
+    def pairs(batch: pa.Table) -> pd.DataFrame:
+        lst = pc.split_pattern(batch.column("text"), " ")
+        par = pc.list_parent_indices(lst)
+        toks = pc.list_flatten(lst)
+        keep = pc.is_in(toks, value_set=top_terms)
+        doc = pc.take(batch.column("doc_id"), pc.filter(par, keep))
+        df = pd.DataFrame(
+            {"term": pc.filter(toks, keep).to_pandas(), "doc_id": doc.to_numpy()}
+        )
+        return df.drop_duplicates()
+
+    def postings(df: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(df["doc_id"].to_numpy(np.int64))
+        return pd.DataFrame(
+            {
+                "term": [df["term"].iloc[0]],
+                "n_docs": np.array([len(ids)], dtype=np.int64),
+                "postings": [",".join(map(str, ids))],
+            }
+        )
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(pairs, batch_format="pyarrow")
+        .groupby("term")
+        .map_groups(postings, batch_format="pandas")
+    )
+
+
+SQL_INVERTED_INDEX = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+top AS (
+  SELECT term FROM (
+    SELECT term, COUNT(*) AS c FROM tok GROUP BY 1
+    ORDER BY c DESC, term LIMIT 20)),
+d AS (SELECT DISTINCT t.term, t.doc_id FROM tok t JOIN top USING (term))
+SELECT term, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+FROM d GROUP BY term ORDER BY term
+"""
+
+
 def q_bigram_stats(sf_dir: str):
     """Top-30 bigram collocations. Bigrams are formed on the FLAT word
     buffer (values[i] + ' ' + values[i+1]) with document boundaries
@@ -3041,6 +3118,7 @@ QUERIES = {
     "corpus_curation": q_corpus_curation,
     "word_freq": q_word_freq,
     "tfidf_top": q_tfidf_top,
+    "inverted_index": q_inverted_index,
     "bigram_stats": q_bigram_stats,
     "token_quantiles": q_token_quantiles,
     "token_stats": q_token_stats,
@@ -3099,6 +3177,7 @@ ORACLE_SQL = {
     "corpus_curation": SQL_CORPUS_CURATION,
     "word_freq": SQL_WORD_FREQ,
     "tfidf_top": SQL_TFIDF_TOP,
+    "inverted_index": SQL_INVERTED_INDEX,
     "bigram_stats": SQL_BIGRAM_STATS,
     "token_quantiles": SQL_TOKEN_QUANTILES,
     "utm_fwd": SQL_UTM,
