@@ -2576,6 +2576,63 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q_events_window_join(sf_dir: str):
+    """Two-sided stream-stream WINDOW JOIN: each purchase matches ALL
+    of the same user's signups within ±12 h. Same partitioned-merge
+    contract as the as-of join (hash-partition by user, per-group sort
+    + two searchsorted bounds per probe — O(log n) per event, output
+    bounded by the true match count). Oracle: DuckDB non-equi join."""
+    _WJ = 43_200_000_000  # ±12 h in µs
+
+    def keep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(
+            pc.is_in(t["event_type"], value_set=pa.array(["purchase", "signup"]))
+        )
+
+    ds = _read(
+        sf_dir, "events", ["event_id", "ts", "user_id", "event_type"]
+    ).map_batches(keep, batch_format="pyarrow")
+
+    def wjoin(df: pd.DataFrame) -> pd.DataFrame:
+        left = df[df["event_type"] == "purchase"]
+        right = df[df["event_type"] == "signup"].sort_values(
+            ["ts", "event_id"], kind="mergesort"
+        )
+        lts = left["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        rts = right["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        lo = np.searchsorted(rts, lts - _WJ, side="left")
+        hi = np.searchsorted(rts, lts + _WJ, side="right")
+        counts = hi - lo
+        l_idx = np.repeat(np.arange(len(left)), counts)
+        r_idx = np.concatenate(
+            [np.arange(a, b) for a, b in zip(lo, hi)]
+        ) if len(left) else np.empty(0, np.int64)
+        rid = right["event_id"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "event_id": left["event_id"].to_numpy(np.int64)[l_idx],
+                "user_id": left["user_id"].to_numpy(np.int64)[l_idx],
+                "signup_event_id": rid[r_idx],
+                "lag_us": lts[l_idx] - rts[r_idx],
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(wjoin, batch_format="pandas")
+
+
+SQL_EVENTS_WINDOW_JOIN = """
+SELECT p.event_id, p.user_id, s.event_id AS signup_event_id,
+       epoch_us(p.ts) - epoch_us(s.ts) AS lag_us
+FROM (SELECT * FROM events WHERE event_type='purchase') p
+JOIN (SELECT * FROM events WHERE event_type='signup') s
+  ON p.user_id = s.user_id
+ AND s.ts >= p.ts - INTERVAL 12 HOUR AND s.ts <= p.ts + INTERVAL 12 HOUR
+ORDER BY p.event_id, s.event_id
+"""
+
+
 SQL_EVENTS_ASOF = """
 SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
        COALESCE(s.event_id, -1) AS signup_event_id,
@@ -3108,6 +3165,7 @@ QUERIES = {
     "source_stats": q_source_stats,
     "source_top_chars": q_source_top_chars,
     "events_asof": q_events_asof,
+    "events_window_join": q_events_window_join,
     "events_range_join": q_events_range_join,
     "events_sliding_window": q_events_sliding_window,
     "html_extract": q_html_extract,
@@ -3167,6 +3225,7 @@ ORACLE_SQL = {
     "source_stats": SQL_SOURCE_STATS,
     "source_top_chars": SQL_SOURCE_TOP_CHARS,
     "events_asof": SQL_EVENTS_ASOF,
+    "events_window_join": SQL_EVENTS_WINDOW_JOIN,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
     "events_sliding_window": SQL_EVENTS_SLIDING_WINDOW,
     "html_extract": SQL_HTML_EXTRACT,
