@@ -2722,6 +2722,38 @@ FROM s ORDER BY doc_id
 """
 
 
+def q_hash_sample(sf_dir: str):
+    """Deterministic ~5% content-hash sample — the reproducible
+    alternative to random_sample() at 100 TB (same rows on every
+    run/restart, no coordination): keep docs whose md5 32-bit prefix
+    falls under the rate threshold. Map-only."""
+    THRESH = 214_748_364  # floor(0.05 * 2^32)
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        # 32-bit md5 prefix = top half of the 64-bit fingerprint
+        pref = (textfn.fingerprint64(batch["text"]) >> np.uint64(32)).astype(
+            np.int64
+        )
+        keep = pref < THRESH
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(np.int64)[keep],
+                "source": batch["source"].to_numpy()[keep],
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text", "source"]).map_batches(
+        fn, batch_format="pandas"
+    )
+
+
+SQL_HASH_SAMPLE = """
+SELECT doc_id, source FROM documents
+WHERE CAST(('0x' || substr(md5(text), 1, 8)) AS UBIGINT) < 214748364
+ORDER BY doc_id
+"""
+
+
 def q_corpus_curation(sf_dir: str):
     """End-to-end webtext curation decision per document — the
     composite the LLM-data brief centers on: Gopher quality gate THEN
@@ -3174,6 +3206,7 @@ QUERIES = {
     "zonal_stats": q_zonal_stats,
     "gopher_quality": q_gopher_quality,
     "corpus_curation": q_corpus_curation,
+    "hash_sample": q_hash_sample,
     "word_freq": q_word_freq,
     "tfidf_top": q_tfidf_top,
     "inverted_index": q_inverted_index,
@@ -3234,6 +3267,7 @@ ORACLE_SQL = {
     "zonal_stats": SQL_ZONAL_STATS,
     "gopher_quality": SQL_GOPHER_QUALITY,
     "corpus_curation": SQL_CORPUS_CURATION,
+    "hash_sample": SQL_HASH_SAMPLE,
     "word_freq": SQL_WORD_FREQ,
     "tfidf_top": SQL_TFIDF_TOP,
     "inverted_index": SQL_INVERTED_INDEX,
