@@ -1545,8 +1545,9 @@ FROM documents ORDER BY doc_id
 
 
 def q_minhash_lsh(sf_dir: str):
-    """MinHash-LSH near-dup candidates (no SQL twin: engine-defined
-    hash family; rows-only + golden pin). Distinct (band, hash)
+    """MinHash-LSH near-dup candidates. The seeded multiply-add hash
+    family is deterministic, so the oracle (SQL_MINHASH_LSH) re-derives
+    the full sketch in DuckDB mod-2^64 arithmetic. Distinct (band, hash)
     buckets scale with the corpus, so the bucket-size count goes
     through the 64-bucket vectorized aggregate, not a per-bucket
     groupby."""
@@ -1593,9 +1594,9 @@ def q_simhash_neardup(sf_dir: str):
     deterministic per-bucket cap — see
     functions/dedup.simhash_neardup_pipeline for the 100-TB design.
     Output: star pairs (rep, member, 0) plus rep-rep pairs at
-    hamming 1..3. No SQL twin (engine-defined hash family) —
-    rows-only determinism check; golden-pinned in
-    tests/test_neardup_planted.py."""
+    hamming 1..3. Oracle SQL_SIMHASH_NEARDUP re-derives sketches,
+    classes, banding and the popcount verify in DuckDB; also
+    golden-pinned in tests/test_neardup_planted.py."""
     from ..functions.dedup import simhash_neardup_pipeline
 
     def sketch(batch: pd.DataFrame) -> pd.DataFrame:
@@ -1679,6 +1680,166 @@ SELECT doc_id,
   CAST(('0x' || substr(md5(text), 1, 16)) AS UBIGINT) AS fp64
 FROM documents ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# SQL twins of the dedup sketch kernels (functions/dedup.py). The engine's
+# hash family is fully deterministic wrapping Z_2^64 arithmetic — token
+# hash = FNV-1a byte fold, shingle hash = rolling polynomial over token
+# hashes, minhash = min of (a*h+b mod 2^64) — all re-expressed in DuckDB
+# with HUGEINT mod-2^64 arithmetic (64-bit multiplies split into 32-bit
+# halves where a*s could overflow the signed 128-bit HUGEINT).
+# ---------------------------------------------------------------------------
+
+_M64 = "18446744073709551616::HUGEINT"  # 2^64
+_SQLP = "1099511628211::HUGEINT"        # dedup._POLY
+_SQL_FNV = "14695981039346656037::HUGEINT"   # dedup._FNV_BASIS
+_SQL_EMPTY = "11400714819323198485::HUGEINT"  # dedup._EMPTY_HASH
+_I64MAX1 = "9223372036854775808::HUGEINT"     # 2^63 (uint64 -> int64 wrap)
+
+
+def _dedup_hash_ctes(k: int) -> str:
+    """CTE chain doc -> whitespace tokens -> FNV-1a token hashes ->
+    k-token rolling-polynomial shingle hashes (exactly
+    dedup._token_hashes + dedup.batch_shingle_hashes semantics: empty
+    tokens dropped, short docs one whole-doc shingle, empty docs the
+    _EMPTY_HASH sentinel). Text is ASCII so ascii(char) == utf-8 byte."""
+    if k == 3:
+        roll = (f"((((h[CAST(i AS BIGINT)]*{_SQLP} + h[CAST(i AS BIGINT)+1]) % {_M64})"
+                f" * {_SQLP} + h[CAST(i AS BIGINT)+2]) % {_M64})")
+    elif k == 2:
+        roll = f"((h[CAST(i AS BIGINT)]*{_SQLP} + h[CAST(i AS BIGINT)+1]) % {_M64})"
+    else:  # pragma: no cover - only k in {2,3} used
+        raise ValueError(k)
+    return f"""
+toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS tk
+  FROM documents
+),
+th AS (
+  SELECT doc_id, len(tk) AS cnt,
+         list_transform(tk, t ->
+           list_reduce(
+             list_prepend({_SQL_FNV},
+               list_transform(range(1, length(t)+1), i -> CAST(ascii(t[i]) AS HUGEINT))),
+             (acc, b) -> ((acc - acc % 256
+                           + CAST(xor(CAST(acc % 256 AS BIGINT), CAST(b AS BIGINT)) AS HUGEINT))
+                          * {_SQLP}) % {_M64}
+           )
+         ) AS h
+  FROM toks
+),
+sh AS (
+  SELECT doc_id, cnt,
+    CASE
+      WHEN cnt = 0 THEN [{_SQL_EMPTY}]
+      WHEN cnt < {k} THEN [list_reduce(h, (a, b) -> (a*{_SQLP} + b) % {_M64})]
+      ELSE list_transform(range(1, cnt - {k} + 2), i -> {roll})
+    END AS sh
+  FROM th
+)
+"""
+
+
+def _minhash_lsh_sql() -> str:
+    """q_minhash_lsh twin: 64 multiply-add minhashes (engine's seeded
+    parameters embedded as literals), 16 bands of 4 rows folded with the
+    same polynomial, buckets with >1 doc."""
+    from ..functions.dedup import _cached_params
+
+    a, b = _cached_params(64, 42)
+    params = ",".join(
+        f"({h}, {int(a[h])}::HUGEINT, {int(b[h])}::HUGEINT)" for h in range(64)
+    )
+    return f"""
+WITH {_dedup_hash_ctes(3)},
+params(hi, a, b) AS (VALUES {params}),
+shu AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+sig AS (
+  SELECT t.doc_id, p.hi,
+         min(( (p.a % 4294967296) * t.s
+             + ((p.a // 4294967296) * t.s % 4294967296) * 4294967296
+             + p.b ) % {_M64}) AS sig
+  FROM shu t CROSS JOIN params p GROUP BY t.doc_id, p.hi
+),
+sigl AS (SELECT doc_id, list(sig ORDER BY hi) AS sg FROM sig GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, bb.b AS band_id,
+    (((((sg[4*bb.b+1] * {_SQLP} + sg[4*bb.b+2]) % {_M64}) * {_SQLP}
+       + sg[4*bb.b+3]) % {_M64}) * {_SQLP} + sg[4*bb.b+4]) % {_M64} AS bh
+  FROM sigl CROSS JOIN (SELECT unnest(range(0, 16)) AS b) bb
+)
+SELECT band_id,
+  CAST(CASE WHEN bh >= {_I64MAX1} THEN bh - {_M64} ELSE bh END AS BIGINT) AS band_hash,
+  CAST(count(*) AS BIGINT) AS n_docs
+FROM bands GROUP BY band_id, bh HAVING count(*) > 1
+ORDER BY band_id, band_hash
+"""
+
+
+_SIMHASH_VAL_CTES = f"""{_dedup_hash_ctes(2)},
+pow2(j, p) AS (VALUES {",".join(f"({j}, {1 << j}::HUGEINT)" for j in range(64))}),
+sh2 AS (SELECT doc_id, cnt, len(sh) AS nsh, unnest(sh) AS s FROM sh),
+bitsum AS (
+  SELECT t.doc_id, any_value(t.cnt) AS cnt, any_value(t.nsh) AS nsh, p.j, p.p,
+         sum(CAST((t.s // p.p) % 2 AS HUGEINT)) AS c1
+  FROM sh2 t CROSS JOIN pow2 p GROUP BY t.doc_id, p.j, p.p
+),
+simval AS (
+  SELECT doc_id, any_value(cnt) AS cnt,
+         sum(CASE WHEN 2*c1 > nsh THEN p ELSE 0::HUGEINT END) AS v
+  FROM bitsum GROUP BY doc_id
+),
+sk AS (
+  SELECT doc_id,
+    CAST(CASE WHEN cnt = 0 THEN 0
+              WHEN v >= {_I64MAX1} THEN v - {_M64}
+              ELSE v END AS BIGINT) AS simhash,
+    CASE WHEN cnt = 0 THEN 0::HUGEINT ELSE v END AS uv
+  FROM simval
+)"""
+
+SQL_SIMHASH = f"""
+WITH {_SIMHASH_VAL_CTES}
+SELECT doc_id, simhash FROM sk ORDER BY doc_id
+"""
+
+# simhash_neardup twin: hamming-0 classes collapse to (rep, member, 0)
+# star pairs; distinct-sketch representatives band into four 16-bit keys
+# and rep-rep pairs verify with bit_count(xor) in 1..3 (two's-complement
+# popcount == uint64 popcount). The engine's bucket_cap=2000 cannot
+# trigger at driver scale (500 distinct sketches max).
+SQL_SIMHASH_NEARDUP = f"""
+WITH {_SIMHASH_VAL_CTES},
+classes AS (
+  SELECT simhash, uv, min(doc_id) AS rep, count(*) AS n
+  FROM sk GROUP BY simhash, uv
+),
+zero AS (
+  SELECT c.rep AS doc_a, s.doc_id AS doc_b, 0::BIGINT AS hamming
+  FROM sk s JOIN classes c USING (simhash)
+  WHERE c.n > 1 AND s.doc_id <> c.rep
+),
+bandkeys(b, d) AS (VALUES (0, 1::HUGEINT), (1, 65536::HUGEINT),
+                          (2, 4294967296::HUGEINT), (3, 281474976710656::HUGEINT)),
+bands AS (
+  SELECT bk.b, (c.uv // bk.d) % 65536 AS key, c.rep, c.simhash
+  FROM classes c CROSS JOIN bandkeys bk
+),
+cand AS (
+  SELECT DISTINCT x.rep AS doc_a, y.rep AS doc_b,
+         CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+  FROM bands x JOIN bands y ON x.b = y.b AND x.key = y.key AND x.rep < y.rep
+  WHERE bit_count(xor(x.simhash, y.simhash)) BETWEEN 1 AND 3
+)
+SELECT doc_a, doc_b, hamming FROM zero
+UNION ALL
+SELECT doc_a, doc_b, hamming FROM cand
+ORDER BY doc_a, doc_b
+"""
+
+SQL_MINHASH_LSH = _minhash_lsh_sql()
 
 
 def q_ann_cosine(sf_dir: str):
@@ -3291,6 +3452,9 @@ ORACLE_SQL = {
     "multimodal_audio": SQL_MULTIMODAL_AUDIO,
     "multimodal_video": SQL_MULTIMODAL_VIDEO,
     "op_routing": SQL_OP_ROUTING,
-    # minhash_lsh / simhash / simhash_neardup: engine-defined hash
-    # family — rows-only check + golden pins in tests/.
+    # the engine-defined hash family re-expressed as exact DuckDB
+    # mod-2^64 arithmetic (plus golden pins in tests/)
+    "minhash_lsh": SQL_MINHASH_LSH,
+    "simhash": SQL_SIMHASH,
+    "simhash_neardup": SQL_SIMHASH_NEARDUP,
 }
