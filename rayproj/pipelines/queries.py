@@ -595,7 +595,7 @@ def q_zonal_stats(sf_dir: str):
 
 SQL_ZONAL_STATS = f"""
 WITH pip AS ({SQL_PIP.replace('ORDER BY g.doc_id', '')})
-SELECT poly_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+SELECT CAST(poly_id AS BIGINT) AS poly_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
   CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
 FROM pip GROUP BY 1 ORDER BY 1
 """
