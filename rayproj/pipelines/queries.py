@@ -1698,7 +1698,8 @@ _SQL_EMPTY = "11400714819323198485::HUGEINT"  # dedup._EMPTY_HASH
 _I64MAX1 = "9223372036854775808::HUGEINT"     # 2^63 (uint64 -> int64 wrap)
 
 
-def _dedup_hash_ctes(k: int) -> str:
+def _dedup_hash_ctes(k: int, text_expr: str = "text",
+                     source: str = "documents") -> str:
     """CTE chain doc -> whitespace tokens -> FNV-1a token hashes ->
     k-token rolling-polynomial shingle hashes (exactly
     dedup._token_hashes + dedup.batch_shingle_hashes semantics: empty
@@ -1709,13 +1710,17 @@ def _dedup_hash_ctes(k: int) -> str:
                 f" * {_SQLP} + h[CAST(i AS BIGINT)+2]) % {_M64})")
     elif k == 2:
         roll = f"((h[CAST(i AS BIGINT)]*{_SQLP} + h[CAST(i AS BIGINT)+1]) % {_M64})"
-    else:  # pragma: no cover - only k in {2,3} used
-        raise ValueError(k)
+    else:
+        # general k: 1-based inclusive list slice + the same polynomial
+        # fold (list_reduce with no init starts at h[i], matching w=0;
+        # w = w*P + h in the kernel)
+        roll = (f"(list_reduce(h[CAST(i AS BIGINT):CAST(i AS BIGINT)+{k - 1}],"
+                f" (a, b) -> (a*{_SQLP} + b) % {_M64}))")
     return f"""
 toks AS (
   SELECT doc_id,
-         list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS tk
-  FROM documents
+         list_filter(regexp_split_to_array({text_expr}, '\\s+'), t -> t <> '') AS tk
+  FROM {source}
 ),
 th AS (
   SELECT doc_id, len(tk) AS cnt,
@@ -2915,6 +2920,164 @@ ORDER BY doc_id
 """
 
 
+def q_stratified_sample(sf_dir: str):
+    """Per-language stratified sample: deterministic 10% quota per
+    stratum, selected by content-hash order (fp64, doc_id) — the
+    reproducible per-stratum curation op (language rebalancing) at
+    100 TB. Two passes: (1) tiny per-lang count aggregate broadcast to
+    the workers, (2) per-batch partial top-quota per stratum (bounded:
+    <= quota rows per lang per batch) then a per-lang final trim whose
+    input is bounded by quota x n_blocks, never the corpus."""
+    import math
+
+    RATE = 0.1
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    counts = ds.groupby("lang").count().to_pandas()
+    quota = {
+        r["lang"]: int(math.ceil(RATE * r["count()"]))
+        for _, r in counts.iterrows()
+    }
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "lang": df["lang"].to_numpy(),
+                "fp": textfn.fingerprint64(df["text"]),
+            }
+        )
+        d = d.sort_values(["lang", "fp", "doc_id"], kind="mergesort")
+        rk = d.groupby("lang", sort=False).cumcount().to_numpy()
+        q = d["lang"].map(quota).fillna(0).to_numpy(np.int64)
+        return d[rk < q]
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def trim(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["fp", "doc_id"], kind="mergesort")
+        q = int(quota.get(df["lang"].iloc[0], 0))
+        return df.iloc[:q][["doc_id", "lang"]]
+
+    return partials.groupby("lang").map_groups(trim, batch_format="pandas")
+
+
+SQL_STRATIFIED_SAMPLE = """
+WITH f AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(text), 1, 16)) AS UBIGINT) AS fp
+  FROM documents
+),
+c AS (SELECT lang, count(*) AS n FROM f GROUP BY lang),
+r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY fp, doc_id) AS rk
+  FROM f
+)
+SELECT r.doc_id, r.lang FROM r JOIN c USING (lang)
+WHERE rk <= CAST(ceil(0.1e0 * n) AS BIGINT)
+ORDER BY lang, doc_id
+"""
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination (GPT-3 appendix-C style): flag every
+    training document sharing an 8-token shingle with a held-out
+    benchmark set. The benchmark (doc_id % 97 == 0 here) is small by
+    definition: scan-side filter -> tiny driver collect -> its distinct
+    shingle-hash set broadcasts to all workers (sorted array +
+    searchsorted; at 100 TB the same array ships once via ray.put).
+    Training docs are map-only. To make the check non-vacuous on the
+    synthetic corpus, docs with doc_id % 50 == 7 are augmented with the
+    first 8 tokens of the lowest benchmark doc before shingling —
+    deterministically mirrored in the oracle."""
+    from ..functions.dedup import batch_shingle_hashes
+
+    K = 8
+    bench_rows = (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(
+            lambda df: df[df["doc_id"].to_numpy(np.int64) % 97 == 0],
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    snip = " ".join(str(bench_rows.iloc[0]["text"]).split()[:K])
+    bh, _, _ = batch_shingle_hashes(bench_rows["text"].str.lower(), K)
+    bench_set = np.unique(bh)
+
+    empty = pd.DataFrame(
+        {
+            "doc_id": pd.Series(dtype="int64"),
+            "n_grams": pd.Series(dtype="int64"),
+            "n_hits": pd.Series(dtype="int64"),
+            "contaminated": pd.Series(dtype="int64"),
+        }
+    )
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.int64)
+        keep = ids % 97 != 0
+        if not keep.any():
+            return empty
+        ids = ids[keep]
+        txt = df["text"][keep].astype(str)
+        aug = txt.where(ids % 50 != 7, txt + " " + snip)
+        sh, starts, _ = batch_shingle_hashes(aug.str.lower(), K)
+        n_sh = np.diff(np.append(starts, len(sh))).astype(np.int64)
+        idx = np.searchsorted(bench_set, sh)
+        idxc = np.minimum(idx, len(bench_set) - 1)
+        hit = (bench_set[idxc] == sh) if len(bench_set) else np.zeros(len(sh), bool)
+        n_hits = np.add.reduceat(hit.astype(np.int64), starts)
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "n_grams": n_sh,
+                "n_hits": n_hits,
+                "contaminated": (n_hits > 0).astype(np.int64),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fn, batch_format="pandas"
+    )
+
+
+def _decontaminate_sql() -> str:
+    return f"""
+WITH snipd AS (
+  SELECT array_to_string(
+           (list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> ''))[1:8],
+           ' ') AS s
+  FROM documents
+  WHERE doc_id = (SELECT min(doc_id) FROM documents WHERE doc_id % 97 = 0)
+),
+docs_aug AS (
+  SELECT doc_id,
+         lower(CASE WHEN doc_id % 97 <> 0 AND doc_id % 50 = 7
+                    THEN text || ' ' || (SELECT s FROM snipd)
+                    ELSE text END) AS text
+  FROM documents
+),
+{_dedup_hash_ctes(8, source="docs_aug")},
+bench AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id % 97 = 0),
+train AS (SELECT doc_id, len(sh) AS n_grams, unnest(sh) AS s
+          FROM sh WHERE doc_id % 97 <> 0),
+hits AS (
+  SELECT t.doc_id, any_value(t.n_grams) AS n_grams,
+         sum(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) AS nh
+  FROM train t LEFT JOIN bench b ON t.s = b.s
+  GROUP BY t.doc_id
+)
+SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, CAST(nh AS BIGINT) AS n_hits,
+       CAST(CASE WHEN nh > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+FROM hits ORDER BY doc_id
+"""
+
+
+SQL_DECONTAMINATE = _decontaminate_sql()
+
+
 def q_corpus_curation(sf_dir: str):
     """End-to-end webtext curation decision per document — the
     composite the LLM-data brief centers on: Gopher quality gate THEN
@@ -3368,6 +3531,8 @@ QUERIES = {
     "gopher_quality": q_gopher_quality,
     "corpus_curation": q_corpus_curation,
     "hash_sample": q_hash_sample,
+    "stratified_sample": q_stratified_sample,
+    "decontaminate": q_decontaminate,
     "word_freq": q_word_freq,
     "tfidf_top": q_tfidf_top,
     "inverted_index": q_inverted_index,
@@ -3429,6 +3594,8 @@ ORACLE_SQL = {
     "gopher_quality": SQL_GOPHER_QUALITY,
     "corpus_curation": SQL_CORPUS_CURATION,
     "hash_sample": SQL_HASH_SAMPLE,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "decontaminate": SQL_DECONTAMINATE,
     "word_freq": SQL_WORD_FREQ,
     "tfidf_top": SQL_TFIDF_TOP,
     "inverted_index": SQL_INVERTED_INDEX,
