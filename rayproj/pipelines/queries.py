@@ -147,6 +147,127 @@ FROM xy ORDER BY doc_id
 """
 
 
+def q_proj_factors(sf_dir: str):
+    """proj -V / pj_factors over the geolocated corpus: meridional /
+    parallel / areal scale, meridian convergence and max angular
+    distortion of the Lambert-93 cone at every document location —
+    4-point finite-difference derivatives of the RAW lcc kernel
+    (core/factors.py, ref src/factors.cpp + deriv.cpp). Map-only,
+    vectorized (each batch runs 4 whole-array kernel evaluations).
+    Outputs round to 1e-6 so the oracle's independently-evaluated
+    derivative chain (same operation order in SQL) hash-matches."""
+    from ..core.factors import factors
+
+    op = create_operation(
+        "+proj=lcc +lat_0=46.5 +lon_0=3 +lat_1=49 +lat_2=44 +ellps=GRS80"
+    )
+
+    def fn(batch: pa.Table) -> pd.DataFrame:
+        ids = batch.column("doc_id").to_numpy()
+        lon, lat = geolocate_ids(ids)
+        f = factors(op, lon * DEG_TO_RAD, lat * DEG_TO_RAD)
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "f_h": np.round(f.h, 6),
+                "f_k": np.round(f.k, 6),
+                "f_s": np.round(f.s, 6),
+                "conv": np.round(f.conv, 6),
+                "omega": np.round(f.omega, 6),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
+SQL_PROJ_FACTORS = f"""
+WITH g AS ({GEOLOC_SQL}),
+ell AS (
+  SELECT 2*(1.0/298.257222101) - (1.0/298.257222101)*(1.0/298.257222101) AS es,
+         sqrt(2*(1.0/298.257222101) - (1.0/298.257222101)*(1.0/298.257222101)) AS ec,
+         1 - (2*(1.0/298.257222101) - (1.0/298.257222101)*(1.0/298.257222101)) AS one_es,
+         radians(49.0) AS p1, radians(44.0) AS p2, radians(46.5) AS p0
+),
+cone AS (
+  SELECT *,
+    cos(p1)/sqrt(1 - es*sin(p1)*sin(p1)) AS m1,
+    tan(0.5*(pi()/2 - p1)) / pow((1 - ec*sin(p1))/(1 + ec*sin(p1)), 0.5*ec) AS ml1,
+    cos(p2)/sqrt(1 - es*sin(p2)*sin(p2)) AS m2,
+    tan(0.5*(pi()/2 - p2)) / pow((1 - ec*sin(p2))/(1 + ec*sin(p2)), 0.5*ec) AS ml2,
+    tan(0.5*(pi()/2 - p0)) / pow((1 - ec*sin(p0))/(1 + ec*sin(p0)), 0.5*ec) AS ml0
+  FROM ell
+),
+cone2 AS (SELECT *, ln(m1/m2)/ln(ml1/ml2) AS n FROM cone),
+cone3 AS (SELECT *, m1 * pow(ml1, -n) / n AS c FROM cone2),
+cone4 AS (SELECT *, c * pow(ml0, n) AS rho0 FROM cone3),
+pt AS (
+  SELECT g.doc_id, radians(g.lat) AS phi,
+    CASE WHEN abs(radians(g.lon) - radians(3.0)) >= pi() + 1e-12
+         THEN (radians(g.lon) - radians(3.0) + pi())
+              - 2*pi()*floor((radians(g.lon) - radians(3.0) + pi())/(2*pi())) - pi()
+         ELSE radians(g.lon) - radians(3.0) END AS lam,
+    k.* FROM g, cone4 k
+),
+corners(ci, dl, dp) AS (VALUES (1, 1e-5, 1e-5), (2, 1e-5, -1e-5),
+                               (3, -1e-5, -1e-5), (4, -1e-5, 1e-5)),
+ev AS (
+  SELECT doc_id, ci,
+    (c * pow(tan(0.5*(pi()/2 - (phi+dp)))
+             / pow((1 - ec*sin(phi+dp))/(1 + ec*sin(phi+dp)), 0.5*ec), n))
+      * sin(n*(lam+dl)) AS x,
+    rho0 - (c * pow(tan(0.5*(pi()/2 - (phi+dp)))
+                    / pow((1 - ec*sin(phi+dp))/(1 + ec*sin(phi+dp)), 0.5*ec), n))
+      * cos(n*(lam+dl)) AS y
+  FROM pt CROSS JOIN corners
+),
+pv AS (
+  SELECT doc_id,
+    max(CASE WHEN ci=1 THEN x END) AS x1, max(CASE WHEN ci=1 THEN y END) AS y1,
+    max(CASE WHEN ci=2 THEN x END) AS x2, max(CASE WHEN ci=2 THEN y END) AS y2,
+    max(CASE WHEN ci=3 THEN x END) AS x3, max(CASE WHEN ci=3 THEN y END) AS y3,
+    max(CASE WHEN ci=4 THEN x END) AS x4, max(CASE WHEN ci=4 THEN y END) AS y4
+  FROM ev GROUP BY doc_id
+),
+der AS (
+  SELECT p.doc_id, p.phi, p.es, p.one_es,
+    (v.x1 + v.x2 - v.x3 - v.x4) / (4.0*1e-5) AS x_l,
+    (v.y1 + v.y2 - v.y3 - v.y4) / (4.0*1e-5) AS y_l,
+    (v.x1 - v.x2 - v.x3 + v.x4) / (4.0*1e-5) AS x_p,
+    (v.y1 - v.y2 - v.y3 + v.y4) / (4.0*1e-5) AS y_p
+  FROM pv v JOIN pt p USING (doc_id)
+),
+fac AS (
+  SELECT doc_id, x_l, y_l, x_p, y_p, cos(phi) AS cosphi,
+    1 - es*sin(phi)*sin(phi) AS t, es, one_es
+  FROM der
+),
+fac2 AS (
+  SELECT *,
+    sqrt(x_p*x_p + y_p*y_p) * (t*sqrt(t)/one_es) AS fh,
+    (sqrt(x_l*x_l + y_l*y_l) / cosphi) * sqrt(t) AS fk,
+    -atan2(x_p, y_p) AS conv,
+    (y_p*x_l - x_p*y_l) * (t*t/one_es) / cosphi AS s
+  FROM fac
+),
+fac3 AS (
+  SELECT *, fk*fk + fh*fh AS t2,
+    sqrt(greatest(t2 + 2*s, 0)) AS fa,
+    CASE WHEN t2 - 2*s > 0 THEN sqrt(t2 - 2*s) ELSE 0 END AS tb
+  FROM fac2
+),
+fac4 AS (
+  SELECT *, 0.5*(fa + tb) AS a_ax, 0.5*(fa - tb) AS b_ax FROM fac3
+)
+SELECT doc_id,
+  round(fh, 6) AS f_h, round(fk, 6) AS f_k, round(s, 6) AS f_s,
+  round(conv, 6) AS conv,
+  round(2*asin(least(greatest((a_ax - b_ax)/(a_ax + b_ax), -1.0), 1.0)), 6) AS omega
+FROM fac4 ORDER BY doc_id
+"""
+
+
 def q_aea_fwd(sf_dir: str):
     """Albers Equal Area (EPSG:5070 CONUS parameters). Oracle = the
     ellipsoidal chain Snyder 14-1..14-12 / ref src/projections/aea.cpp
@@ -3496,6 +3617,7 @@ QUERIES = {
     "lcc_fwd": q_lcc_fwd,
     "aea_fwd": q_aea_fwd,
     "stere_fwd": q_stere_fwd,
+    "proj_factors": q_proj_factors,
     "utm_roundtrip": q_utm_roundtrip,
     "cart_fwd": q_cart_fwd,
     "helmert_towgs84": q_helmert,
@@ -3605,6 +3727,7 @@ ORACLE_SQL = {
     "lcc_fwd": SQL_LCC,
     "aea_fwd": SQL_AEA,
     "stere_fwd": SQL_STERE,
+    "proj_factors": SQL_PROJ_FACTORS,
     "utm_roundtrip": SQL_UTM_ROUNDTRIP,
     "token_stats": SQL_TOKEN_STATS,
     "text_quality": SQL_TEXT_QUALITY,
