@@ -1968,6 +1968,119 @@ ORDER BY doc_a, doc_b
 SQL_MINHASH_LSH = _minhash_lsh_sql()
 
 
+def q_kmeans_embed(sf_dir: str):
+    """Distributed k-means (Lloyd) over the embedding table — the
+    iterative-ML-loop shape at 100 TB: each iteration is ONE map-only
+    pass emitting K partial (count, sum-vector) rows per block (the
+    classic combiner — no shuffle of the points, only K x n_blocks
+    tiny partials reach the driver), the K x D centroid matrix
+    broadcasts back per iteration. Determinism contract for the
+    oracle: centroids round to 1e-6 after every update, assignment
+    uses squared-euclidean distance rounded to 1e-6 with ties to the
+    lowest cluster id — the SQL twin unrolls both iterations as CTEs
+    and reproduces the identical fixed points."""
+    K, ITERS = 8, 2
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    seed = (
+        ds.map_batches(
+            lambda df: df[df["vec_id"].to_numpy() < K], batch_format="pandas"
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    C = np.stack(seed["embedding"].to_numpy()).astype(np.float64)
+    D = C.shape[1]
+
+    def assign(X: np.ndarray, C: np.ndarray) -> np.ndarray:
+        d = np.round(((X[:, None, :] - C[None, :, :]) ** 2).sum(-1), 6)
+        return np.argmin(d, axis=1)
+
+    for _ in range(ITERS):
+        def partial(df: pd.DataFrame, C=C) -> pd.DataFrame:
+            X = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+            lab = assign(X, C)
+            sums = np.zeros((K, D))
+            np.add.at(sums, lab, X)
+            return pd.DataFrame(
+                {
+                    "k": np.arange(K, dtype=np.int64),
+                    "n": np.bincount(lab, minlength=K).astype(np.int64),
+                    "s": list(sums),
+                }
+            )
+
+        parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+        counts = parts.groupby("k")["n"].sum().to_numpy()
+        sums = np.zeros((K, D))
+        for k_, s_ in zip(parts["k"].to_numpy(), parts["s"].to_numpy()):
+            sums[k_] += s_
+        with np.errstate(invalid="ignore"):
+            newC = np.round(sums / counts[:, None], 6)
+        C = np.where((counts > 0)[:, None], newC, C)
+
+    def final(df: pd.DataFrame, C=C) -> pd.DataFrame:
+        X = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        return pd.DataFrame(
+            {
+                "vec_id": df["vec_id"].to_numpy(np.int64),
+                "cluster": assign(X, C).astype(np.int64),
+            }
+        )
+
+    return ds.map_batches(final, batch_format="pandas")
+
+
+def _kmeans_sql() -> str:
+    K = 8
+
+    def dist_assign(src_c: str, tag: str) -> str:
+        return f"""
+d{tag} AS (
+  SELECT e.vec_id, c.k,
+    round(list_sum(list_transform(range(1, 65),
+          i -> (e.v[CAST(i AS BIGINT)] - c.c[CAST(i AS BIGINT)])
+             * (e.v[CAST(i AS BIGINT)] - c.c[CAST(i AS BIGINT)]))), 6) AS dist
+  FROM e CROSS JOIN {src_c} c
+),
+a{tag} AS (
+  SELECT vec_id, k FROM (
+    SELECT vec_id, k, row_number() OVER (PARTITION BY vec_id ORDER BY dist, k) AS rn
+    FROM d{tag}) WHERE rn = 1
+)"""
+
+    def update(a_tag: str, prev_c: str, out_c: str) -> str:
+        return f"""
+m{out_c} AS (
+  SELECT a.k, dd.i, round(avg(e.v[CAST(dd.i AS BIGINT)]), 6) AS cv
+  FROM a{a_tag} a JOIN e ON e.vec_id = a.vec_id
+  CROSS JOIN (SELECT unnest(range(1, 65)) AS i) dd
+  GROUP BY a.k, dd.i
+),
+{out_c} AS (
+  SELECT k, list(cv ORDER BY i) AS c FROM m{out_c} GROUP BY k
+  UNION ALL
+  SELECT k, c FROM {prev_c}
+  WHERE k NOT IN (SELECT DISTINCT k FROM a{a_tag})
+)"""
+
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+c0 AS (SELECT vec_id AS k, v AS c FROM e WHERE vec_id < {K}),
+{dist_assign('c0', '1')},
+{update('1', 'c0', 'c1')},
+{dist_assign('c1', '2')},
+{update('2', 'c1', 'c2')},
+{dist_assign('c2', '3')}
+SELECT vec_id, CAST(k AS BIGINT) AS cluster FROM a3 ORDER BY vec_id
+"""
+
+
+SQL_KMEANS_EMBED = _kmeans_sql()
+
+
 def q_ann_cosine(sf_dir: str):
     """Brute-force cosine top-k of the first 5 embeddings vs all."""
     import pyarrow.parquet as pq
@@ -3668,6 +3781,7 @@ QUERIES = {
     "langid": q_langid,
     "fingerprint": q_fingerprint,
     "ann_cosine": q_ann_cosine,
+    "kmeans_embed": q_kmeans_embed,
     "knn_join": q_knn_join,
     "ann_ivf": q_ann_ivf,
     "ngram_jaccard": q_ngram_jaccard,
@@ -3734,6 +3848,7 @@ ORACLE_SQL = {
     "langid": SQL_LANGID,
     "fingerprint": SQL_FINGERPRINT,
     "ann_cosine": SQL_ANN,
+    "kmeans_embed": SQL_KMEANS_EMBED,
     "knn_join": SQL_KNN_JOIN,
     "ann_ivf": SQL_ANN_IVF,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
