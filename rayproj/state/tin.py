@@ -127,9 +127,14 @@ class TinModel:
         def pad(a, v):
             return np.ascontiguousarray(np.append(a, v))
 
+        # NaN sentinels: lam1/lam2/lam3 all evaluate NaN for the padded
+        # row, so every containment comparison is False and the sentinel
+        # can never register a hit. (0.0-coefficients were NOT inert:
+        # 0*dx = -0.0 passed lam1>=-EPS & lam3>=0, assigning outside-hull
+        # points tri_id == len(triangles) in padded cells.)
         packed = (
-            pad(a11, 0.0), pad(a12, 0.0), pad(a21, 0.0), pad(a22, 0.0),
-            pad(tx3, 1e30), pad(ty3, 1e30),
+            pad(a11, np.nan), pad(a12, np.nan), pad(a21, np.nan), pad(a22, np.nan),
+            pad(tx3, np.nan), pad(ty3, np.nan),
         )
         cand_s = np.where(cand < 0, T, cand)
         self._buckets[key] = (x0, y0, sx, sy, nx, ny, cand_s, packed, T)

@@ -102,3 +102,50 @@ def test_long_candidate_lists_second_sweep():
     want = np.floor(a / (np.pi / K)).astype(np.int64)
     assert (tri == want).mean() > 0.99  # boundary points may tie-break
     np.testing.assert_allclose((l1 + l2 + l3)[tri >= 0], 1.0, atol=1e-9)
+
+
+def test_outside_hull_in_padded_cells():
+    # the fan model's bucket grid has cells with sentinel-padded
+    # candidate columns; outside-hull points (y < 0, r > 1) landing in
+    # those cells must come back -1 / outside, never the sentinel id
+    # (regression: 0.0-padded coefficients passed containment, giving
+    # tri_id == len(triangles) and an IndexError in apply()).
+    K = 24
+    ang = np.linspace(0.0, np.pi, K + 1)
+    verts = [[0.0, 0.0, 0.0, 0.0]] + [
+        [float(np.cos(a)), float(np.sin(a)), float(np.cos(a)), float(np.sin(a))]
+        for a in ang
+    ]
+    tris = [[0, i + 1, i + 2] for i in range(K)]
+    m = _model(verts, tris)
+    rng = np.random.default_rng(7)
+    # below the fan (y < 0) and beyond the rim (r > 1), plus far corners
+    xb = rng.uniform(-1.0, 1.0, 500)
+    yb = rng.uniform(-1.0, -0.01, 500)
+    a = rng.uniform(0.01, np.pi - 0.01, 500)
+    r = rng.uniform(1.05, 3.0, 500)
+    x = np.concatenate([xb, r * np.cos(a), [-5.0, 5.0]])
+    y = np.concatenate([yb, r * np.sin(a), [-5.0, 5.0]])
+    tri, l1, l2, l3 = m._assign(x, y, True)
+    assert (tri == -1).all(), f"max tri_id {tri.max()} (K={K})"
+    xo, yo, zo, outside = m.apply(x, y, np.zeros(len(x)), True)
+    assert outside.all()
+    assert np.isinf(xo).all() and np.isinf(yo).all()
+
+
+def test_mixed_inside_outside_padded_fan():
+    # interleave in-hull and out-of-hull points so both paths run in
+    # the same sweep over the padded index
+    K = 24
+    ang = np.linspace(0.0, np.pi, K + 1)
+    verts = [[0.0, 0.0, 0.0, 0.0]] + [
+        [float(np.cos(a)), float(np.sin(a)), float(np.cos(a)), float(np.sin(a))]
+        for a in ang
+    ]
+    tris = [[0, i + 1, i + 2] for i in range(K)]
+    m = _model(verts, tris)
+    x = np.array([0.3, 0.3, -0.2, -0.2, 0.0])
+    y = np.array([0.3, -0.3, 0.4, -0.4, 1.5])
+    tri, *_ = m._assign(x, y, True)
+    assert tri[0] >= 0 and tri[2] >= 0
+    assert tri[1] == -1 and tri[3] == -1 and tri[4] == -1
