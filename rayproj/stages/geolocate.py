@@ -74,8 +74,8 @@ def geolocate_batch_arrow(batch: pa.Table, key_col: str = "url",
     if pa.types.is_integer(batch.schema.field(key_col).type):
         lon, lat = geolocate_ids(batch.column(key_col).to_numpy())
     else:
-        urls = batch.column(key_col).to_pylist()
-        langs = np.asarray(batch.column(lang_col).to_pylist())
+        urls = batch.column(key_col).to_numpy(zero_copy_only=False)
+        langs = batch.column(lang_col).to_numpy(zero_copy_only=False)
         lon, lat = geolocate_urls(urls, langs)
     out = batch.append_column("lon", pa.array(lon, type=pa.float64()))
     return out.append_column("lat", pa.array(lat, type=pa.float64()))

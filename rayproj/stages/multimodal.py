@@ -16,8 +16,8 @@ the decode work that pure Python + NumPy CAN do for real:
 Pixel-level decode of *compressed* streams is the only stubbed part:
 formats the parsers don't recognize fall back to a deterministic
 content-hash fake (flagged in the output), so pipelines stay total.
-Blob access is via Arrow binary buffers + offsets — no ``to_pylist``,
-no per-row Python in the batch-level paths.
+Blob access is via Arrow binary buffers + offsets — no per-row Python
+materialization in the batch-level paths.
 """
 
 from __future__ import annotations

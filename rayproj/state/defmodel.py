@@ -456,14 +456,14 @@ class DefModel:
                 if comp.displacement in (1, 3):  # horizontal or 3d
                     sx = grid.samples[ci[0]]
                     sy = grid.samples[ci[1]]
-                    e00 = np.float64(sx[iy0, ix0])
-                    e10 = np.float64(sx[iy0, ix0 + 1])
-                    e01 = np.float64(sx[iy0 + 1, ix0])
-                    e11 = np.float64(sx[iy0 + 1, ix0 + 1])
-                    n00 = np.float64(sy[iy0, ix0])
-                    n10 = np.float64(sy[iy0, ix0 + 1])
-                    n01 = np.float64(sy[iy0 + 1, ix0])
-                    n11 = np.float64(sy[iy0 + 1, ix0 + 1])
+                    e00 = sx[iy0, ix0].astype(np.float64)
+                    e10 = sx[iy0, ix0 + 1].astype(np.float64)
+                    e01 = sx[iy0 + 1, ix0].astype(np.float64)
+                    e11 = sx[iy0 + 1, ix0 + 1].astype(np.float64)
+                    n00 = sy[iy0, ix0].astype(np.float64)
+                    n10 = sy[iy0, ix0 + 1].astype(np.float64)
+                    n01 = sy[iy0 + 1, ix0].astype(np.float64)
+                    n11 = sy[iy0 + 1, ix0 + 1].astype(np.float64)
                     if self.is_degree:
                         dli = (m00 * e00 + m01 * e01 + m10 * e10 + m11 * e11)
                         dpi = (m00 * n00 + m01 * n01 + m10 * n10 + m11 * n11)
