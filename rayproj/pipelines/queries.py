@@ -39,6 +39,32 @@ def _read(sf_dir: str, table: str, columns=None):
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+# Per-worker-process object cache for stateless-task stages that carry
+# expensive setup (polygon index build, etc.) — same amortization as an
+# actor pool, but the scheduler stays fully elastic: any worker on the
+# cluster can pick up a block and reuses the state on its second block
+# (pattern shared with flagship.py:117-125).
+_WORKER_CACHE: dict = {}
+
+
+def _worker_cached(key, factory):
+    obj = _WORKER_CACHE.get(key)
+    if obj is None:
+        obj = factory()
+        _WORKER_CACHE[key] = obj
+    return obj
+
+
+def _elastic_actors(cap: int = 64) -> tuple:
+    """Autoscaling actor-pool bounds sized to the cluster: (1, #CPUs).
+    Replaces fixed concurrency=2 — on a 256-node cluster the pool can
+    grow to the cores available instead of serializing on two actors."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return (1, max(2, min(cap, cpus)))
+
+
 def _geoloc_batch(batch: pa.Table) -> pa.Table:
     lon, lat = geolocate_ids(batch.column("doc_id").to_numpy())
     out = batch.append_column("lon", pa.array(lon, type=pa.float64()))
@@ -627,23 +653,22 @@ FROM g ORDER BY doc_id
 
 
 def q_pip_assign(sf_dir: str):
-    """Point-in-polygon via the broadcast actor-held index."""
+    """Point-in-polygon via a per-worker-cached index (elastic tasks:
+    the index builds once per worker process, not once per batch)."""
 
-    class PipStage:
-        def __init__(self):
-            self.index = PolygonIndex(make_polygons(N_POLYS))
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            batch = _geoloc_batch(batch)
-            lon = batch.column("lon").to_numpy()
-            lat = batch.column("lat").to_numpy()
-            pid = self.index.assign(lon, lat)
-            return pa.table(
-                {"doc_id": batch.column("doc_id"), "poly_id": pa.array(pid, type=pa.int32())}
-            )
+    def fn(batch: pa.Table) -> pa.Table:
+        index = _worker_cached(("polyindex", N_POLYS),
+                               lambda: PolygonIndex(make_polygons(N_POLYS)))
+        batch = _geoloc_batch(batch)
+        lon = batch.column("lon").to_numpy()
+        lat = batch.column("lat").to_numpy()
+        pid = index.assign(lon, lat)
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "poly_id": pa.array(pid, type=pa.int32())}
+        )
 
     return _read(sf_dir, "documents", ["doc_id"]).map_batches(
-        PipStage, batch_format="pyarrow", concurrency=2
+        fn, batch_format="pyarrow"
     )
 
 
@@ -679,34 +704,33 @@ def q_zonal_stats(sf_dir: str):
     per-polygon doc count and value sum. PIP assignment (actor-held
     polygon index, broadcast once per actor) is fused with a per-batch
     partial aggregate over poly_id (np.bincount — one pass), so the
-    shuffle carries N_POLYS-row partials per batch, never doc rows."""
+    shuffle carries N_POLYS-row partials per batch, never doc rows.
+    Elastic tasks with a per-worker-cached index (no actor-pool cap)."""
     from ray.data.aggregate import Sum
 
-    class ZonalStage:
-        def __init__(self):
-            self.index = PolygonIndex(make_polygons(N_POLYS))
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            batch = _geoloc_batch(batch)
-            lon = batch.column("lon").to_numpy()
-            lat = batch.column("lat").to_numpy()
-            doc = batch.column("doc_id").to_numpy()
-            pid = self.index.assign(lon, lat).astype(np.int64)
-            shifted = pid + 1  # -1 (no polygon) → bin 0
-            n = np.bincount(shifted, minlength=N_POLYS + 1)
-            s = np.bincount(shifted, weights=doc.astype(np.float64),
-                            minlength=N_POLYS + 1)
-            keep = n > 0
-            return pa.table(
-                {
-                    "poly_id": pa.array(np.nonzero(keep)[0] - 1, type=pa.int32()),
-                    "n_partial": pa.array(n[keep].astype(np.int64)),
-                    "s_partial": pa.array(s[keep].astype(np.int64)),
-                }
-            )
+    def fn(batch: pa.Table) -> pa.Table:
+        index = _worker_cached(("polyindex", N_POLYS),
+                               lambda: PolygonIndex(make_polygons(N_POLYS)))
+        batch = _geoloc_batch(batch)
+        lon = batch.column("lon").to_numpy()
+        lat = batch.column("lat").to_numpy()
+        doc = batch.column("doc_id").to_numpy()
+        pid = index.assign(lon, lat).astype(np.int64)
+        shifted = pid + 1  # -1 (no polygon) → bin 0
+        n = np.bincount(shifted, minlength=N_POLYS + 1)
+        s = np.bincount(shifted, weights=doc.astype(np.float64),
+                        minlength=N_POLYS + 1)
+        keep = n > 0
+        return pa.table(
+            {
+                "poly_id": pa.array(np.nonzero(keep)[0] - 1, type=pa.int32()),
+                "n_partial": pa.array(n[keep].astype(np.int64)),
+                "s_partial": pa.array(s[keep].astype(np.int64)),
+            }
+        )
 
     parts = _read(sf_dir, "documents", ["doc_id"]).map_batches(
-        ZonalStage, batch_format="pyarrow", concurrency=2
+        fn, batch_format="pyarrow"
     )
     return parts.groupby("poly_id").aggregate(
         Sum("n_partial", alias_name="n_docs"),
@@ -2524,7 +2548,7 @@ def q_multimodal_meta(sf_dir: str):
     parsed = ds.map_batches(
         ImageDecodeStage,
         fn_constructor_kwargs={"bin_col": "payload"},
-        concurrency=2,
+        concurrency=_elastic_actors(),
         batch_format="pyarrow",
     )
     return parsed.select_columns(["doc_id", "img_h", "img_w", "img_c", "img_format"])
@@ -2581,7 +2605,7 @@ def q_multimodal_audio(sf_dir: str):
     parsed = ds.map_batches(
         AudioMetaStage,
         fn_constructor_kwargs={"bin_col": "payload"},
-        concurrency=2,
+        concurrency=_elastic_actors(),
         batch_format="pyarrow",
     )
     return parsed.select_columns(
@@ -2637,7 +2661,7 @@ def q_multimodal_video(sf_dir: str):
         FrameSampleStage,
         fn_constructor_kwargs={"bin_col": "payload", "key_col": "doc_id",
                                "every_n": 30},
-        concurrency=2,
+        concurrency=_elastic_actors(),
         batch_format="pyarrow",
     )
 
