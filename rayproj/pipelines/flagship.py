@@ -49,10 +49,12 @@ class FlagshipStage:
         self.pip = PolygonIndex(make_polygons(n_polys))
 
     # Process blocks in cache-resident sub-chunks: the kernel chain makes
-    # dozens of float64 passes, and at 32k rows (256 KB/array) the working
+    # dozens of float64 passes, and at 64k rows (512 KB/array) the working
     # set stays in L2/L3 — measured >2x aggregate throughput on many-core
-    # runs vs full-block processing (DRAM-bound otherwise).
-    CHUNK = 32768
+    # runs vs full-block processing (DRAM-bound otherwise). Swept
+    # 8k/16k/32k/64k at 8 and 32 cpus (round 4): 65536 fastest at both
+    # levels (+5% over 32k; smaller chunks pay numpy per-call overhead).
+    CHUNK = 65536
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows > self.CHUNK:
@@ -73,9 +75,7 @@ class FlagshipStage:
         parts_c: list = []
         for s in range(0, batch.num_rows, self.CHUNK):
             sub = batch.slice(s, self.CHUNK)
-            gb = geolocate_batch_arrow(sub, self.key_col, self.lang_col)
-            lon = gb.column("lon").to_numpy()
-            lat = gb.column("lat").to_numpy()
+            lon, lat = self._lonlat(sub)
             coo = Coords(lon * DEG_TO_RAD, lat * DEG_TO_RAD)
             self.op.trans(FWD, coo)
             rlon = coo.x * RAD_TO_DEG
@@ -92,6 +92,18 @@ class FlagshipStage:
         uniq, inv = np.unique(allt, return_inverse=True)
         sums = np.bincount(inv, weights=allc.astype(np.float64)).astype(np.int64)
         return pa.table({"tile": uniq, "n_partial": sums})
+
+    def _lonlat(self, batch: pa.Table):
+        """(lon, lat) numpy arrays for a batch — integer keys go through
+        geolocate_ids directly (no Arrow append/re-extract round-trip;
+        the per-chunk alloc churn showed up in many-core scaling)."""
+        key = batch.column(self.key_col)
+        if pa.types.is_integer(key.type):
+            from ..stages.geolocate import geolocate_ids
+
+            return geolocate_ids(key.to_numpy())
+        gb = geolocate_batch_arrow(batch, self.key_col, self.lang_col)
+        return gb.column("lon").to_numpy(), gb.column("lat").to_numpy()
 
     def _one(self, batch: pa.Table) -> pa.Table:
         batch = geolocate_batch_arrow(batch, self.key_col, self.lang_col)
