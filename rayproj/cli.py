@@ -143,8 +143,11 @@ def _expand_crs_tokens(toks):
     (bundled static catalog + formulaic UTM families; the full
     registry is proj.db scope), and a WKT1/WKT2 CRS string (passed
     as one shell-quoted token) → its proj-string lowering via
-    rayproj.core.wkt.from_wkt (io.cpp importFromWkt direction)."""
-    from .core.wkt import from_wkt, looks_like_wkt
+    rayproj.core.wkt.from_wkt (io.cpp importFromWkt direction), and a
+    PROJJSON document likewise via from_projjson (io.cpp:4905
+    JSONParser direction)."""
+    from .core.wkt import (from_projjson, from_wkt, looks_like_projjson,
+                           looks_like_wkt)
 
     out = []
     for t in toks:
@@ -152,6 +155,8 @@ def _expand_crs_tokens(toks):
             out.append(f"+init=epsg:{t[5:]}")
         elif looks_like_wkt(t):
             out.extend(from_wkt(t).split())
+        elif looks_like_projjson(t):
+            out.extend(from_projjson(t).split())
         else:
             out.append(t)
     return out
@@ -159,11 +164,15 @@ def _expand_crs_tokens(toks):
 
 def _normalize_defn(defn: str) -> str:
     """Whole-definition normalization: WKT strings (which contain
-    spaces inside quoted names) are lowered before token expansion."""
-    from .core.wkt import from_wkt, looks_like_wkt
+    spaces inside quoted names) and PROJJSON documents are lowered
+    before token expansion."""
+    from .core.wkt import (from_projjson, from_wkt, looks_like_projjson,
+                           looks_like_wkt)
 
     if looks_like_wkt(defn):
         return from_wkt(defn)
+    if looks_like_projjson(defn):
+        return from_projjson(defn)
     return " ".join(_expand_crs_tokens(defn.split()))
 
 

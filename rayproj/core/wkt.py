@@ -479,6 +479,19 @@ _WKT_PARAM_KEYS = {
     "false_northing": "y_0",
     "standard_parallel_1": "lat_1",
     "standard_parallel_2": "lat_2",
+    # ESRI spellings (io.cpp:3265 getMappingsFromESRI; Title_Case with
+    # underscores). Auxiliary_Sphere_Type is consumed by the webmerc
+    # special case, not mapped.
+    "False_Easting": "x_0",
+    "False_Northing": "y_0",
+    "Central_Meridian": "lon_0",
+    "Scale_Factor": "k_0",
+    "Latitude_Of_Origin": "lat_0",
+    "Standard_Parallel_1": "lat_1",
+    "Standard_Parallel_2": "lat_2",
+    "Longitude_Of_Center": "lon_0",
+    "Latitude_Of_Center": "lat_0",
+    "Longitude_Of_Origin": "lon_0",
 }
 
 # EPSG method name -> proj name; single-standard-parallel methods remap
@@ -512,6 +525,46 @@ _METHOD_PROJ = {
     "Cassini-Soldner": ("cass", {}),
     "American Polyconic": ("poly", {}),
     "New Zealand Map Grid": ("nzmg", {}),
+    # ESRI method names (io.cpp esri_projection_mappings); methods whose
+    # ESRI spelling matches WKT1 (Transverse_Mercator, Polar_Stereographic,
+    # Albers_Conic_Equal_Area, ...) are already above.
+    "Mercator_Auxiliary_Sphere": ("webmerc", {}),
+    "Mercator": ("merc", {"lat_1": "lat_ts"}),
+    "Gauss_Kruger": ("tmerc", {}),
+    "Albers": ("aea", {}),
+    "Plate_Carree": ("eqc", {}),
+    "Equidistant_Cylindrical": ("eqc", {"lat_1": "lat_ts"}),
+    "Sinusoidal": ("sinu", {}),
+    "Robinson": ("robin", {}),
+    "Azimuthal_Equidistant": ("aeqd", {}),
+    "Equidistant_Conic": ("eqdc", {}),
+    "Gnomonic": ("gnom", {}),
+    "Winkel_Tripel": ("wintri", {}),
+    "Eckert_IV": ("eck4", {}),
+    "Eckert_VI": ("eck6", {}),
+    "Mollweide": ("moll", {}),
+    "Cassini": ("cass", {}),
+    "Polyconic": ("poly", {}),
+    "Bonne": ("bonne", {}),
+    "Two_Point_Equidistant": ("tpeqd", {}),
+    "Miller_Cylindrical": ("mill", {}),
+    "Stereographic": ("stere", {}),
+}
+
+# ESRI datum names (D_*) → proj +datum shorthand (io.cpp:2095-2115
+# buildGeodeticReferenceFrame ESRI alias path); unlisted D_* datums
+# fall back to the SPHEROID numeric ellipsoid match.
+_ESRI_DATUM_ALIASES = {
+    "D_WGS_1984": "WGS84",
+    "D_North_American_1983": "NAD83",
+    "D_North_American_1927": "NAD27",
+    "D_OSGB_1936": "OSGB36",
+    "D_New_Zealand_1949": "nzgd49",
+    "D_Deutsches_Hauptdreiecksnetz": "potsdam",
+    "D_Greek_Geodetic_Reference_System_1987": "GGRS87",
+    "D_Carthage": "carthage",
+    "D_TM65": "ire65",
+    "D_MGI": "hermannskogel",
 }
 
 
@@ -657,10 +710,13 @@ def _datum_tokens(crs: WKTNode) -> list[str]:
         return []
     toks = []
     dname = datum.args[0] if datum.args and isinstance(datum.args[0], str) else ""
-    for short, full in _DATUM_NAMES.items():
-        if dname == full:
-            toks.append(f"+datum={short}")
-            break
+    if dname in _ESRI_DATUM_ALIASES:  # ESRI dialect: D_* datum names
+        toks.append(f"+datum={_ESRI_DATUM_ALIASES[dname]}")
+    else:
+        for short, full in _DATUM_NAMES.items():
+            if dname == full:
+                toks.append(f"+datum={short}")
+                break
     ell = datum.find("ELLIPSOID", "SPHEROID")
     if not toks and ell is not None:
         toks.extend(_ellps_tokens(ell))
@@ -706,6 +762,17 @@ def _proj_tokens(crs: WKTNode) -> list[str]:
     if mname.startswith("PROJ-based operation method: "):
         # io.cpp's escape hatch: the proj-string is embedded verbatim
         return mname[len("PROJ-based operation method: "):].split()
+    pnames_present = {p.args[0] for p in params if p.args}
+    if mname == "Lambert_Conformal_Conic":
+        # ESRI uses ONE method name for 1SP and 2SP: 2SP when a second
+        # standard parallel is present (io.cpp ESRI mapping disambiguation)
+        if "Standard_Parallel_2" in pnames_present:
+            mname = "Lambert_Conformal_Conic_2SP"
+        else:
+            mname = "Lambert Conic Conformal (1SP)"
+    if mname == "Stereographic" and (
+        "Standard_Parallel_1" in pnames_present):
+        mname = "Polar_Stereographic"
     if mname not in _METHOD_PROJ:
         raise ValueError(f"WKT: unsupported projection method {mname!r}")
     pname, remap = _METHOD_PROJ[mname]
@@ -773,6 +840,168 @@ def from_wkt(text: str) -> str:
     expressible without proj.db)."""
     toks = _crs_tokens(parse_wkt(text))
     # dedupe while preserving order (BOUNDCRS paths can repeat tokens)
+    seen, out = set(), []
+    for t in toks:
+        if t not in seen:
+            seen.add(t)
+            out.append(t)
+    return " ".join(out)
+
+
+# ---------------------------------------------------------------------------
+# PROJJSON parsing (the importFromJSON direction — reference
+# src/iso19111/io.cpp:4905 `class JSONParser` — re-derived for the
+# proj-string-expressible subset): a GeographicCRS / ProjectedCRS /
+# BoundCRS PROJJSON document is lowered to the equivalent proj-string,
+# which the factory then resolves normally. Round-trips to_projjson.
+
+
+def looks_like_projjson(s: str) -> bool:
+    t = s.lstrip()
+    return t.startswith("{") and ('"type"' in t or "'type'" in t)
+
+
+def _pj_unit_factor(unit, kind: str) -> float:
+    """Multiplier from a PROJJSON unit (name string or unit object) to
+    the canonical unit: degrees for angles, metres for lengths."""
+    defaults = {"degree": 1.0, "metre": 1.0, "unity": 1.0}
+    if unit is None:
+        return 1.0
+    if isinstance(unit, str):
+        if unit in defaults:
+            return 1.0
+        if unit == "grad":
+            return 0.9
+        if unit == "arc-second":
+            return 1.0 / 3600.0
+        raise ValueError(f"PROJJSON: unknown unit name {unit!r}")
+    factor = float(unit.get("conversion_factor", 1.0))
+    if kind == "angle":
+        return factor * RAD_TO_DEG  # conversion_factor is to radians
+    return factor  # lengths: factor is to metres
+
+
+def _pj_value(v, kind: str) -> float:
+    if isinstance(v, dict):
+        return float(v["value"]) * _pj_unit_factor(v.get("unit"), kind)
+    return float(v)
+
+
+def _ellps_tokens_ab(a: float, rf: float) -> list[str]:
+    from .ellps import ELLPS_TABLE
+
+    for ename, (size, shape) in ELLPS_TABLE.items():
+        if not (size.startswith("a=") and shape.startswith("rf=")):
+            continue
+        if rf and abs(float(size[2:]) - a) < 1e-4 and abs(float(shape[3:]) - rf) < 1e-7:
+            return [f"+ellps={ename}"]
+    if rf == 0:
+        return [f"+a={_num(a)}", f"+b={_num(a)}"]
+    return [f"+a={_num(a)}", f"+rf={_num(rf)}"]
+
+
+def _pj_datum_tokens(crs: dict) -> list[str]:
+    datum = crs.get("datum") or crs.get("datum_ensemble")
+    if datum is None:
+        return []
+    dname = datum.get("name", "")
+    for short, full in _DATUM_NAMES.items():
+        if dname == full:
+            return [f"+datum={short}"]
+    ell = datum.get("ellipsoid")
+    toks: list[str] = []
+    if ell is not None:
+        a = _pj_value(ell.get("semi_major_axis", ell.get("radius", 0.0)), "length")
+        if "inverse_flattening" in ell:
+            rf = float(ell["inverse_flattening"])
+        elif "semi_minor_axis" in ell:
+            b = _pj_value(ell["semi_minor_axis"], "length")
+            rf = a / (a - b) if a != b else 0.0
+        else:
+            rf = 0.0
+        toks.extend(_ellps_tokens_ab(a, rf))
+    pm = crs.get("prime_meridian") or datum.get("prime_meridian")
+    if pm is not None:
+        deg = _pj_value(pm.get("longitude", 0.0), "angle")
+        if deg != 0.0:
+            toks.append(f"+pm={_num(round(deg, 12))}")
+    return toks
+
+
+def _pj_geog_tokens(crs: dict) -> list[str]:
+    return ["+proj=longlat"] + _pj_datum_tokens(crs) + ["+no_defs"]
+
+
+def _pj_proj_tokens(crs: dict) -> list[str]:
+    conv = crs.get("conversion")
+    if conv is None:
+        raise ValueError("PROJJSON: ProjectedCRS without conversion")
+    mname = (conv.get("method") or {}).get("name", "")
+    if mname.startswith("PROJ-based operation method: "):
+        return mname[len("PROJ-based operation method: "):].split()
+    if mname not in _METHOD_PROJ:
+        raise ValueError(f"PROJJSON: unsupported projection method {mname!r}")
+    pname, remap = _METHOD_PROJ[mname]
+    toks = [f"+proj={pname}"]
+    for p in conv.get("parameters", []):
+        key = _WKT_PARAM_KEYS.get(p.get("name"))
+        if key is None:
+            continue
+        key = remap.get(key, key)
+        kind = "angle" if key.startswith(("lat_", "lon_")) else "length"
+        val = _pj_value({"value": p.get("value", 0.0), "unit": p.get("unit")},
+                        kind)
+        if kind == "angle":
+            val = round(val, 12)
+        toks.append(f"+{key}={_num(val)}")
+    if mname in ("Polar Stereographic (variant B)", "Polar_Stereographic"):
+        ts = next(
+            (float(t.split("=")[1]) for t in toks if t.startswith("+lat_ts=")),
+            90.0,
+        )
+        toks.append(f"+lat_0={90 if ts >= 0 else -90}")
+    base = crs.get("base_crs")
+    if base is not None:
+        toks.extend(_pj_datum_tokens(base))
+    toks.append("+no_defs")
+    return toks
+
+
+def _pj_bound_tokens(crs: dict) -> list[str]:
+    src = crs.get("source_crs")
+    if src is None:
+        raise ValueError("PROJJSON: BoundCRS without source_crs")
+    toks = _pj_crs_tokens(src)
+    xf = crs.get("transformation")
+    if xf is not None:
+        # abridged Helmert values are used verbatim (m / arcsec / ppm —
+        # the +towgs84 convention), same as the WKT BOUNDCRS path
+        vals = [float(p.get("value", 0.0)) for p in xf.get("parameters", [])]
+        if vals:
+            toks = [t for t in toks if not t.startswith("+towgs84=")]
+            toks.append("+towgs84=" + ",".join(_num(v) for v in vals[:7]))
+    return toks
+
+
+def _pj_crs_tokens(doc: dict) -> list[str]:
+    t = doc.get("type")
+    if t in ("GeographicCRS", "GeodeticCRS"):
+        return _pj_geog_tokens(doc)
+    if t == "ProjectedCRS":
+        return _pj_proj_tokens(doc)
+    if t == "BoundCRS":
+        return _pj_bound_tokens(doc)
+    raise ValueError(f"PROJJSON: unsupported type {t!r}")
+
+
+def from_projjson(text_or_doc) -> str:
+    """Lower a PROJJSON document (string or parsed dict) to the
+    equivalent proj-string definition."""
+    import json as _json
+
+    doc = (_json.loads(text_or_doc) if isinstance(text_or_doc, str)
+           else text_or_doc)
+    toks = _pj_crs_tokens(doc)
     seen, out = set(), []
     for t in toks:
         if t not in seen:

@@ -140,20 +140,30 @@ class TinModel:
         self._buckets[key] = (x0, y0, sx, sy, nx, ny, cand_s, packed, T)
         return self._buckets[key]
 
+    # Slab path pays one Python iteration per (nonempty cell, candidate);
+    # it wins when each cell's point slab is big enough to amortize that
+    # (dense point sets over small/medium TINs — the RFC-6 benchmark
+    # regime). Sparse regimes (few points per cell, e.g. huge TINs)
+    # stay on the gather-based pair sweep.
+    SLAB_MIN_PTS_PER_CELL = 24
+
     def _assign(self, x: np.ndarray, y: np.ndarray, forward: bool):
         """Per-point triangle id + barycentric coords; -1 when outside.
 
-        Vectorized (point x candidate) pair sweep, chunked to stay
-        cache/bandwidth-resident: the first W0 candidate columns of
-        EVERY point evaluate as one 2D array expression (no active-set
-        bookkeeping — the same shape as the round-2 PIP pair sweep,
-        measured ~2x the per-column active-set loop on 4 M points),
-        first hit resolved with argmax over the boolean hit matrix in
-        candidate order (identical first-hit-wins semantics). The few
-        points still unresolved after W0 columns (cells with long
-        candidate lists) finish in a second sweep over the remaining
-        columns. -1-padding rides a sentinel triangle whose
-        coefficients never produce a hit."""
+        Two strategies, same first-hit-wins semantics (candidates in
+        ascending triangle id per cell, identical containment test):
+
+        * slab sweep (dense): counting-sort points by bucket cell
+          (radix argsort on small int keys), then each cell's
+          contiguous point slab evaluates its 1-4 candidate triangles
+          with SCALAR coefficients — sequential loads, no per-point
+          coefficient gathers (VERDICT r3 task 3; measured ~2x the
+          pair sweep at RFC-6 scale).
+        * pair sweep (sparse): vectorized (point x candidate) 2D
+          expression over the first W0 candidate columns of every
+          point, argmax-first-hit, residual sweep for long candidate
+          lists. -1-padding rides a NaN-sentinel triangle whose
+          coefficients never produce a hit."""
         x0, y0, sx, sy, nx, ny, cand, packed, T = self._sweep_index(forward)
         A11, A12, A21, A22, X3, Y3 = packed
         n = len(x)
@@ -166,6 +176,12 @@ class TinModel:
         l2 = np.zeros(n)
         W = cand.shape[1]
         W0 = min(W, 4)
+
+        n_nonempty = max(1, int((cand[:, 0] != T).sum()))
+        if n >= self.SLAB_MIN_PTS_PER_CELL * n_nonempty:
+            self._assign_slabs(x, y, keys, cand, packed, T, tri_id, l1, l2)
+            l3 = np.where(tri_id >= 0, 1.0 - l1 - l2, 0.0)
+            return tri_id, l1, l2, l3
 
         def sweep(pidx, cols, chunk=262144):
             """2D hit sweep of candidate columns `cols` for points
@@ -203,6 +219,49 @@ class TinModel:
                 sweep(rest, slice(W0, W))
         l3 = np.where(tri_id >= 0, 1.0 - l1 - l2, 0.0)
         return tri_id, l1, l2, l3
+
+    def _assign_slabs(self, x, y, keys, cand, packed, T, tri_id, l1, l2):
+        """Dense-regime assignment: radix-sort points by cell, then per
+        nonempty cell evaluate its candidate triangles over the
+        contiguous point slab with scalar coefficients, removing points
+        as they hit (first hit wins — candidates ascend in id)."""
+        A11, A12, A21, A22, X3, Y3 = packed
+        order = np.argsort(keys, kind="stable")  # radix on int keys
+        ks = keys[order]
+        xs = np.ascontiguousarray(x[order])
+        ys = np.ascontiguousarray(y[order])
+        uc, starts = np.unique(ks, return_index=True)
+        ends = np.append(starts[1:], len(ks))
+        for c, s, e in zip(uc, starts, ends):
+            row = cand[c]
+            rem = order[s:e]
+            rx = xs[s:e]
+            ry = ys[s:e]
+            for t in row:
+                if t == T:
+                    break
+                dx = rx - X3[t]
+                dy = ry - Y3[t]
+                lam1 = A11[t] * dx + A12[t] * dy
+                lam2 = A21[t] * dx + A22[t] * dy
+                lam3 = 1.0 - lam1 - lam2
+                hit = (
+                    (lam1 >= -EPS) & (lam1 <= 1 + EPS)
+                    & (lam2 >= -EPS) & (lam2 <= 1 + EPS)
+                    & (lam3 >= 0)
+                )
+                if not hit.any():
+                    continue
+                hp = rem[hit]
+                tri_id[hp] = t
+                l1[hp] = lam1[hit]
+                l2[hp] = lam2[hit]
+                keep = ~hit
+                if not keep.any():
+                    break
+                rem = rem[keep]
+                rx = rx[keep]
+                ry = ry[keep]
 
     def apply(self, x: np.ndarray, y: np.ndarray, z: np.ndarray, forward: bool):
         """Returns (x', y', z', outside_mask)."""

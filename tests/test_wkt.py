@@ -188,3 +188,174 @@ def test_pretty_roundtrip_structure():
     # pretty only inserts newlines/indentation; stripping recovers input
     assert "".join(line.strip() for line in p.splitlines()) == wkt
     assert p.splitlines()[1].startswith("    DATUM[")
+
+
+# --- PROJJSON input (io.cpp:4905 JSONParser direction) ---------------------
+
+
+def _roundtrip_projjson(defn: str):
+    import json
+
+    import numpy as np
+
+    from rayproj.core.op import FWD, Coords
+    from rayproj.core.wkt import from_projjson, to_projjson
+
+    op1 = create_operation(defn)
+    doc = to_projjson(op1)
+    op2 = create_operation(from_projjson(json.dumps(doc)))
+    lam = np.radians(np.array([8.0, 9.5, 11.2]))
+    phi = np.radians(np.array([47.0, 52.3, 60.1]))
+    if op1.is_latlong:
+        return op1, op2
+    c1 = Coords(lam.copy(), phi.copy())
+    c2 = Coords(lam.copy(), phi.copy())
+    op1.trans(FWD, c1)
+    op2.trans(FWD, c2)
+    np.testing.assert_allclose(c2.x, c1.x, rtol=0, atol=1e-9)
+    np.testing.assert_allclose(c2.y, c1.y, rtol=0, atol=1e-9)
+    return op1, op2
+
+
+def test_from_projjson_roundtrip_utm():
+    op1, op2 = _roundtrip_projjson("+proj=utm +zone=32 +ellps=GRS80")
+    assert op2.name == "tmerc"
+
+
+def test_from_projjson_roundtrip_lcc():
+    _roundtrip_projjson(
+        "+proj=lcc +lat_1=33 +lat_2=45 +lat_0=39 +lon_0=-96 +ellps=GRS80"
+    )
+
+
+def test_from_projjson_roundtrip_escape_hatch():
+    _roundtrip_projjson("+proj=eck4 +ellps=WGS84")
+
+
+def test_from_projjson_boundcrs_towgs84():
+    import json
+
+    from rayproj.core.wkt import from_projjson, to_projjson
+
+    op1 = create_operation(
+        "+proj=longlat +ellps=bessel "
+        "+towgs84=598.1,73.7,418.2,0.202,0.045,-2.455,6.7"
+    )
+    ps = from_projjson(json.dumps(to_projjson(op1)))
+    assert "+towgs84=598.1,73.7,418.2,0.202,0.045,-2.455,6.7" in ps
+    assert "+ellps=bessel" in ps
+
+
+def test_from_projjson_geographic_datum():
+    import json
+
+    from rayproj.core.wkt import from_projjson, to_projjson
+
+    ps = from_projjson(json.dumps(to_projjson(
+        create_operation("+proj=longlat +datum=WGS84"))))
+    assert "+proj=longlat" in ps and "+datum=WGS84" in ps
+
+
+def test_cli_accepts_projjson(capsys):
+    import json
+
+    from rayproj.cli import _normalize_defn
+    from rayproj.core.wkt import to_projjson
+
+    doc = to_projjson(create_operation("+proj=merc +ellps=WGS84"))
+    ps = _normalize_defn(json.dumps(doc))
+    op = create_operation(ps)
+    assert op.name == "merc"
+
+
+# --- ESRI WKT dialect input (io.cpp:142 useESRIDialect_, :333 WKT1_ESRI,
+#     :1592/:2105 esriStyle_ detection) ---------------------------------
+
+
+ESRI_GEOGCS_WGS84 = (
+    'GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984",'
+    'SPHEROID["WGS_1984",6378137.0,298.257223563]],'
+    'PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]]'
+)
+
+ESRI_WEBMERC = (
+    'PROJCS["WGS_1984_Web_Mercator_Auxiliary_Sphere",'
+    + ESRI_GEOGCS_WGS84 +
+    ',PROJECTION["Mercator_Auxiliary_Sphere"],'
+    'PARAMETER["False_Easting",0.0],PARAMETER["False_Northing",0.0],'
+    'PARAMETER["Central_Meridian",0.0],PARAMETER["Standard_Parallel_1",0.0],'
+    'PARAMETER["Auxiliary_Sphere_Type",0.0],UNIT["Meter",1.0]]'
+)
+
+ESRI_UTM32 = (
+    'PROJCS["WGS_1984_UTM_Zone_32N",'
+    + ESRI_GEOGCS_WGS84 +
+    ',PROJECTION["Transverse_Mercator"],'
+    'PARAMETER["False_Easting",500000.0],PARAMETER["False_Northing",0.0],'
+    'PARAMETER["Central_Meridian",9.0],PARAMETER["Scale_Factor",0.9996],'
+    'PARAMETER["Latitude_Of_Origin",0.0],UNIT["Meter",1.0]]'
+)
+
+
+def _same_fwd(op1, op2, atol=1e-9):
+    import numpy as np
+
+    from rayproj.core.op import FWD, Coords
+
+    lam = np.radians(np.array([7.9, 9.1, 10.4]))
+    phi = np.radians(np.array([46.5, 51.0, 59.2]))
+    c1, c2 = Coords(lam.copy(), phi.copy()), Coords(lam.copy(), phi.copy())
+    op1.trans(FWD, c1)
+    op2.trans(FWD, c2)
+    np.testing.assert_allclose(c2.x, c1.x, rtol=0, atol=atol)
+    np.testing.assert_allclose(c2.y, c1.y, rtol=0, atol=atol)
+
+
+def test_esri_geogcs_wgs84():
+    from rayproj.core.wkt import from_wkt
+
+    ps = from_wkt(ESRI_GEOGCS_WGS84)
+    assert "+proj=longlat" in ps and "+datum=WGS84" in ps
+
+
+def test_esri_webmerc_matches_epsg_twin():
+    from rayproj.core.wkt import from_wkt
+
+    op = create_operation(from_wkt(ESRI_WEBMERC))
+    twin = create_operation("+proj=webmerc +datum=WGS84")
+    assert op.name == "webmerc"
+    _same_fwd(op, twin)
+
+
+def test_esri_utm32_matches_epsg_twin():
+    from rayproj.cli import _expand_crs_tokens
+    from rayproj.core.wkt import from_wkt
+
+    op = create_operation(from_wkt(ESRI_UTM32))
+    twin = create_operation(" ".join(_expand_crs_tokens(["EPSG:32632"])))
+    _same_fwd(op, twin)
+
+
+def test_esri_lcc_2sp_disambiguation():
+    from rayproj.core.wkt import from_wkt
+
+    esri = (
+        'PROJCS["NAD_1983_Texas_Centric_Lambert",'
+        'GEOGCS["GCS_North_American_1983",DATUM["D_North_American_1983",'
+        'SPHEROID["GRS_1980",6378137.0,298.257222101]],'
+        'PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]],'
+        'PROJECTION["Lambert_Conformal_Conic"],'
+        'PARAMETER["False_Easting",1500000.0],'
+        'PARAMETER["False_Northing",5000000.0],'
+        'PARAMETER["Central_Meridian",-100.0],'
+        'PARAMETER["Standard_Parallel_1",27.5],'
+        'PARAMETER["Standard_Parallel_2",35.0],'
+        'PARAMETER["Latitude_Of_Origin",18.0],UNIT["Meter",1.0]]'
+    )
+    op = create_operation(from_wkt(esri))
+    twin = create_operation(
+        "+proj=lcc +lat_1=27.5 +lat_2=35 +lat_0=18 +lon_0=-100 "
+        "+x_0=1500000 +y_0=5000000 +datum=NAD83"
+    )
+    assert op.name == "lcc"
+    _same_fwd(op, twin)
