@@ -37,12 +37,24 @@ class Cass(Operation):
 
     def setup(self) -> None:
         self.spherical = self.ell.es == 0.0
+        # +hyperbolic: Hyperbolic Cassini-Soldner (EPSG method 9833,
+        # Vanua Levu; EPSG Guidance Note 7-2): the northing is reduced
+        # by X³/(6ρν), ρ/ν evaluated at the point's latitude
+        self.hyperbolic = self.params.bool_("hyperbolic", False)
+        if self.hyperbolic and self.spherical:
+            raise ProjError(ERR_TOLERANCE_CONDITION)
         if not self.spherical:
             self.en = enfn(self.ell.es)
             self.m0 = float(
                 mlfn(np.array([self.phi0]), np.array([math.sin(self.phi0)]),
                      np.array([math.cos(self.phi0)]), self.en)[0]
             )
+
+    def _rho_nu(self, sinphi: np.ndarray) -> np.ndarray:
+        """ρ·ν in a=1 units at the given sin(latitude)."""
+        es = self.ell.es
+        w = 1.0 - es * sinphi * sinphi
+        return (1.0 - es) / (w * w)
 
     def _fwd(self, coo: Coords) -> None:
         lam, phi = coo.x, coo.y
@@ -63,6 +75,8 @@ class Cass(Operation):
         C1_, C2_, C3_ = 1 / 6.0, 1 / 120.0, 1 / 24.0
         coo.x = n * a1 * (1.0 - a2 * t * (C1_ - (8.0 - t + 8.0 * c2) * a2 * C2_))
         coo.y = y - self.m0 + n * tn * a2 * (0.5 + (5.0 - t + 6.0 * c2) * a2 * C3_)
+        if self.hyperbolic:
+            coo.y = coo.y - coo.y ** 3 / (6.0 * self._rho_nu(np.sin(phi)))
 
     def _inv(self, coo: Coords) -> None:
         x, y = coo.x, coo.y
@@ -72,6 +86,14 @@ class Cass(Operation):
             coo.x = np.arctan2(np.tan(x), np.cos(dd))
             return
         es = self.ell.es
+        if self.hyperbolic:
+            # undo the X³/(6ρν) reduction by fixed-point iteration (the
+            # correction is O((X/R)²) of X, so 3 rounds reach 1e-15)
+            X = y.copy()
+            for _ in range(3):
+                ph_i, _nc = inv_mlfn(self.m0 + X, es, self.en)
+                X = y + X ** 3 / (6.0 * self._rho_nu(np.sin(ph_i)))
+            y = X
         ph1, nonconv = inv_mlfn(self.m0 + y, es, self.en)
         coo.set_err(nonconv, -17)
         tn = np.tan(ph1)

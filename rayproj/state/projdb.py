@@ -307,10 +307,100 @@ _METHOD = {
     "9813": ("labrd", {"8812": "lon_0", "8813": "azi"}, []),
     "1052": ("col_urban", {}, []),
     "1051": ("lcc", {}, []),  # 2SP Michigan: k_0 via param 1038
+    # LCC West Orientated (Greenland zones): 1SP params, easting
+    # positive WEST → axis=wnu (same device as 9808/9819)
+    "9826": ("lcc", {"8801": "lat_1"}, [("axis", "wnu")]),
+    "9827": ("bonne", {"8801": "lat_1"}, []),
+    "9828": ("bonne", {"8801": "lat_1"}, [("axis", "wsu")]),  # South Orientated
+    "9831": ("aeqd", {}, [("guam", None)]),  # Guam projection
+    "9833": ("cass", {}, [("hyperbolic", None)]),  # Hyperbolic C-S (Fiji)
+    "9832": ("aeqd", {}, []),  # Modified Azimuthal Equidistant
+    "9834": ("cea", {"8823": "lat_ts"}, []),  # Lambert CEA (Spherical)
+    "9835": ("cea", {"8823": "lat_ts"}, []),  # Lambert CEA
+    # LCC 2SP Belgium: 2SP with the 29.2985" convergence retrofit folded
+    # into lon_0 (lon_0 += a/n, n = ellipsoidal cone constant) — see
+    # _belgium_lon0; EPSG:31300 then agrees with its 9802 twin EPSG:31370
+    "9803": ("lcc", {}, []),
+    # Polar Stereographic variant C: false origin on the standard
+    # parallel instead of the pole; natural-origin x_0/y_0 computed with
+    # our own (gie-verified) stere kernel in _variant_c_origin
+    "9830": ("stere", {}, []),
 }
 
 
-def _conversion_pairs(conv_auth: str, conv_code: str) -> list[tuple[str, str | None]]:
+def _ellps_tokens_str(base_pairs) -> str:
+    """Ellipsoid/datum subset of datum-level pairs as a proj fragment
+    (for building helper kernels during method special-casing)."""
+    keep = ("ellps", "a", "b", "rf", "f", "es", "datum", "R")
+    return " ".join(
+        f"+{k}={v}" if v is not None else f"+{k}"
+        for k, v in (base_pairs or [])
+        if k in keep
+    )
+
+
+def _belgium_lon0(lon_0: float, lat_1: float, lat_2: float, base_pairs) -> float:
+    """EPSG 9803 (LCC 2SP Belgium): the formulas subtract a = 29.2985"
+    from the convergence θ = n(λ−λF), i.e. an effective λF shift of
+    a/n. n is the ellipsoidal cone constant of the two parallels.
+    Oracle: EPSG:31300 (9803) must agree with EPSG:31370 (its 9802
+    re-definition) to sub-mm."""
+    import numpy as np
+
+    from ..core.factory import create_operation
+
+    op = create_operation("+proj=longlat " + _ellps_tokens_str(base_pairs))
+    es = op.ell.es
+    e = np.sqrt(es)
+
+    def m(phi):
+        return np.cos(phi) / np.sqrt(1 - es * np.sin(phi) ** 2)
+
+    def t(phi):
+        return np.tan(np.pi / 4 - phi / 2) / (
+            (1 - e * np.sin(phi)) / (1 + e * np.sin(phi))
+        ) ** (e / 2)
+
+    p1, p2 = np.radians(lat_1), np.radians(lat_2)
+    n = (np.log(m(p1)) - np.log(m(p2))) / (np.log(t(p1)) - np.log(t(p2)))
+    return lon_0 + (29.2985 / 3600.0) / float(n)
+
+
+def _variant_c_origin(conv_pairs, fe: float, fn: float,
+                      base_pairs) -> list[tuple[str, str]]:
+    """EPSG 9830 (Polar Stereographic variant C): easting/northing are
+    given AT THE FALSE ORIGIN (λO, φF) rather than the pole. Compute
+    the natural-origin offsets by forwarding the false origin through
+    an op built from the FULL final parameter context (the engine's
+    cs2cs-emulation trans applies towgs84, so a bare-kernel helper
+    would disagree) — by construction fwd(λO, φF) == (FE, FN)."""
+    import numpy as np
+
+    from ..core.factory import create_operation
+    from ..core.op import FWD, Coords
+
+    d = dict(conv_pairs)
+    lat_ts = float(d["lat_ts"])
+    lon_0 = float(d.get("lon_0", 0.0))
+    lat_0 = 90.0 if lat_ts >= 0 else -90.0
+    frag = " ".join(
+        f"+{k}={v}" if v is not None else f"+{k}"
+        for k, v in (list(conv_pairs) + [("lat_0", _fmt(lat_0))]
+                     + list(base_pairs or []))
+        if k != "no_defs"
+    )
+    op = create_operation(frag)
+    coo = Coords(np.radians([lon_0]), np.radians([lat_ts]))
+    op.trans(FWD, coo)
+    return [
+        ("lat_0", _fmt(lat_0)),
+        ("x_0", _fmt(fe - float(coo.x[0]))),
+        ("y_0", _fmt(fn - float(coo.y[0]))),
+    ]
+
+
+def _conversion_pairs(conv_auth: str, conv_code: str,
+                      base_pairs=None) -> list[tuple[str, str | None]]:
     con = _db()
     row = con.execute(
         "SELECT method_code, "
@@ -345,7 +435,7 @@ def _conversion_pairs(conv_auth: str, conv_code: str) -> list[tuple[str, str | N
             v = _length_m(v, str(puom))
         else:
             v = _scale(v, str(puom))
-        if method == "9801" and pcode == "8801":
+        if method in ("9801", "9826") and pcode == "8801":
             lat_1_for_1sp = v  # emit both lat_1 and lat_0
         if method == "9829" and name == "lat_ts":
             pairs.append(("lat_0", "90" if v >= 0 else "-90"))
@@ -353,6 +443,17 @@ def _conversion_pairs(conv_auth: str, conv_code: str) -> list[tuple[str, str | N
     if lat_1_for_1sp is not None:
         pairs.append(("lat_0", _fmt(lat_1_for_1sp)))
     pairs.extend(extra)
+    if method == "9803":
+        d = dict(pairs)
+        lon0 = _belgium_lon0(float(d["lon_0"]), float(d["lat_1"]),
+                             float(d["lat_2"]), base_pairs)
+        pairs = [(k, _fmt(lon0) if k == "lon_0" else v) for k, v in pairs]
+    elif method == "9830":
+        d = dict(pairs)
+        pairs = [(k, v) for k, v in pairs if k not in ("x_0", "y_0")]
+        pairs += _variant_c_origin(
+            pairs, float(d.get("x_0", 0.0)), float(d.get("y_0", 0.0)),
+            base_pairs)
     if method == "9815":
         d = dict(pairs)
         if d.get("alpha") == "90" and d.get("gamma") == "90":
@@ -469,10 +570,10 @@ def resolve_crs(auth: str, code: str) -> list[tuple[str, str | None]]:
     geo_auth, geo_code, conv_auth, conv_code, cs_auth, cs_code = (
         str(x) for x in prow
     )
-    pairs = _conversion_pairs(conv_auth, conv_code)
     base = _geodetic_pairs(geo_auth, geo_code)
     if base is None:
         raise KeyError(f"base geodetic CRS {geo_code} not found")
+    pairs = _conversion_pairs(conv_auth, conv_code, base_pairs=base)
     pairs += base
     pairs += _projected_unit(cs_auth, cs_code)
     pairs.append(("no_defs", None))
