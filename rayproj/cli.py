@@ -377,6 +377,74 @@ def cmd_cct(args) -> int:
     return 0
 
 
+def _geod_line_mode(par, a: float, f: float, digits: int) -> int:
+    """geod line/arc mode (src/apps/geod.cpp do_geod/do_arc +
+    geod_set.cpp:53-74): the line is fixed by +lat_1/+lon_1 and either
+    +lat_2/+lon_2 (solved by the inverse problem) or +A/+S (forward);
+    +n_S=N prints N+1 points along it (endpoints included), +del_S=d
+    picks N = round(S/d), +n_A/+del_A sweeps the azimuth instead
+    (arc mode). Coordinates print as decimal degrees (the -f path of
+    the reference; DMS formatting is cosmetic)."""
+    import numpy as np
+
+    from .mathx.geodesic import geod_direct, geod_inverse
+
+    d = digits
+    lat1 = par.rad("lat_1")
+    lon1 = par.rad("lon_1")
+    if par.str_("lat_2") is not None:
+        lat2 = par.rad("lat_2")
+        lon2 = par.rad("lon_2")
+        s12, al12, _ = geod_inverse(
+            a, f, np.array([lat1]), np.array([lon1]),
+            np.array([lat2]), np.array([lon2]))
+        S, al12 = float(s12[0]), float(al12[0])
+    elif par.float_("S"):
+        S = par.float_("S")
+        al12 = par.rad("A")
+        la2, lo2, _ = geod_direct(
+            a, f, np.array([lat1]), np.array([lon1]),
+            np.array([al12]), np.array([S]))
+        lat2, lon2 = float(la2[0]), float(lo2[0])
+    else:
+        print("geod: incomplete geodesic/arc info", file=sys.stderr)
+        return 1
+
+    def show(phi, lam):
+        print(f"{phi * RAD_TO_DEG:.{d}f}\t{lam * RAD_TO_DEG:.{d}f}")
+
+    n_alpha = par.int_("n_A")
+    if n_alpha > 0:  # arc mode: rotate the azimuth del_A per step
+        del_alpha = par.rad("del_A")
+        if del_alpha == 0.0:
+            print("geod: del azimuth == 0", file=sys.stderr)
+            return 1
+        show(lat2, lon2)
+        az = al12
+        for _ in range(n_alpha):
+            az += del_alpha
+            la, lo, _ = geod_direct(
+                a, f, np.array([lat1]), np.array([lon1]),
+                np.array([az]), np.array([S]))
+            show(float(la[0]), float(lo[0]))
+        return 0
+    del_S = abs(par.float_("del_S"))
+    n_S = int(S / del_S + 0.5) if del_S else par.int_("n_S")
+    if n_S <= 0:
+        print("geod: no interval divisor selected", file=sys.stderr)
+        return 1
+    show(lat1, lon1)
+    fracs = np.arange(1, n_S) * (S / n_S)
+    if len(fracs):
+        la, lo, _ = geod_direct(
+            a, f, np.full(len(fracs), lat1), np.full(len(fracs), lon1),
+            np.full(len(fracs), al12), fracs)
+        for i in range(len(fracs)):
+            show(float(la[i]), float(lo[i]))
+    show(lat2, lon2)
+    return 0
+
+
 def cmd_geod(args) -> int:
     """Geodesic problems (src/apps/geod.cpp): forward ``lat1 lon1 azi1
     s12`` → ``lat2 lon2 azi2-back``; inverse (-I) ``lat1 lon1 lat2
@@ -385,9 +453,12 @@ def cmd_geod(args) -> int:
     from .core.params import Params
     from .mathx.geodesic import geod_direct, geod_inverse
 
-    ell = resolve_ellipsoid(Params.parse(" ".join(args.projargs) or "+ellps=WGS84"))
+    par = Params.parse(" ".join(args.projargs) or "+ellps=WGS84")
+    ell = resolve_ellipsoid(par)
     f = (ell.a - ell.b) / ell.a
     R = DEG_TO_RAD
+    if par.str_("lat_1") is not None:
+        return _geod_line_mode(par, ell.a, f, args.digits)
     if args.parquet:
         # bulk inverse problem over a parquet table:
         # (lat1, lon1, lat2, lon2) degrees → azi1, azi2 (deg), dist_m

@@ -159,3 +159,64 @@ def test_cs2cs_db_route(monkeypatch, capsys):
     # the routed CONUS candidate (library-tested in test_projdb) —
     # ~10 m from the single-towgs84 hub answer
     assert abs(x - 586562.62) < 0.1 and abs(y - 4317253.67) < 0.1
+
+
+def test_geod_line_mode_jfk_lhr(capsys):
+    """geod line mode (geod.cpp do_geod + geod_set.cpp:53-74): 10
+    intermediate intervals on the JFK->LHR geodesic. Every emitted
+    point must solve the inverse problem back to the SAME initial
+    azimuth and to distance i*S/n (sub-mm) — i.e. the points really
+    lie on the line at equal spacing."""
+    from rayproj.mathx.geodesic import geod_inverse
+
+    rc = cli.main([
+        "geod", "+ellps=WGS84", "+lat_1=40.64", "+lon_1=-73.78",
+        "+lat_2=51.47", "+lon_2=-0.46", "+n_S=10", "-d", "9",
+    ])
+    assert rc == 0
+    lines = [l for l in capsys.readouterr().out.strip().splitlines()]
+    assert len(lines) == 11
+    pts = np.array([[float(v) for v in l.split()] for l in lines])
+    np.testing.assert_allclose(pts[0], [40.64, -73.78], atol=1e-9)
+    np.testing.assert_allclose(pts[-1], [51.47, -0.46], atol=1e-9)
+    R = np.pi / 180.0
+    S, azi1, _ = geod_inverse(
+        6378137.0, 1 / 298.257223563,
+        np.array([40.64 * R]), np.array([-73.78 * R]),
+        np.array([51.47 * R]), np.array([-0.46 * R]))
+    s_i, azi_i, _ = geod_inverse(
+        6378137.0, 1 / 298.257223563,
+        np.full(9, 40.64 * R), np.full(9, -73.78 * R),
+        pts[1:-1, 0] * R, pts[1:-1, 1] * R)
+    np.testing.assert_allclose(s_i, np.arange(1, 10) * S[0] / 10, atol=5e-4)
+    np.testing.assert_allclose(azi_i, np.full(9, azi1[0]), atol=1e-9)
+
+
+def test_geod_line_mode_del_s(capsys):
+    # +del_S picks n = round(S/del_S); S(JFK->LHR) ~ 5551.7 km ->
+    # del_S=1850km gives n=3 -> 4 output rows
+    rc = cli.main([
+        "geod", "+ellps=WGS84", "+lat_1=40.64", "+lon_1=-73.78",
+        "+lat_2=51.47", "+lon_2=-0.46", "+del_S=1850000",
+    ])
+    assert rc == 0
+    assert len(capsys.readouterr().out.strip().splitlines()) == 4
+
+
+def test_geod_arc_mode(capsys):
+    # arc mode: initial point + azimuth/distance line, then n_A
+    # azimuth steps of del_A; first output row is the line's endpoint
+    rc = cli.main([
+        "geod", "+ellps=WGS84", "+lat_1=0", "+lon_1=0", "+A=90",
+        "+S=111319.49", "+n_A=2", "+del_A=90", "-d", "6",
+    ])
+    assert rc == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert len(lines) == 3
+    first = [float(v) for v in lines[0].split()]
+    # 1 degree east along the equator
+    assert first[0] == pytest.approx(0.0, abs=1e-6)
+    assert first[1] == pytest.approx(1.0, abs=1e-3)
+    # after +180deg the azimuth points west: mirrored longitude
+    third = [float(v) for v in lines[2].split()]
+    assert third[1] == pytest.approx(-1.0, abs=1e-3)
