@@ -70,28 +70,44 @@ class TinModel:
         miny, maxy = ty.min(axis=1), ty.max(axis=1)
         x0, x1 = float(minx.min()), float(maxx.max())
         y0, y1 = float(miny.min()), float(maxy.max())
-        # ~1 triangle of area per cell: keeps the candidate width W (and
-        # therefore the number of vectorized sweep columns) at ~4-8
-        nx = ny = max(1, int(np.sqrt(max(len(self.triangles), 1))))
+        # ~4 cells per triangle: shortens per-cell candidate lists so
+        # most points resolve inside the first sweep columns (measured
+        # faster than 1-triangle-per-cell despite the larger index —
+        # the candidate matrix is still only (cells x W) int64)
+        nx = ny = max(1, 2 * int(np.sqrt(max(len(self.triangles), 1))))
         nx, ny = min(nx, 4 * n_cells), min(ny, 4 * n_cells)
         sx = (x1 - x0) / nx or 1.0
         sy = (y1 - y0) / ny or 1.0
-        buckets: dict[int, list[int]] = {}
         bx0 = np.clip(((minx - x0) / sx).astype(np.int64), 0, nx - 1)
         bx1 = np.clip(((maxx - x0) / sx).astype(np.int64), 0, nx - 1)
         by0 = np.clip(((miny - y0) / sy).astype(np.int64), 0, ny - 1)
         by1 = np.clip(((maxy - y0) / sy).astype(np.int64), 0, ny - 1)
-        for t in range(len(self.triangles)):
-            for cx in range(bx0[t], bx1[t] + 1):
-                for cy in range(by0[t], by1[t] + 1):
-                    buckets.setdefault(cx * ny + cy, []).append(t)
+        # vectorized (triangle -> covered cells) expansion: repeat each
+        # triangle id once per bbox cell and derive the cell ids from
+        # the within-triangle rank (row-major over the bbox) — no
+        # per-triangle Python loop (the loop was ~200 ms on RFC-6-sized
+        # TINs at this grid density; this is ~2 ms)
+        wx = bx1 - bx0 + 1
+        wy = by1 - by0 + 1
+        counts = wx * wy
+        tri = np.repeat(np.arange(len(self.triangles), dtype=np.int64), counts)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        k = np.arange(len(tri), dtype=np.int64) - starts[tri]
+        cx = bx0[tri] + k // wy[tri]
+        cy = by0[tri] + k % wy[tri]
+        cells = cx * ny + cy
         # padded candidate matrix (cells x W), ascending triangle id
         # per cell (same first-hit-wins order as the bucket lists),
-        # trailing -1 padding — enables the vectorized column sweep
-        W = max((len(v) for v in buckets.values()), default=1)
+        # trailing -1 padding — enables the vectorized column sweep.
+        # stable sort by cell keeps triangle ids ascending within cells.
+        order = np.argsort(cells, kind="stable")
+        cells_s = cells[order]
+        tri_s = tri[order]
+        cell_start = np.searchsorted(cells_s, np.arange(nx * ny + 1))
+        pos = np.arange(len(tri_s)) - cell_start[cells_s]
+        W = max(1, int(np.diff(cell_start).max(initial=0)))
         cand = np.full((nx * ny, W), -1, dtype=np.int64)
-        for k, ts in buckets.items():
-            cand[k, : len(ts)] = ts
+        cand[cells_s, pos] = tri_s
         # per-triangle inverse-barycentric coefficients:
         # lam1 = a11*(x-x3) + a12*(y-y3); lam2 = a21*(x-x3) + a22*(y-y3)
         i1, i2, i3 = self.triangles.T
@@ -115,15 +131,16 @@ class TinModel:
         pair sweep: candidate ids with -1 remapped to a sentinel
         triangle T whose coefficients can never produce a containment
         hit, and the inverse-barycentric coefficients appended with
-        that sentinel row (single gather per coefficient, no validity
-        masking inside the sweep)."""
+        that sentinel row as six contiguous arrays. (A packed (T+1, 6)
+        row-gather variant was measured 2.7x SLOWER per chunk — numpy
+        trailing-dim fancy-indexing plus strided-slice arithmetic costs
+        far more than six flat gathers.)"""
         key = ("sweep", forward)
         if key in self._buckets:
             return self._buckets[key]
         x0, y0, sx, sy, nx, ny, cand, coef, tx3, ty3 = self._bucket_index(forward)
         a11, a12, a21, a22 = coef
         T = len(self.triangles)
-
         def pad(a, v):
             return np.ascontiguousarray(np.append(a, v))
 
@@ -140,30 +157,25 @@ class TinModel:
         self._buckets[key] = (x0, y0, sx, sy, nx, ny, cand_s, packed, T)
         return self._buckets[key]
 
-    # Slab path pays one Python iteration per (nonempty cell, candidate);
-    # it wins when each cell's point slab is big enough to amortize that
-    # (dense point sets over small/medium TINs — the RFC-6 benchmark
-    # regime). Sparse regimes (few points per cell, e.g. huge TINs)
-    # stay on the gather-based pair sweep.
-    SLAB_MIN_PTS_PER_CELL = 24
-
     def _assign(self, x: np.ndarray, y: np.ndarray, forward: bool):
         """Per-point triangle id + barycentric coords; -1 when outside.
 
-        Two strategies, same first-hit-wins semantics (candidates in
-        ascending triangle id per cell, identical containment test):
+        Vectorized (point x candidate) pair sweep, chunked to stay
+        cache/bandwidth-resident: the first W0 candidate columns of
+        EVERY point evaluate as one 2D array expression, first hit
+        resolved with argmax over the boolean hit matrix in candidate
+        order (first-hit-wins, candidates ascend in triangle id). The
+        few points still unresolved after W0 columns finish in a
+        second sweep over the remaining columns. -1-padding rides a
+        NaN-sentinel triangle whose coefficients never produce a hit.
 
-        * slab sweep (dense): counting-sort points by bucket cell
-          (radix argsort on small int keys), then each cell's
-          contiguous point slab evaluates its 1-4 candidate triangles
-          with SCALAR coefficients — sequential loads, no per-point
-          coefficient gathers (VERDICT r3 task 3; measured ~2x the
-          pair sweep at RFC-6 scale).
-        * pair sweep (sparse): vectorized (point x candidate) 2D
-          expression over the first W0 candidate columns of every
-          point, argmax-first-hit, residual sweep for long candidate
-          lists. -1-padding rides a NaN-sentinel triangle whose
-          coefficients never produce a hit."""
+        (Two alternatives were built and measured SLOWER at RFC-6
+        scale: a bucket-grouped slab variant — radix-sort points by
+        cell, scalar coefficients per candidate — at 1.9 M vs 2.5 M
+        pts/s, the per-cell Python loop over ~1.5k cells x W
+        candidates dominating; and a packed (T+1, 6) row-gather at
+        2.7x the per-chunk kernel cost, numpy trailing-dim fancy
+        indexing losing to six flat gathers.)"""
         x0, y0, sx, sy, nx, ny, cand, packed, T = self._sweep_index(forward)
         A11, A12, A21, A22, X3, Y3 = packed
         n = len(x)
@@ -176,12 +188,6 @@ class TinModel:
         l2 = np.zeros(n)
         W = cand.shape[1]
         W0 = min(W, 4)
-
-        n_nonempty = max(1, int((cand[:, 0] != T).sum()))
-        if n >= self.SLAB_MIN_PTS_PER_CELL * n_nonempty:
-            self._assign_slabs(x, y, keys, cand, packed, T, tri_id, l1, l2)
-            l3 = np.where(tri_id >= 0, 1.0 - l1 - l2, 0.0)
-            return tri_id, l1, l2, l3
 
         def sweep(pidx, cols, chunk=262144):
             """2D hit sweep of candidate columns `cols` for points
@@ -220,67 +226,46 @@ class TinModel:
         l3 = np.where(tri_id >= 0, 1.0 - l1 - l2, 0.0)
         return tri_id, l1, l2, l3
 
-    def _assign_slabs(self, x, y, keys, cand, packed, T, tri_id, l1, l2):
-        """Dense-regime assignment: radix-sort points by cell, then per
-        nonempty cell evaluate its candidate triangles over the
-        contiguous point slab with scalar coefficients, removing points
-        as they hit (first hit wins — candidates ascend in id)."""
-        A11, A12, A21, A22, X3, Y3 = packed
-        order = np.argsort(keys, kind="stable")  # radix on int keys
-        ks = keys[order]
-        xs = np.ascontiguousarray(x[order])
-        ys = np.ascontiguousarray(y[order])
-        uc, starts = np.unique(ks, return_index=True)
-        ends = np.append(starts[1:], len(ks))
-        for c, s, e in zip(uc, starts, ends):
-            row = cand[c]
-            rem = order[s:e]
-            rx = xs[s:e]
-            ry = ys[s:e]
-            for t in row:
-                if t == T:
-                    break
-                dx = rx - X3[t]
-                dy = ry - Y3[t]
-                lam1 = A11[t] * dx + A12[t] * dy
-                lam2 = A21[t] * dx + A22[t] * dy
-                lam3 = 1.0 - lam1 - lam2
-                hit = (
-                    (lam1 >= -EPS) & (lam1 <= 1 + EPS)
-                    & (lam2 >= -EPS) & (lam2 <= 1 + EPS)
-                    & (lam3 >= 0)
-                )
-                if not hit.any():
-                    continue
-                hp = rem[hit]
-                tri_id[hp] = t
-                l1[hp] = lam1[hit]
-                l2[hp] = lam2[hit]
-                keep = ~hit
-                if not keep.any():
-                    break
-                rem = rem[keep]
-                rx = rx[keep]
-                ry = ry[keep]
+    def _apply_index(self, forward: bool):
+        """Per-triangle contiguous target coords / Δz (T-length arrays,
+        cache-resident): one flat gather per interpolation term inside
+        `apply` instead of the (triangles[t] → vertices[i, col]) double
+        gather into strided vertex-matrix columns — measured ~2x on the
+        RFC-6 TIN where apply() cost more than _assign()."""
+        key = ("apply", forward)
+        if key in self._buckets:
+            return self._buckets[key]
+        i1, i2, i3 = self.triangles.T
+        V = self.vertices
+
+        def col(c):
+            return (np.ascontiguousarray(V[i1, c]),
+                    np.ascontiguousarray(V[i2, c]),
+                    np.ascontiguousarray(V[i3, c]))
+
+        txy = None
+        if self.horizontal:
+            tx, ty = (2, 3) if forward else (0, 1)
+            txy = (col(tx), col(ty))
+        dzc = col(4 if self.horizontal else 2) if self.vertical else None
+        self._buckets[key] = (txy, dzc)
+        return self._buckets[key]
 
     def apply(self, x: np.ndarray, y: np.ndarray, z: np.ndarray, forward: bool):
         """Returns (x', y', z', outside_mask)."""
         tri_id, l1, l2, l3 = self._assign(x, y, forward)
         outside = tri_id < 0
         t = np.maximum(tri_id, 0)
-        i1 = self.triangles[t, 0]
-        i2 = self.triangles[t, 1]
-        i3 = self.triangles[t, 2]
-        V = self.vertices
-        if self.horizontal:
-            tx, ty = (2, 3) if forward else (0, 1)
-            xo = V[i1, tx] * l1 + V[i2, tx] * l2 + V[i3, tx] * l3
-            yo = V[i1, ty] * l1 + V[i2, ty] * l2 + V[i3, ty] * l3
+        txy, dzc = self._apply_index(forward)
+        if txy is not None:
+            (X1, X2, X3), (Y1, Y2, Y3) = txy
+            xo = X1[t] * l1 + X2[t] * l2 + X3[t] * l3
+            yo = Y1[t] * l1 + Y2[t] * l2 + Y3[t] * l3
         else:
             xo, yo = x, y
-        if self.vertical:
-            zc = 4 if self.horizontal else 2
-            dz = V[i1, zc] * l1 + V[i2, zc] * l2 + V[i3, zc] * l3
+        if dzc is not None:
+            D1, D2, D3 = dzc
+            dz = D1[t] * l1 + D2[t] * l2 + D3[t] * l3
             zo = z + dz if forward else z - dz
         else:
             zo = z

@@ -149,30 +149,3 @@ def test_mixed_inside_outside_padded_fan():
     tri, *_ = m._assign(x, y, True)
     assert tri[0] >= 0 and tri[2] >= 0
     assert tri[1] == -1 and tri[3] == -1 and tri[4] == -1
-
-
-def test_slab_and_pair_sweep_agree():
-    # force both strategies over the same dense point set on the fan
-    # model (shared edges, outside-hull, long candidate lists) and
-    # require bit-identical assignments and barycentrics
-    K = 24
-    ang = np.linspace(0.0, np.pi, K + 1)
-    verts = [[0.0, 0.0, 0.0, 0.0]] + [
-        [float(np.cos(a)), float(np.sin(a)), float(np.cos(a)), float(np.sin(a))]
-        for a in ang
-    ]
-    tris = [[0, i + 1, i + 2] for i in range(K)]
-    m = _model(verts, tris)
-    rng = np.random.default_rng(11)
-    x = rng.uniform(-1.5, 1.5, 20000)
-    y = rng.uniform(-0.5, 1.5, 20000)
-    assert m.SLAB_MIN_PTS_PER_CELL * (m._sweep_index(True)[6][:, 0]
-                                      != len(tris)).sum() <= len(x)
-    a = m._assign(x, y, True)
-    try:
-        TinModel.SLAB_MIN_PTS_PER_CELL = 10**9  # force pair sweep
-        b = m._assign(x, y, True)
-    finally:
-        TinModel.SLAB_MIN_PTS_PER_CELL = 24
-    for u, v in zip(a, b):
-        np.testing.assert_array_equal(u, v)
