@@ -110,9 +110,12 @@ def _headline_over(pages):
     # stage drains) and accumulate — ~50 µs per block, no extra operator
     # (a second map_batches combine fuses with the kernel stage and
     # re-batches it; iter_batches leaves a prefetch thread that trips
-    # ray.shutdown)
-    for ref in partials.to_arrow_refs():
-        b = ray.get(ref)
+    # ray.shutdown). ONE batched ray.get for all refs: per-ref gets
+    # cost ~1 ms of driver round-trip each (×512 blocks ≈ 0.5 s of
+    # pure serial time identical at every CPU level — exactly the
+    # fixed cost that poisons the scaling ratio); everything is local
+    # on this node so the batch get is a single plasma mmap sweep.
+    for b in ray.get(partials.to_arrow_refs()):
         t = b.column("tile").to_numpy()
         # tile_id packs zoom<<58|x<<29|y — densify to x*n+y for the
         # accumulator; unbuffered add is correct even with dup tiles
@@ -395,6 +398,14 @@ def main() -> None:
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     ctx.execution_options.preserve_order = False
+    # The ReservationOpResourceAllocator budgets each operator to a
+    # fraction of the resource pool — measured mean in-flight tasks of
+    # 19/32 (and 5.7/8) on the 2-op headline, i.e. ~40% of the node
+    # idle by design. These single-map pipelines with tiny partial
+    # outputs can't deadlock or blow the object store, so disable the
+    # reservation: mean concurrency 26.5/32 and 7.3/8, headline wall
+    # −25% at both CPU levels (round-4 probe).
+    ctx.op_resource_reservation_enabled = False
     logging.getLogger("ray.data").setLevel(logging.ERROR)
     try:
         headline = run_headline()

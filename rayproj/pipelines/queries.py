@@ -2002,7 +2002,16 @@ def q_kmeans_embed(sf_dir: str):
     oracle: centroids round to 1e-6 after every update, assignment
     uses squared-euclidean distance rounded to 1e-6 with ties to the
     lowest cluster id — the SQL twin unrolls both iterations as CTEs
-    and reproduces the identical fixed points."""
+    and reproduces the identical fixed points.
+
+    Boundary caveat (round-3 advisor): the pre-rounding sums are
+    computed in different orders (numpy per-block partials vs DuckDB
+    sequential list_sum), so a distance landing EXACTLY on a 0.5e-6
+    rounding boundary could flip an assignment between engine and
+    oracle at some other scale factor or block split. Verified exact
+    at sf0.001/0.01/0.1; if a future SF mismatches here first, widen
+    the contract's rounding to 1e-5 on both sides before suspecting
+    the engine."""
     K, ITERS = 8, 2
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     seed = (
