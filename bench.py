@@ -525,9 +525,18 @@ def _measure_pair(lo: int, hi: int, rows_n: int, iters: int, gate: float) -> dic
     steals: dict[int, list] = {}
     ctrls: list[float] = []
     max_attempts = int(os.environ.get("BENCH_SCALING_MAX_ATTEMPTS", str(iters * 4)))
+    # wall-clock cap per pair: steal-rejected attempts are retried only
+    # while the budget lasts (a noisy host once burned ~40 min in
+    # rejected 32-wide windows; gated iterations already collected are
+    # kept, so running out of budget degrades iteration count, not
+    # validity)
+    budget = float(os.environ.get("BENCH_SCALING_BUDGET_SEC", "1200"))
+    t_start = time.perf_counter()
     rejected: list = []
     attempts = 0
     while len(ctrls) < iters and attempts < max_attempts:
+        if attempts and time.perf_counter() - t_start > budget:
+            break  # keep gated iterations if any; else ungated fallback
         attempts += 1
         # all levels adjacent in time -> every pair shares a noise
         # regime; the kernel control is measured INSIDE the same
