@@ -177,24 +177,53 @@ class Helmert(Operation):
                 s = 1.0 if forward else -1.0
                 nx, ny, nz = x + s * T[0], y + s * T[1], z + s * T[2]
             else:
+                # In-place accumulation with the SAME operand
+                # association as the naive sc*(R·(p−refp))+T /
+                # Rᵀ·((p−T)/sc)+refp expressions → bit-identical;
+                # x−0.0 is bitwise x (±0, NaN included), so the refp
+                # shift is skipped entirely for plain helmert where
+                # refp == 0 (Molodensky-Badekas keeps it).
                 sc = 1 + scale * 1e-6
+                shift = bool(self.refp.any())
                 if forward:
-                    X = x - self.refp[0]
-                    Y = y - self.refp[1]
-                    Z = z - self.refp[2]
-                    nx = sc * (R[0, 0] * X + R[0, 1] * Y + R[0, 2] * Z) + T[0]
-                    ny = sc * (R[1, 0] * X + R[1, 1] * Y + R[1, 2] * Z) + T[1]
-                    nz = sc * (R[2, 0] * X + R[2, 1] * Y + R[2, 2] * Z) + T[2]
+                    X = x - self.refp[0] if shift else x
+                    Y = y - self.refp[1] if shift else y
+                    Z = z - self.refp[2] if shift else z
+                    rows = ((R[0, 0], R[0, 1], R[0, 2]),
+                            (R[1, 0], R[1, 1], R[1, 2]),
+                            (R[2, 0], R[2, 1], R[2, 2]))
+                    tail = (T[0], T[1], T[2])
                 else:
-                    X = (x - T[0]) / sc
-                    Y = (y - T[1]) / sc
-                    Z = (z - T[2]) / sc
-                    nx = (R[0, 0] * X + R[1, 0] * Y + R[2, 0] * Z) + self.refp[0]
-                    ny = (R[0, 1] * X + R[1, 1] * Y + R[2, 1] * Z) + self.refp[1]
-                    nz = (R[0, 2] * X + R[1, 2] * Y + R[2, 2] * Z) + self.refp[2]
-            coo.x[mask] = nx
-            coo.y[mask] = ny
-            coo.z[mask] = nz
+                    X = x - T[0]
+                    X /= sc
+                    Y = y - T[1]
+                    Y /= sc
+                    Z = z - T[2]
+                    Z /= sc
+                    rows = ((R[0, 0], R[1, 0], R[2, 0]),
+                            (R[0, 1], R[1, 1], R[2, 1]),
+                            (R[0, 2], R[1, 2], R[2, 2]))
+                    tail = (self.refp[0], self.refp[1], self.refp[2])
+                out3 = []
+                tmp = np.empty_like(X)
+                for (r0, r1, r2), t0 in zip(rows, tail):
+                    acc = r0 * X
+                    np.multiply(r1, Y, out=tmp)
+                    acc += tmp
+                    np.multiply(r2, Z, out=tmp)
+                    acc += tmp
+                    if forward:
+                        acc *= sc
+                    acc += t0
+                    out3.append(acc)
+                nx, ny, nz = out3
+            if isinstance(mask, slice):
+                coo.x, coo.y, coo.z = (np.asarray(nx), np.asarray(ny),
+                                       np.asarray(nz))
+            else:
+                coo.x[mask] = nx
+                coo.y[mask] = ny
+                coo.z[mask] = nz
 
     def _fwd(self, coo: Coords) -> None:
         self._apply(coo, True)
