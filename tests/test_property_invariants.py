@@ -1,0 +1,230 @@
+"""Property-based invariants (hypothesis) over randomized inputs.
+
+The gie/GIGS corpora pin fixed vectors; these properties pin the
+algebra itself on inputs the corpora never generate: random ellipsoid
+shapes, random Helmert parameter draws, random TIN geometries and
+random polygon layers. Tolerances mirror the reference's own
+round-trip expectations (sub-mm on coordinates, 1e-9 rad on angles).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from rayproj.core.constants import M_HALFPI
+from rayproj.core.factory import create_operation
+from rayproj.core.op import FWD, INV, Coords
+
+COMMON = dict(deadline=None, max_examples=25)
+
+
+@settings(**COMMON)
+@given(
+    rf=st.floats(min_value=150.0, max_value=1500.0),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_cart_roundtrip_random_ellipsoid(rf, seed):
+    """cart fwd∘inv is identity (sub-µm / 1e-12 rad) for any sane
+    ellipsoid flattening, away from the polar fallback band."""
+    op = create_operation(f"+proj=cart +a=6378137 +rf={rf}")
+    rng = np.random.default_rng(seed)
+    n = 512
+    lam = rng.uniform(-np.pi, np.pi, n)
+    phi = rng.uniform(-M_HALFPI + 1e-5, M_HALFPI - 1e-5, n)
+    h = rng.uniform(-5e3, 9e5, n)
+    coo = Coords(lam.copy(), phi.copy(), h.copy())
+    op._fwd(coo)
+    op._inv(coo)
+    np.testing.assert_allclose(coo.x, lam, atol=1e-12)
+    np.testing.assert_allclose(coo.y, phi, atol=1e-12)
+    np.testing.assert_allclose(coo.z, h, atol=1e-6)
+
+
+@settings(**COMMON)
+@given(
+    x=st.floats(min_value=-1000, max_value=1000),
+    y=st.floats(min_value=-1000, max_value=1000),
+    z=st.floats(min_value=-1000, max_value=1000),
+    rx=st.floats(min_value=-10, max_value=10),
+    ry=st.floats(min_value=-10, max_value=10),
+    rz=st.floats(min_value=-10, max_value=10),
+    s=st.floats(min_value=-50, max_value=50),
+    exact=st.booleans(),
+    conv=st.sampled_from(["position_vector", "coordinate_frame"]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_helmert_roundtrip(x, y, z, rx, ry, rz, s, exact, conv, seed):
+    """helmert fwd∘inv is identity to sub-µm for random 7-parameter
+    draws in both conventions, exact and small-angle forms."""
+    defn = (f"+proj=helmert +x={x} +y={y} +z={z} +rx={rx} +ry={ry} "
+            f"+rz={rz} +s={s} +convention={conv}"
+            + (" +exact" if exact else ""))
+    op = create_operation(defn)
+    rng = np.random.default_rng(seed)
+    n = 256
+    X = rng.uniform(-6.4e6, 6.4e6, n)
+    Y = rng.uniform(-6.4e6, 6.4e6, n)
+    Z = rng.uniform(-6.4e6, 6.4e6, n)
+    coo = Coords(X.copy(), Y.copy(), Z.copy())
+    op.trans(FWD, coo)
+    op.trans(INV, coo)
+    # +exact is a true rotation (transpose == inverse): sub-µm
+    # roundtrip. The small-angle form's inverse is the transpose of a
+    # NON-orthogonal matrix — an inverse only to O(θ²)·|p|, same as
+    # the reference's helmert.cpp — so its tolerance scales with θ².
+    theta = np.radians(max(abs(rx), abs(ry), abs(rz)) / 3600.0)
+    atol = 1e-6 if exact else 1e-6 + 20.0 * theta * theta * 6.5e6
+    np.testing.assert_allclose(coo.x, X, atol=atol)
+    np.testing.assert_allclose(coo.y, Y, atol=atol)
+    np.testing.assert_allclose(coo.z, Z, atol=atol)
+
+
+def _random_grid_tin(rng, k):
+    """Random k×k-vertex grid TIN with jittered source positions and
+    random target offsets — valid (non-degenerate, non-overlapping)
+    by construction."""
+    import json
+    import tempfile
+
+    xs = np.cumsum(rng.uniform(0.5, 1.5, k)) + rng.uniform(-50, 50)
+    ys = np.cumsum(rng.uniform(0.5, 1.5, k)) + rng.uniform(-30, 30)
+    gx, gy = np.meshgrid(xs, ys)
+    dx = rng.uniform(-1e-4, 1e-4, gx.size)
+    dy = rng.uniform(-1e-4, 1e-4, gx.size)
+    verts = [[float(X), float(Y), float(X + ddx), float(Y + ddy)]
+             for X, Y, ddx, ddy in zip(gx.ravel(), gy.ravel(), dx, dy)]
+    tris = []
+    for r in range(k - 1):
+        for c in range(k - 1):
+            v = r * k + c
+            tris.append([v, v + 1, v + k])
+            tris.append([v + 1, v + k + 1, v + k])
+    doc = {
+        "file_type": "triangulation_file",
+        "transformed_components": ["horizontal"],
+        "vertices_columns": ["source_x", "source_y", "target_x", "target_y"],
+        "triangles_columns": ["idx_vertex1", "idx_vertex2", "idx_vertex3"],
+        "vertices": verts,
+        "triangles": tris,
+    }
+    f = tempfile.NamedTemporaryFile("w", suffix=".json", delete=False)
+    json.dump(doc, f)
+    f.close()
+    return f.name, np.asarray([v[:2] for v in verts]), np.asarray(tris)
+
+
+def _brute_assign(pts_x, pts_y, verts2, tris, eps):
+    """Reference containment: lowest triangle id whose inverse-
+    barycentric test passes — the same formula the engine uses, over
+    EVERY triangle (no bucket index)."""
+    n = len(pts_x)
+    out = np.full(n, -1, dtype=np.int64)
+    for t in range(len(tris) - 1, -1, -1):
+        (x1, y1), (x2, y2), (x3, y3) = verts2[tris[t]]
+        det = (x1 - x3) * (y2 - y3) - (x2 - x3) * (y1 - y3)
+        a11 = (y2 - y3) / det
+        a12 = (x3 - x2) / det
+        a21 = (y3 - y1) / det
+        a22 = (x1 - x3) / det
+        dx = pts_x - x3
+        dy = pts_y - y3
+        l1 = a11 * dx + a12 * dy
+        l2 = a21 * dx + a22 * dy
+        l3 = 1.0 - l1 - l2
+        hit = ((l1 >= -eps) & (l1 <= 1 + eps)
+               & (l2 >= -eps) & (l2 <= 1 + eps) & (l3 >= 0))
+        out[hit] = t
+    return out
+
+
+@settings(deadline=None, max_examples=15)
+@given(
+    k=st.integers(min_value=3, max_value=7),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_tin_assign_matches_bruteforce(k, seed):
+    """The bucketed narrowing sweep finds exactly the lowest containing
+    triangle (or -1) that a full scan over every triangle finds, for
+    random TIN geometries and points inside and outside the hull."""
+    from rayproj.state import tin as tin_mod
+    from rayproj.state.tin import load_tin
+
+    rng = np.random.default_rng(seed)
+    path, verts2, tris = _random_grid_tin(rng, k)
+    model = load_tin(path)
+    lo_x, hi_x = verts2[:, 0].min(), verts2[:, 0].max()
+    lo_y, hi_y = verts2[:, 1].min(), verts2[:, 1].max()
+    pad_x = (hi_x - lo_x) * 0.3
+    pad_y = (hi_y - lo_y) * 0.3
+    n = 400
+    px = rng.uniform(lo_x - pad_x, hi_x + pad_x, n)
+    py = rng.uniform(lo_y - pad_y, hi_y + pad_y, n)
+    # exact vertices and edge midpoints (boundary lanes)
+    px[:4] = verts2[:4, 0]
+    py[:4] = verts2[:4, 1]
+    tri_id, l1, l2, l3 = model._assign(px, py, True)
+    expect = _brute_assign(px, py, verts2, tris, tin_mod.EPS)
+    np.testing.assert_array_equal(tri_id, expect)
+    inside = tri_id >= 0
+    # barycentric coords reconstruct the point (where inside)
+    v = verts2[tris[np.maximum(tri_id, 0)]]
+    rx = v[:, 0, 0] * l1 + v[:, 1, 0] * l2 + v[:, 2, 0] * l3
+    ry = v[:, 0, 1] * l1 + v[:, 1, 1] * l2 + v[:, 2, 1] * l3
+    np.testing.assert_allclose(rx[inside], px[inside], atol=1e-8)
+    np.testing.assert_allclose(ry[inside], py[inside], atol=1e-8)
+
+
+@settings(deadline=None, max_examples=15)
+@given(
+    n_polys=st.integers(min_value=1, max_value=120),
+    n_vertices=st.integers(min_value=3, max_value=9),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_pip_matches_bruteforce(n_polys, n_vertices, seed):
+    """The CSR-bucketed PIP with circle prefilter equals a full scan
+    (lowest matching poly id via the same even-odd test) for random
+    layer shapes and point clouds."""
+    from rayproj.spatial.polygons import (PolygonIndex, make_polygons,
+                                          point_in_ring)
+
+    polys = make_polygons(n_polys, seed=seed % 1000, n_vertices=n_vertices)
+    idx = PolygonIndex(polys)
+    rng = np.random.default_rng(seed)
+    n = 512
+    lon = rng.uniform(-180, 180, n)
+    lat = rng.uniform(-90, 90, n)
+    # polygon centers + vertices as boundary lanes
+    lon[: min(8, n_polys)] = polys["cx"][: min(8, n_polys)]
+    lat[: min(8, n_polys)] = polys["cy"][: min(8, n_polys)]
+    got = idx.assign(lon, lat)
+    expect = np.full(n, -1, dtype=np.int32)
+    for p in range(n_polys - 1, -1, -1):
+        m = point_in_ring(polys["verts"][p], lon, lat)
+        expect[m] = polys["poly_id"][p]
+    np.testing.assert_array_equal(got, expect)
+
+
+@settings(**COMMON)
+@given(
+    lon0=st.floats(min_value=-179, max_value=179),
+    k0=st.floats(min_value=0.9, max_value=1.1),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_tmerc_roundtrip(lon0, k0, seed):
+    """Poder/Engsager tmerc fwd∘inv identity to sub-mm (few-nm claim
+    of the reference holds at far looser tolerance) for random central
+    meridians and scale factors."""
+    op = create_operation(f"+proj=tmerc +lon_0={lon0} +k_0={k0} +ellps=GRS80")
+    rng = np.random.default_rng(seed)
+    n = 256
+    lam = np.radians(rng.uniform(lon0 - 3, lon0 + 3, n))
+    phi = np.radians(rng.uniform(-84, 84, n))
+    coo = Coords(lam.copy(), phi.copy())
+    op.trans(FWD, coo)
+    op.trans(INV, coo)
+    # 1e-11 rad ≈ 0.06 mm on the sphere
+    err_lam = np.abs(np.arctan2(np.sin(coo.x - lam), np.cos(coo.x - lam)))
+    assert err_lam.max() < 1e-11
+    np.testing.assert_allclose(coo.y, phi, atol=1e-11)
