@@ -234,7 +234,10 @@ class Operation:
                 self.cart.inv(coo)            # back to angular, local ellipsoid
             if self.vgridshift is not None:
                 self.vgridshift.fwd(coo)      # orthometric from geometric
-            coo.x = coo.x - self.from_greenwich - self.lam0
+            if self.from_greenwich != 0.0 or self.lam0 != 0.0:
+                # x-0.0-0.0 is bitwise x; skip the two full-width
+                # passes for the (overwhelmingly common) zero case
+                coo.x = coo.x - self.from_greenwich - self.lam0
             if not self.over:
                 coo.x = adjlon(coo.x)
             return
@@ -259,7 +262,8 @@ class Operation:
             coo.y = self.fr_meter * (coo.y + self.y0)
             coo.z = self.vfr_meter * (coo.z + self.z0)
         elif right == IO_RADIANS:
-            coo.z = self.vfr_meter * (coo.z + self.z0)
+            if self.vfr_meter != 1.0 or self.z0 != 0.0:
+                coo.z = self.vfr_meter * (coo.z + self.z0)
             if self.is_long_wrap_set:
                 finite = ~np.isinf(coo.x)
                 coo.x[finite] = self.long_wrap_center + adjlon(
@@ -291,13 +295,15 @@ class Operation:
                 coo.x *= self.ell.ra
                 coo.y *= self.ell.ra
         elif left == IO_RADIANS:
-            coo.z = self.vto_meter * coo.z - self.z0
+            if self.vto_meter != 1.0 or self.z0 != 0.0:
+                coo.z = self.vto_meter * coo.z - self.z0
 
     # -- inv.cpp:101-135 ---------------------------------------------------
     def _inv_finalize(self, coo: Coords) -> None:
         coo.set_err(np.isinf(coo.x), ERR_INVALID_X_OR_Y)
         if self.left == IO_RADIANS:
-            coo.x = coo.x + self.from_greenwich + self.lam0
+            if self.from_greenwich != 0.0 or self.lam0 != 0.0:
+                coo.x = coo.x + self.from_greenwich + self.lam0
             if not self.over:
                 coo.x = adjlon(coo.x)
             if self.vgridshift is not None:
