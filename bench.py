@@ -273,17 +273,25 @@ def run_queries() -> dict:
     the min is comparable round-over-round)."""
     from rayproj.pipelines import queries as q
 
-    names = [
-        "merc_fwd", "datum_hop_cs2cs", "hgridshift", "tile_stats",
-        "pip_assign", "knn_anchors", "agg_lineitem", "dedup_exact",
-        "ann_cosine", "events_sessions", "minhash_lsh", "pages_pipeline",
-    ]
+    # per-operator timings use the UNDERLYING query functions (several
+    # driver keys were consolidated into tag-union rows in round 5; the
+    # bench keeps timing the split operators so numbers stay comparable
+    # round-over-round)
+    fns = {
+        "merc_fwd": q.q_merc_fwd, "datum_hop_cs2cs": q.q_datum_hop,
+        "hgridshift": q.q_hgridshift, "tile_stats": q.q_tile_stats,
+        "pip_assign": q.q_pip_assign, "knn_anchors": q.q_knn,
+        "agg_lineitem": q.q_agg_lineitem, "dedup_exact": q.q_dedup_exact,
+        "ann_cosine": q.q_ann_cosine, "events_sessions": q.q_events_sessions,
+        "minhash_lsh": q.q_minhash_lsh, "pages_pipeline": q.q_pages_pipeline,
+    }
+    names = list(fns)
     reps = int(os.environ.get("BENCH_QUERY_REPS", "3"))
     timings: dict[str, list] = {n: [] for n in names}
     for _ in range(reps):
         for name in names:
             t0 = time.perf_counter()
-            res = q.QUERIES[name](SF_DIR)
+            res = fns[name](SF_DIR)
             if hasattr(res, "to_pandas"):
                 res.count() if hasattr(res, "count") else len(res)
             timings[name].append(time.perf_counter() - t0)
@@ -534,6 +542,9 @@ def _measure_pair(lo: int, hi: int, rows_n: int, iters: int, gate: float) -> dic
     t_start = time.perf_counter()
     rejected: list = []
     attempts = 0
+    it_sec: dict[int, float] = {}
+    it_steal: dict[int, float] = {}
+    ctrl = float("nan")
     while len(ctrls) < iters and attempts < max_attempts:
         if attempts and time.perf_counter() - t_start > budget:
             break  # keep gated iterations if any; else ungated fallback
@@ -557,6 +568,10 @@ def _measure_pair(lo: int, hi: int, rows_n: int, iters: int, gate: float) -> dic
             steals.setdefault(p, []).append(it_steal[p])
         ctrls.append(ctrl)
     if not ctrls:
+        if not it_sec:
+            raise RuntimeError(
+                "scaling pair never measured: BENCH_SCALING_ITERS / "
+                "BENCH_SCALING_MAX_ATTEMPTS allowed zero attempts")
         # host never quieted below the gate: fall back to the last
         # attempts ungated so the JSON still carries a number (the
         # steal_rejected column shows why it can't be trusted)

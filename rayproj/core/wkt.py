@@ -1002,10 +1002,15 @@ def from_projjson(text_or_doc) -> str:
     doc = (_json.loads(text_or_doc) if isinstance(text_or_doc, str)
            else text_or_doc)
     toks = _pj_crs_tokens(doc)
+    # dedupe by parameter KEY (first wins), not by whole token: a mapped
+    # parameter (e.g. an explicit +lat_0) and a later method-implied
+    # default for the same key must not both be emitted, or the winner
+    # is left to Params.parse precedence instead of being explicit here
     seen, out = set(), []
     for t in toks:
-        if t not in seen:
-            seen.add(t)
+        key = t.split("=", 1)[0]
+        if key not in seen:
+            seen.add(key)
             out.append(t)
     return " ".join(out)
 

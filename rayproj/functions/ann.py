@@ -30,7 +30,17 @@ def emb_matrix(data, id_col: str = "vec_id", vec_col: str = "embedding"):
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     n = len(col)
+    if col.null_count:
+        # ListArray.flatten() silently drops null rows, which would
+        # misalign every row after the first null — fail loudly instead
+        raise ValueError(
+            f"embedding column {vec_col!r} has {col.null_count} null "
+            "rows; fixed-dimension non-null embeddings are the contract")
     flat = col.flatten().to_numpy(zero_copy_only=False)
+    if n and flat.size % n:
+        raise ValueError(
+            f"ragged embedding column {vec_col!r}: {flat.size} values "
+            f"across {n} rows is not a fixed dimension")
     mat = flat.astype(np.float64, copy=False).reshape(n, -1) if n else \
         np.empty((0, 0), dtype=np.float64)
     ids = data.column(id_col)

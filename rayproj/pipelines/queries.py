@@ -1506,6 +1506,41 @@ FROM p JOIN c USING (chunk) GROUP BY 1 ORDER BY 1
 """
 
 
+def _b_gopher_repetition(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-batch kernel of q_gopher_repetition (module level so the
+    consolidated q_doc_metrics reuses it column-for-column)."""
+    toks = df["text"].fillna("").str.strip().str.split()
+    n = toks.str.len().fillna(0).astype(np.int64).to_numpy()
+    ex = toks.explode()
+    arr = ex[ex.notna()].to_numpy(object)
+    tok_doc = np.repeat(np.arange(len(df)), n)
+    same = tok_doc[1:] == tok_doc[:-1] if len(arr) else np.zeros(0, bool)
+    big = pd.Series(arr[:-1][same], dtype=object).str.cat(
+        pd.Series(arr[1:][same], dtype=object), sep=" "
+    )
+    counts = (
+        pd.DataFrame({"row": tok_doc[:-1][same], "bigram": big})
+        .groupby(["row", "bigram"], sort=False)
+        .size()
+    )
+    per = counts.groupby(level=0)
+    n_bg = np.zeros(len(df), np.int64)
+    n_dist = np.zeros(len(df), np.int64)
+    top = np.zeros(len(df), np.int64)
+    idx = per.sum().index.to_numpy(np.int64)
+    n_bg[idx] = per.sum().to_numpy(np.int64)
+    n_dist[idx] = per.size().to_numpy(np.int64)
+    top[idx] = per.max().to_numpy(np.int64)
+    return pd.DataFrame(
+        {
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "n_bigrams": n_bg,
+            "n_dup_instances": n_bg - n_dist,
+            "top_bigram_n": top,
+        }
+    )
+
+
 def q_gopher_repetition(sf_dir: str):
     """Gopher-style within-document repetition signals (Rae et al.
     2021 §A1.1: repeated n-gram filters): per doc, total bigram
@@ -1516,41 +1551,8 @@ def q_gopher_repetition(sf_dir: str):
     Scale shape: map-ONLY — each batch computes its docs' signals with
     two C-speed pandas groupbys and emits one row per doc; no shuffle,
     embarrassingly parallel, the cheapest possible 100-TB plan."""
-
-    def rep(df: pd.DataFrame) -> pd.DataFrame:
-        toks = df["text"].fillna("").str.strip().str.split()
-        n = toks.str.len().fillna(0).astype(np.int64).to_numpy()
-        ex = toks.explode()
-        arr = ex[ex.notna()].to_numpy(object)
-        tok_doc = np.repeat(np.arange(len(df)), n)
-        same = tok_doc[1:] == tok_doc[:-1] if len(arr) else np.zeros(0, bool)
-        big = pd.Series(arr[:-1][same], dtype=object).str.cat(
-            pd.Series(arr[1:][same], dtype=object), sep=" "
-        )
-        counts = (
-            pd.DataFrame({"row": tok_doc[:-1][same], "bigram": big})
-            .groupby(["row", "bigram"], sort=False)
-            .size()
-        )
-        per = counts.groupby(level=0)
-        n_bg = np.zeros(len(df), np.int64)
-        n_dist = np.zeros(len(df), np.int64)
-        top = np.zeros(len(df), np.int64)
-        idx = per.sum().index.to_numpy(np.int64)
-        n_bg[idx] = per.sum().to_numpy(np.int64)
-        n_dist[idx] = per.size().to_numpy(np.int64)
-        top[idx] = per.max().to_numpy(np.int64)
-        return pd.DataFrame(
-            {
-                "doc_id": df["doc_id"].to_numpy(np.int64),
-                "n_bigrams": n_bg,
-                "n_dup_instances": n_bg - n_dist,
-                "top_bigram_n": top,
-            }
-        )
-
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        rep, batch_format="pandas"
+        _b_gopher_repetition, batch_format="pandas"
     )
 
 
@@ -1999,19 +2001,18 @@ def q_kmeans_embed(sf_dir: str):
     classic combiner — no shuffle of the points, only K x n_blocks
     tiny partials reach the driver), the K x D centroid matrix
     broadcasts back per iteration. Determinism contract for the
-    oracle: centroids round to 1e-6 after every update, assignment
-    uses squared-euclidean distance rounded to 1e-6 with ties to the
+    oracle: centroids round to 1e-5 after every update, assignment
+    uses squared-euclidean distance rounded to 1e-5 with ties to the
     lowest cluster id — the SQL twin unrolls both iterations as CTEs
     and reproduces the identical fixed points.
 
-    Boundary caveat (round-3 advisor): the pre-rounding sums are
-    computed in different orders (numpy per-block partials vs DuckDB
-    sequential list_sum), so a distance landing EXACTLY on a 0.5e-6
-    rounding boundary could flip an assignment between engine and
-    oracle at some other scale factor or block split. Verified exact
-    at sf0.001/0.01/0.1; if a future SF mismatches here first, widen
-    the contract's rounding to 1e-5 on both sides before suspecting
-    the engine."""
+    Rounding margin (round-4 verdict task 7): the pre-rounding sums
+    are computed in different orders (numpy per-block partials vs
+    DuckDB sequential list_sum), so a value landing EXACTLY on a
+    rounding boundary could flip between engine and oracle. The
+    contract rounds at 1e-5 (widened from 1e-6) on BOTH sides, which
+    makes the boundary set 10x sparser relative to the ~1e-12
+    float64 reorder noise. Verified exact at sf0.001/0.01/0.1."""
     K, ITERS = 8, 2
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     seed = (
@@ -2025,7 +2026,7 @@ def q_kmeans_embed(sf_dir: str):
     D = C.shape[1]
 
     def assign(X: np.ndarray, C: np.ndarray) -> np.ndarray:
-        d = np.round(((X[:, None, :] - C[None, :, :]) ** 2).sum(-1), 6)
+        d = np.round(((X[:, None, :] - C[None, :, :]) ** 2).sum(-1), 5)
         return np.argmin(d, axis=1)
 
     for _ in range(ITERS):
@@ -2048,7 +2049,7 @@ def q_kmeans_embed(sf_dir: str):
         for k_, s_ in zip(parts["k"].to_numpy(), parts["s"].to_numpy()):
             sums[k_] += s_
         with np.errstate(invalid="ignore"):
-            newC = np.round(sums / counts[:, None], 6)
+            newC = np.round(sums / counts[:, None], 5)
         C = np.where((counts > 0)[:, None], newC, C)
 
     def final(df: pd.DataFrame, C=C) -> pd.DataFrame:
@@ -2072,7 +2073,7 @@ d{tag} AS (
   SELECT e.vec_id, c.k,
     round(list_sum(list_transform(range(1, 65),
           i -> (e.v[CAST(i AS BIGINT)] - c.c[CAST(i AS BIGINT)])
-             * (e.v[CAST(i AS BIGINT)] - c.c[CAST(i AS BIGINT)]))), 6) AS dist
+             * (e.v[CAST(i AS BIGINT)] - c.c[CAST(i AS BIGINT)]))), 5) AS dist
   FROM e CROSS JOIN {src_c} c
 ),
 a{tag} AS (
@@ -2084,7 +2085,7 @@ a{tag} AS (
     def update(a_tag: str, prev_c: str, out_c: str) -> str:
         return f"""
 m{out_c} AS (
-  SELECT a.k, dd.i, round(avg(e.v[CAST(dd.i AS BIGINT)]), 6) AS cv
+  SELECT a.k, dd.i, round(avg(e.v[CAST(dd.i AS BIGINT)]), 5) AS cv
   FROM a{a_tag} a JOIN e ON e.vec_id = a.vec_id
   CROSS JOIN (SELECT unnest(range(1, 65)) AS i) dd
   GROUP BY a.k, dd.i
@@ -2575,6 +2576,37 @@ FROM documents ORDER BY doc_id
 """
 
 
+def _audio_payloads(ids: np.ndarray) -> pa.Array:
+    """Deterministic per-doc WAV headers (RIFF/fmt/data chunks) built as
+    one (n, 44) byte matrix — shared by q_multimodal_audio and the
+    consolidated q_multimodal_doc."""
+    n = len(ids)
+    ch = (1 + ids % 2).astype(np.int64)
+    rate = (8000 + (ids % 5) * 4000).astype(np.int64)
+    nsamp = (100 + ids % 50).astype(np.int64)
+    clen = nsamp * ch * 2  # 16-bit samples
+    m = np.zeros((n, 44), np.uint8)
+    m[:, :4] = np.frombuffer(b"RIFF", np.uint8)
+    m[:, 4] = 36  # riff size (unused by the parser)
+    m[:, 8:12] = np.frombuffer(b"WAVE", np.uint8)
+    m[:, 12:16] = np.frombuffer(b"fmt ", np.uint8)
+    m[:, 16] = 16
+    m[:, 20] = 1  # PCM
+    m[:, 22] = ch & 255
+    for k in range(4):
+        m[:, 24 + k] = (rate >> (8 * k)) & 255
+    m[:, 32] = 4  # block align (unused)
+    m[:, 34] = 16  # bits per sample
+    m[:, 36:40] = np.frombuffer(b"data", np.uint8)
+    for k in range(4):
+        m[:, 40 + k] = (clen >> (8 * k)) & 255
+    offs = np.arange(0, 44 * (n + 1), 44, dtype=np.int32)
+    return pa.Array.from_buffers(
+        pa.binary(), n,
+        [None, pa.py_buffer(offs), pa.py_buffer(np.ascontiguousarray(m).reshape(-1))],
+    )
+
+
 def q_multimodal_audio(sf_dir: str):
     """WAV metadata through stages/multimodal.AudioMetaStage: RIFF/fmt/
     data chunk headers synthesized from doc_id arithmetic, chunk-walked
@@ -2583,32 +2615,8 @@ def q_multimodal_audio(sf_dir: str):
 
     def gen(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy()
-        n = len(ids)
-        ch = (1 + ids % 2).astype(np.int64)
-        rate = (8000 + (ids % 5) * 4000).astype(np.int64)
-        nsamp = (100 + ids % 50).astype(np.int64)
-        clen = nsamp * ch * 2  # 16-bit samples
-        m = np.zeros((n, 44), np.uint8)
-        m[:, :4] = np.frombuffer(b"RIFF", np.uint8)
-        m[:, 4] = 36  # riff size (unused by the parser)
-        m[:, 8:12] = np.frombuffer(b"WAVE", np.uint8)
-        m[:, 12:16] = np.frombuffer(b"fmt ", np.uint8)
-        m[:, 16] = 16
-        m[:, 20] = 1  # PCM
-        m[:, 22] = ch & 255
-        for k in range(4):
-            m[:, 24 + k] = (rate >> (8 * k)) & 255
-        m[:, 32] = 4  # block align (unused)
-        m[:, 34] = 16  # bits per sample
-        m[:, 36:40] = np.frombuffer(b"data", np.uint8)
-        for k in range(4):
-            m[:, 40 + k] = (clen >> (8 * k)) & 255
-        offs = np.arange(0, 44 * (n + 1), 44, dtype=np.int32)
-        payload = pa.Array.from_buffers(
-            pa.binary(), n,
-            [None, pa.py_buffer(offs), pa.py_buffer(np.ascontiguousarray(m).reshape(-1))],
-        )
-        return pa.table({"doc_id": batch.column("doc_id"), "payload": payload})
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "payload": _audio_payloads(ids)})
 
     ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(gen, batch_format="pyarrow")
     parsed = ds.map_batches(
@@ -3116,50 +3124,53 @@ ORDER BY p.event_id
 _GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
+def _b_gopher_quality(batch: pd.DataFrame) -> pd.DataFrame:
+    """Per-batch kernel of q_gopher_quality (module level so the
+    consolidated q_doc_metrics reuses it column-for-column)."""
+    import re
+
+    stop_pats, nonalpha_pat = _worker_cached(
+        ("gopher_pats",),
+        lambda: ([re.compile(rf"(?:^| ){w}(?= |$)") for w in _GOPHER_STOPWORDS],
+                 re.compile(r"(?:^| )[^A-Za-z ]+(?= |$)")),
+    )
+    s = batch["text"].fillna("")
+    n_chars = s.str.len().to_numpy(np.int64)
+    n_spaces = s.str.count(" ").to_numpy(np.int64)
+    n_words = np.where(n_chars > 0, n_spaces + 1, 0)
+    sum_word_len = n_chars - n_spaces
+    n_stop = np.zeros(len(s), dtype=np.int64)
+    for pat in stop_pats:
+        n_stop += s.str.count(pat).to_numpy(np.int64)
+    n_alpha = n_words - s.str.count(nonalpha_pat).to_numpy(np.int64)
+    kept = (
+        (n_words >= 50)
+        & (n_words <= 100000)
+        & (3 * n_words <= sum_word_len)
+        & (sum_word_len <= 10 * n_words)
+        & (n_stop >= 2)
+        & (5 * n_alpha >= 4 * n_words)
+    )
+    return pd.DataFrame(
+        {
+            "doc_id": batch["doc_id"],
+            "n_words": n_words,
+            "sum_word_len": sum_word_len,
+            "n_stop": n_stop,
+            "n_alpha_words": n_alpha,
+            "kept": kept.astype(np.int64),
+        }
+    )
+
+
 def q_gopher_quality(sf_dir: str):
     """Gopher quality-signal gate (Rae et al. 2021 §A1.1 heuristics,
     integer-exact so the oracle hash matches): per-doc word count,
     summed word length, stop-word occurrences and alphabetic-word
     count, plus the combined keep/drop decision. All signals are
     vectorized regex/str kernels — no per-row Python."""
-    import re
-
-    stop_pats = [
-        re.compile(rf"(?:^| ){w}(?= |$)") for w in _GOPHER_STOPWORDS
-    ]
-    nonalpha_pat = re.compile(r"(?:^| )[^A-Za-z ]+(?= |$)")
-
-    def fn(batch: pd.DataFrame) -> pd.DataFrame:
-        s = batch["text"].fillna("")
-        n_chars = s.str.len().to_numpy(np.int64)
-        n_spaces = s.str.count(" ").to_numpy(np.int64)
-        n_words = np.where(n_chars > 0, n_spaces + 1, 0)
-        sum_word_len = n_chars - n_spaces
-        n_stop = np.zeros(len(s), dtype=np.int64)
-        for pat in stop_pats:
-            n_stop += s.str.count(pat).to_numpy(np.int64)
-        n_alpha = n_words - s.str.count(nonalpha_pat).to_numpy(np.int64)
-        kept = (
-            (n_words >= 50)
-            & (n_words <= 100000)
-            & (3 * n_words <= sum_word_len)
-            & (sum_word_len <= 10 * n_words)
-            & (n_stop >= 2)
-            & (5 * n_alpha >= 4 * n_words)
-        )
-        return pd.DataFrame(
-            {
-                "doc_id": batch["doc_id"],
-                "n_words": n_words,
-                "sum_word_len": sum_word_len,
-                "n_stop": n_stop,
-                "n_alpha_words": n_alpha,
-                "kept": kept.astype(np.int64),
-            }
-        )
-
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        fn, batch_format="pandas"
+        _b_gopher_quality, batch_format="pandas"
     )
 
 
@@ -3792,144 +3803,562 @@ FROM documents GROUP BY 1 ORDER BY 1
 # order is free — the 17 entries the r03 driver never reached (sketches,
 # ANN, k-means, multimodal, op_routing) lead, so they land inside the
 # window; the longest-green classics fill the tail.
+
+# ---------------------------------------------------------------------------
+# Consolidated driver-window queries (round-4 verdict, next-round task 1):
+# the round driver verifies the FIRST 50 queries() entries, so families
+# sharing a row granularity are merged into one oracle row each — a
+# column-join (one fused map pass) where members are per-row 1:1, a
+# tag-union where the member row sets differ. Every underlying operator
+# still executes; nothing loses verification.
+# ---------------------------------------------------------------------------
+
+
+def q_doc_metrics(sf_dir: str):
+    """token_stats + text_quality + simhash + langid + fingerprint +
+    gopher_repetition + gopher_quality in ONE map-only pass (all are
+    per-doc 1:1 kernels over documents.text) — 16 verified columns,
+    one read instead of seven."""
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        t = batch["text"]
+        st = t.fillna("")
+        base = pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(np.int64),
+                "n_chars_text": textfn.char_count(t),
+                "n_tokens": textfn.token_count(t),
+                "n_punct": st.str.count(r"[!-/:-@\[-`{-~]").to_numpy(np.int64),
+                "n_upper": st.str.count(r"[A-Z]").to_numpy(np.int64),
+                "simhash": simhash64(t).astype(np.int64),
+                "lang_guess": textfn.lang_id(t),
+                "fp64": textfn.fingerprint64(t),
+            }
+        )
+        rep = _b_gopher_repetition(batch).drop(columns=["doc_id"])
+        gq = _b_gopher_quality(batch).drop(columns=["doc_id"])
+        return pd.concat(
+            [base.reset_index(drop=True), rep.reset_index(drop=True),
+             gq.reset_index(drop=True)], axis=1
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fn, batch_format="pandas"
+    )
+
+
+SQL_DOC_METRICS = f"""
+SELECT a.doc_id, a.n_chars_text, a.n_tokens, b.n_punct, b.n_upper,
+       c.simhash, d.lang_guess, e.fp64,
+       f.n_bigrams, f.n_dup_instances, f.top_bigram_n,
+       g.n_words, g.sum_word_len, g.n_stop, g.n_alpha_words, g.kept
+FROM ({SQL_TOKEN_STATS}) a
+JOIN ({SQL_TEXT_QUALITY}) b USING (doc_id)
+JOIN ({SQL_SIMHASH}) c USING (doc_id)
+JOIN ({SQL_LANGID}) d USING (doc_id)
+JOIN ({SQL_FINGERPRINT}) e USING (doc_id)
+JOIN ({SQL_GOPHER_REPETITION}) f USING (doc_id)
+JOIN ({SQL_GOPHER_QUALITY}) g USING (doc_id)
+ORDER BY a.doc_id
+"""
+
+
+_PROJ_FWD_MEMBERS = (
+    ("merc", "q_merc_fwd"), ("webmerc", "q_webmerc_fwd"),
+    ("utm", "q_utm_fwd"), ("lcc", "q_lcc_fwd"),
+    ("aea", "q_aea_fwd"), ("stere", "q_stere_fwd"),
+)
+
+
+def q_projections_fwd(sf_dir: str):
+    """All six driver-checked projection kernels as ONE tag-union —
+    each member keeps its own domain filter (stere lat>10, utm finite
+    easting), so the union carries exactly the per-projection row sets
+    the split queries verified. Union is a lazy block concat: no
+    shuffle, members stream independently."""
+    parts = []
+    for name, qname in _PROJ_FWD_MEMBERS:
+        q = globals()[qname]
+
+        def tag(t: pa.Table, name=name) -> pa.Table:
+            return t.append_column(
+                "proj", pa.array(np.repeat(name, len(t)), type=pa.string())
+            )
+
+        parts.append(q(sf_dir).map_batches(tag, batch_format="pyarrow"))
+    out = parts[0]
+    for prt in parts[1:]:
+        out = out.union(prt)
+    return out
+
+
+SQL_PROJECTIONS_FWD = "\nUNION ALL\n".join(
+    f"SELECT '{name}' AS proj, doc_id, x, y FROM ({sql})"
+    for name, sql in (
+        ("merc", SQL_MERC), ("webmerc", SQL_WEBMERC), ("utm", SQL_UTM),
+        ("lcc", SQL_LCC), ("aea", SQL_AEA), ("stere", SQL_STERE),
+    )
+)
+
+
+def q_spatial_assign(sf_dir: str):
+    """tile_assign + cell_assign + pip_assign: three per-doc 1:1
+    spatial assignments off ONE geolocate pass (web-mercator tile,
+    lat/lon cell, point-in-polygon against the worker-cached index)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        index = _worker_cached(("polyindex", N_POLYS),
+                               lambda: PolygonIndex(make_polygons(N_POLYS)))
+        batch = _geoloc_batch(batch)
+        lon = batch.column("lon").to_numpy()
+        lat = batch.column("lat").to_numpy()
+        tx, ty = tile_xy(lon, lat, ZOOM)
+        cx, cy = cell_xy(lon, lat, CELL_LEVEL)
+        pid = index.assign(lon, lat)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "tile_x": pa.array(tx),
+                "tile_y": pa.array(ty),
+                "cell_x": pa.array(cx),
+                "cell_y": pa.array(cy),
+                "poly_id": pa.array(pid, type=pa.int32()),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
+SQL_SPATIAL_ASSIGN = f"""
+SELECT a.doc_id, a.tile_x, a.tile_y, b.cell_x, b.cell_y, c.poly_id
+FROM ({SQL_TILE}) a
+JOIN ({SQL_CELL}) b USING (doc_id)
+JOIN ({SQL_PIP}) c USING (doc_id)
+ORDER BY a.doc_id
+"""
+
+
+def q_grid_shift(sf_dir: str):
+    """hgridshift (CTable2 reader, bilinear arc-second shift) +
+    vgridshift (GTX reader, weight-normalized undulation) in one map
+    pass — identical domain filter, so a clean column-join."""
+    from .gridfixtures import HG_PATH, VG_PATH, ensure_fixtures
+
+    ensure_fixtures()
+    oph = create_operation(f"+proj=hgridshift +grids={HG_PATH}")
+    opv = create_operation(f"+proj=vgridshift +grids={VG_PATH}")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        batch = _geoloc_batch(batch)
+        ids = batch.column("doc_id").to_numpy()
+        lon = batch.column("lon").to_numpy()
+        lat = batch.column("lat").to_numpy()
+        m = (lon > -170.0) & (lon < 170.0) & (lat > -78.0) & (lat < 78.0)
+        ids, lon, lat = ids[m], lon[m], lat[m]
+        cooh = Coords(lon * DEG_TO_RAD, lat * DEG_TO_RAD)
+        oph.trans(FWD, cooh)
+        z = (ids % 1000) * 0.01
+        coov = Coords(lon * DEG_TO_RAD, lat * DEG_TO_RAD, z, np.zeros(len(ids)))
+        opv.trans(FWD, coov)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "slon": pa.array(np.round(cooh.x * RAD_TO_DEG, 6)),
+                "slat": pa.array(np.round(cooh.y * RAD_TO_DEG, 6)),
+                "zshift_um": pa.array(np.floor(coov.z * 1e6).astype(np.int64)),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
+SQL_GRID_SHIFT = f"""
+SELECT a.doc_id, a.slon, a.slat, b.zshift_um
+FROM ({SQL_HGRIDSHIFT}) a JOIN ({SQL_VGRIDSHIFT}) b USING (doc_id)
+ORDER BY a.doc_id
+"""
+
+
+def q_multimodal_doc(sf_dir: str):
+    """Image metadata (PNG/GIF/BMP/JPEG header parse) + WAV metadata
+    (RIFF chunk walk) through BOTH actor-pool stages chained on the
+    same per-doc rows — one verified row per doc carrying both
+    modality column sets."""
+    from ..stages.multimodal import AudioMetaStage, ImageDecodeStage
+
+    def gen_img(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "payload": _image_payloads(ids)})
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        gen_img, batch_format="pyarrow"
+    )
+    ds = ds.map_batches(
+        ImageDecodeStage,
+        fn_constructor_kwargs={"bin_col": "payload"},
+        concurrency=_elastic_actors(),
+        batch_format="pyarrow",
+    ).select_columns(["doc_id", "img_h", "img_w", "img_c", "img_format"])
+
+    def gen_wav(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        return batch.append_column("payload", _audio_payloads(ids))
+
+    ds = ds.map_batches(gen_wav, batch_format="pyarrow")
+    ds = ds.map_batches(
+        AudioMetaStage,
+        fn_constructor_kwargs={"bin_col": "payload"},
+        concurrency=_elastic_actors(),
+        batch_format="pyarrow",
+    )
+    return ds.select_columns(
+        ["doc_id", "img_h", "img_w", "img_c", "img_format",
+         "audio_channels", "audio_rate", "audio_samples"]
+    )
+
+
+SQL_MULTIMODAL_DOC = f"""
+SELECT a.doc_id, a.img_h, a.img_w, a.img_c, a.img_format,
+       b.audio_channels, b.audio_rate, b.audio_samples
+FROM ({SQL_MULTIMODAL_META}) a JOIN ({SQL_MULTIMODAL_AUDIO}) b USING (doc_id)
+ORDER BY a.doc_id
+"""
+
+
+def q_sampling(sf_dir: str):
+    """hash_sample + stratified_sample tag-union: (method, doc_id,
+    strat) where strat is the sample's grouping value (source for the
+    content-hash sample, lang for the per-language quota sample)."""
+
+    def tag_hash(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "method": np.repeat("hash", len(df)),
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "strat": df["source"].to_numpy(),
+            }
+        )
+
+    def tag_strat(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "method": np.repeat("stratified", len(df)),
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "strat": df["lang"].to_numpy(),
+            }
+        )
+
+    a = q_hash_sample(sf_dir).map_batches(tag_hash, batch_format="pandas")
+    b = q_stratified_sample(sf_dir).map_batches(tag_strat, batch_format="pandas")
+    return a.union(b)
+
+
+SQL_SAMPLING = f"""
+SELECT 'hash' AS method, doc_id, source AS strat FROM ({SQL_HASH_SAMPLE})
+UNION ALL
+SELECT 'stratified' AS method, doc_id, lang AS strat FROM ({SQL_STRATIFIED_SAMPLE})
+"""
+
+
+def q_events_windows(sf_dir: str):
+    """Tumbling (1 h per type) + hopping (40 h / 16 h) window
+    aggregates tag-unioned on a common (wkind, event_type, window_id,
+    n_events, sum_cents) schema."""
+
+    def tag_tumbling(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "wkind": np.repeat("tumbling", len(df)),
+                "event_type": df["event_type"].to_numpy(),
+                "window_id": df["window"].to_numpy(np.int64),
+                "n_events": df["n_events"].to_numpy(np.int64),
+                "sum_cents": df["sum_cents"].to_numpy(np.int64),
+            }
+        )
+
+    def tag_hopping(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "wkind": np.repeat("hopping", len(df)),
+                "event_type": df["event_type"].to_numpy(),
+                "window_id": df["window_id"].to_numpy(np.int64),
+                "n_events": df["n_events"].to_numpy(np.int64),
+                "sum_cents": df["sum_cents"].to_numpy(np.int64),
+            }
+        )
+
+    a = q_events_window(sf_dir).map_batches(tag_tumbling, batch_format="pandas")
+    b = q_events_sliding_window(sf_dir).map_batches(tag_hopping, batch_format="pandas")
+    return a.union(b)
+
+
+SQL_EVENTS_WINDOWS = f"""
+SELECT 'tumbling' AS wkind, event_type, "window" AS window_id, n_events, sum_cents
+FROM ({SQL_EVENTS_WINDOW})
+UNION ALL
+SELECT 'hopping' AS wkind, event_type, window_id, n_events, sum_cents
+FROM ({SQL_EVENTS_SLIDING_WINDOW})
+"""
+
+
+def q_events_joins(sf_dir: str):
+    """As-of join + +-12 h stream-stream window join tag-unioned on
+    (jkind, event_id, user_id, signup_event_id, lag_us, ts_us); window
+    rows carry ts_us = -1 (not part of that member's contract)."""
+
+    def tag_asof(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "jkind": np.repeat("asof", len(df)),
+                "event_id": df["event_id"].to_numpy(np.int64),
+                "user_id": df["user_id"].to_numpy(np.int64),
+                "signup_event_id": df["signup_event_id"].to_numpy(np.int64),
+                "lag_us": df["asof_lag_us"].to_numpy(np.int64),
+                "ts_us": df["ts_us"].to_numpy(np.int64),
+            }
+        )
+
+    def tag_window(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "jkind": np.repeat("window", len(df)),
+                "event_id": df["event_id"].to_numpy(np.int64),
+                "user_id": df["user_id"].to_numpy(np.int64),
+                "signup_event_id": df["signup_event_id"].to_numpy(np.int64),
+                "lag_us": df["lag_us"].to_numpy(np.int64),
+                "ts_us": np.full(len(df), -1, dtype=np.int64),
+            }
+        )
+
+    a = q_events_asof(sf_dir).map_batches(tag_asof, batch_format="pandas")
+    b = q_events_window_join(sf_dir).map_batches(tag_window, batch_format="pandas")
+    return a.union(b)
+
+
+SQL_EVENTS_JOINS = f"""
+SELECT 'asof' AS jkind, event_id, user_id, signup_event_id,
+       asof_lag_us AS lag_us, ts_us
+FROM ({SQL_EVENTS_ASOF})
+UNION ALL
+SELECT 'window' AS jkind, event_id, user_id, signup_event_id, lag_us,
+       CAST(-1 AS BIGINT) AS ts_us
+FROM ({SQL_EVENTS_WINDOW_JOIN})
+"""
+
+
+def q_ngram_freq(sf_dir: str):
+    """Corpus-wide top-50 word + top-30 bigram frequency tag-union
+    (kind, gram, n) — both members keep their map-side value_counts
+    combiner shape."""
+
+    def tag_word(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "kind": np.repeat("word", len(df)),
+                "gram": df["word"].to_numpy(),
+                "n": df["n"].to_numpy(np.int64),
+            }
+        )
+
+    def tag_bigram(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "kind": np.repeat("bigram", len(df)),
+                "gram": df["bigram"].to_numpy(),
+                "n": df["n"].to_numpy(np.int64),
+            }
+        )
+
+    a = q_word_freq(sf_dir).map_batches(tag_word, batch_format="pandas")
+    b = q_bigram_stats(sf_dir).map_batches(tag_bigram, batch_format="pandas")
+    return a.union(b)
+
+
+SQL_NGRAM_FREQ = f"""
+SELECT 'word' AS kind, word AS gram, n FROM ({SQL_WORD_FREQ})
+UNION ALL
+SELECT 'bigram' AS kind, bigram AS gram, n FROM ({SQL_BIGRAM_STATS})
+"""
+
+
+def q_dedup_surface(sf_dir: str):
+    """Exact dedup + normalization-aware dedup tag-union on (method,
+    key_md5, keep_doc_id, n_dups) — both members keep the map-side
+    hash + 64-bucket collapse shape."""
+
+    def tag_exact(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "method": np.repeat("exact", len(df)),
+                "key_md5": df["text_md5"].to_numpy(),
+                "keep_doc_id": df["keep_doc_id"].to_numpy(np.int64),
+                "n_dups": df["n_dups"].to_numpy(np.int64),
+            }
+        )
+
+    def tag_norm(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "method": np.repeat("norm", len(df)),
+                "key_md5": df["norm_md5"].to_numpy(),
+                "keep_doc_id": df["keep_doc_id"].to_numpy(np.int64),
+                "n_dups": df["n_dups"].to_numpy(np.int64),
+            }
+        )
+
+    a = q_dedup_exact(sf_dir).map_batches(tag_exact, batch_format="pandas")
+    b = q_dedup_norm(sf_dir).map_batches(tag_norm, batch_format="pandas")
+    return a.union(b)
+
+
+SQL_DEDUP_SURFACE = f"""
+SELECT 'exact' AS method, text_md5 AS key_md5, keep_doc_id, n_dups
+FROM ({SQL_DEDUP_EXACT})
+UNION ALL
+SELECT 'norm' AS method, norm_md5 AS key_md5, keep_doc_id, n_dups
+FROM ({SQL_DEDUP_NORM})
+"""
+
+
+def q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-k + IVF-bucketed ANN tag-union (method,
+    query_id, rank, vec_id); both members return bounded driver-side
+    merges, so a pandas concat is the union."""
+    a = q_ann_cosine(sf_dir).copy()
+    a.insert(0, "method", "brute")
+    b = q_ann_ivf(sf_dir).copy()
+    b.insert(0, "method", "ivf")
+    return pd.concat([a, b], ignore_index=True)
+
+
+SQL_ANN_TOPK = f"""
+SELECT 'brute' AS method, query_id, rank, vec_id FROM ({SQL_ANN})
+UNION ALL
+SELECT 'ivf' AS method, query_id, rank, vec_id FROM ({SQL_ANN_IVF})
+"""
+
+
+def q_source_profile(sf_dir: str):
+    """Per-source stats (combiner aggregate) + per-source top-3 docs
+    (distributed top-k-per-key) joined on source. Both members are
+    bounded by source cardinality, so the join is a driver-side merge
+    of two already-aggregated small results."""
+    stats = q_source_stats(sf_dir).to_pandas()
+    top = q_source_top_chars(sf_dir).to_pandas()
+    out = top.merge(stats, on="source")
+    return out[["source", "rank", "doc_id", "n_chars",
+                "n_docs", "total_chars", "min_doc_id"]]
+
+
+SQL_SOURCE_PROFILE = f"""
+SELECT t.source, t.rank, t.doc_id, t.n_chars,
+       s.n_docs, s.total_chars, s.min_doc_id
+FROM ({SQL_SOURCE_TOP_CHARS}) t JOIN ({SQL_SOURCE_STATS}) s USING (source)
+ORDER BY t.source, t.rank
+"""
+
+
 QUERIES = {
-    "token_stats": q_token_stats,
-    "text_quality": q_text_quality,
+    # consolidated per-doc / tag-union families (one driver row each)
+    "doc_metrics": q_doc_metrics,
+    "projections_fwd": q_projections_fwd,
+    "spatial_assign": q_spatial_assign,
+    "grid_shift": q_grid_shift,
+    "multimodal_doc": q_multimodal_doc,
+    "sampling": q_sampling,
+    "events_windows": q_events_windows,
+    "events_joins": q_events_joins,
+    "ngram_freq": q_ngram_freq,
+    "dedup_surface": q_dedup_surface,
+    "ann_topk": q_ann_topk,
+    "source_profile": q_source_profile,
+    # single-operator rows
     "minhash_lsh": q_minhash_lsh,
-    "simhash": q_simhash,
     "simhash_neardup": q_simhash_neardup,
-    "langid": q_langid,
-    "fingerprint": q_fingerprint,
-    "ann_cosine": q_ann_cosine,
     "kmeans_embed": q_kmeans_embed,
     "knn_join": q_knn_join,
-    "ann_ivf": q_ann_ivf,
     "ngram_jaccard": q_ngram_jaccard,
     "embed_neardup": q_embed_neardup,
-    "multimodal_meta": q_multimodal_meta,
-    "multimodal_audio": q_multimodal_audio,
     "multimodal_video": q_multimodal_video,
     "op_routing": q_op_routing,
     "geolocate": q_geolocate,
-    "merc_fwd": q_merc_fwd,
-    "webmerc_fwd": q_webmerc_fwd,
-    "utm_fwd": q_utm_fwd,
-    "lcc_fwd": q_lcc_fwd,
-    "aea_fwd": q_aea_fwd,
-    "stere_fwd": q_stere_fwd,
     "proj_factors": q_proj_factors,
     "utm_roundtrip": q_utm_roundtrip,
     "cart_fwd": q_cart_fwd,
     "helmert_towgs84": q_helmert,
     "datum_hop_cs2cs": q_datum_hop,
-    "hgridshift": q_hgridshift,
-    "vgridshift": q_vgridshift,
-    "tile_assign": q_tile_assign,
     "tile_stats": q_tile_stats,
-    "cell_assign": q_cell_assign,
-    "pip_assign": q_pip_assign,
     "knn_anchors": q_knn,
     "agg_lineitem": q_agg_lineitem,
     "join_orders_customer": q_join_orders_customer,
-    "events_window": q_events_window,
     "events_sessions": q_events_sessions,
     "top_orders": q_top_orders,
     "distinct_brands": q_distinct_brands,
-    "dedup_exact": q_dedup_exact,
-    "dedup_norm": q_dedup_norm,
     "dedup_clusters": q_dedup_clusters,
     "paragraph_dedup": q_paragraph_dedup,
-    "gopher_repetition": q_gopher_repetition,
-    "source_stats": q_source_stats,
-    "source_top_chars": q_source_top_chars,
-    "events_asof": q_events_asof,
-    "events_window_join": q_events_window_join,
     "events_range_join": q_events_range_join,
-    "events_sliding_window": q_events_sliding_window,
     "html_extract": q_html_extract,
     "domain_stats": q_domain_stats,
     "pages_pipeline": q_pages_pipeline,
     "zonal_stats": q_zonal_stats,
-    "gopher_quality": q_gopher_quality,
     "corpus_curation": q_corpus_curation,
-    "hash_sample": q_hash_sample,
-    "stratified_sample": q_stratified_sample,
     "decontaminate": q_decontaminate,
-    "word_freq": q_word_freq,
     "tfidf_top": q_tfidf_top,
     "inverted_index": q_inverted_index,
-    "bigram_stats": q_bigram_stats,
     "token_quantiles": q_token_quantiles,
 }
 
 ORACLE_SQL = {
+    "doc_metrics": SQL_DOC_METRICS,
+    "projections_fwd": SQL_PROJECTIONS_FWD,
+    "spatial_assign": SQL_SPATIAL_ASSIGN,
+    "grid_shift": SQL_GRID_SHIFT,
+    "multimodal_doc": SQL_MULTIMODAL_DOC,
+    "sampling": SQL_SAMPLING,
+    "events_windows": SQL_EVENTS_WINDOWS,
+    "events_joins": SQL_EVENTS_JOINS,
+    "ngram_freq": SQL_NGRAM_FREQ,
+    "dedup_surface": SQL_DEDUP_SURFACE,
+    "ann_topk": SQL_ANN_TOPK,
+    "source_profile": SQL_SOURCE_PROFILE,
+    # the engine-defined hash family re-expressed as exact DuckDB
+    # mod-2^64 arithmetic (plus golden pins in tests/)
+    "minhash_lsh": SQL_MINHASH_LSH,
+    "simhash_neardup": SQL_SIMHASH_NEARDUP,
+    "kmeans_embed": SQL_KMEANS_EMBED,
+    "knn_join": SQL_KNN_JOIN,
+    "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "embed_neardup": SQL_EMBED_NEARDUP,
+    "multimodal_video": SQL_MULTIMODAL_VIDEO,
+    "op_routing": SQL_OP_ROUTING,
     "geolocate": SQL_GEOLOCATE,
-    "merc_fwd": SQL_MERC,
-    "webmerc_fwd": SQL_WEBMERC,
+    "proj_factors": SQL_PROJ_FACTORS,
+    "utm_roundtrip": SQL_UTM_ROUNDTRIP,
     "cart_fwd": SQL_CART,
     "helmert_towgs84": SQL_HELMERT,
     "datum_hop_cs2cs": SQL_DATUM_HOP,
-    "hgridshift": SQL_HGRIDSHIFT,
-    "vgridshift": SQL_VGRIDSHIFT,
-    "tile_assign": SQL_TILE,
     "tile_stats": SQL_TILE_STATS,
-    "cell_assign": SQL_CELL,
-    "pip_assign": SQL_PIP,
     "knn_anchors": SQL_KNN,
     "agg_lineitem": SQL_AGG_LINEITEM,
     "join_orders_customer": SQL_JOIN,
-    "events_window": SQL_EVENTS_WINDOW,
     "events_sessions": SQL_EVENTS_SESSIONS,
     "top_orders": SQL_TOP_ORDERS,
     "distinct_brands": SQL_DISTINCT_BRANDS,
-    "dedup_exact": SQL_DEDUP_EXACT,
-    "dedup_norm": SQL_DEDUP_NORM,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
-    "gopher_repetition": SQL_GOPHER_REPETITION,
-    "source_stats": SQL_SOURCE_STATS,
-    "source_top_chars": SQL_SOURCE_TOP_CHARS,
-    "events_asof": SQL_EVENTS_ASOF,
-    "events_window_join": SQL_EVENTS_WINDOW_JOIN,
     "events_range_join": SQL_EVENTS_RANGE_JOIN,
-    "events_sliding_window": SQL_EVENTS_SLIDING_WINDOW,
     "html_extract": SQL_HTML_EXTRACT,
     "domain_stats": SQL_DOMAIN_STATS,
     "pages_pipeline": SQL_PAGES_PIPELINE,
     "zonal_stats": SQL_ZONAL_STATS,
-    "gopher_quality": SQL_GOPHER_QUALITY,
     "corpus_curation": SQL_CORPUS_CURATION,
-    "hash_sample": SQL_HASH_SAMPLE,
-    "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "decontaminate": SQL_DECONTAMINATE,
-    "word_freq": SQL_WORD_FREQ,
     "tfidf_top": SQL_TFIDF_TOP,
     "inverted_index": SQL_INVERTED_INDEX,
-    "bigram_stats": SQL_BIGRAM_STATS,
     "token_quantiles": SQL_TOKEN_QUANTILES,
-    "utm_fwd": SQL_UTM,
-    "lcc_fwd": SQL_LCC,
-    "aea_fwd": SQL_AEA,
-    "stere_fwd": SQL_STERE,
-    "proj_factors": SQL_PROJ_FACTORS,
-    "utm_roundtrip": SQL_UTM_ROUNDTRIP,
-    "token_stats": SQL_TOKEN_STATS,
-    "text_quality": SQL_TEXT_QUALITY,
-    "langid": SQL_LANGID,
-    "fingerprint": SQL_FINGERPRINT,
-    "ann_cosine": SQL_ANN,
-    "kmeans_embed": SQL_KMEANS_EMBED,
-    "knn_join": SQL_KNN_JOIN,
-    "ann_ivf": SQL_ANN_IVF,
-    "ngram_jaccard": SQL_NGRAM_JACCARD,
-    "embed_neardup": SQL_EMBED_NEARDUP,
-    "multimodal_meta": SQL_MULTIMODAL_META,
-    "multimodal_audio": SQL_MULTIMODAL_AUDIO,
-    "multimodal_video": SQL_MULTIMODAL_VIDEO,
-    "op_routing": SQL_OP_ROUTING,
-    # the engine-defined hash family re-expressed as exact DuckDB
-    # mod-2^64 arithmetic (plus golden pins in tests/)
-    "minhash_lsh": SQL_MINHASH_LSH,
-    "simhash": SQL_SIMHASH,
-    "simhash_neardup": SQL_SIMHASH_NEARDUP,
 }

@@ -88,7 +88,7 @@ class PolygonIndex:
     def __init__(self, polys: dict, index_level: int = 4):
         self.polys = polys
         self.level = index_level
-        self.buckets: dict[int, list[int]] = {}
+        buckets: dict[int, list[int]] = {}
         verts = polys["verts"]
         n = 1 << index_level
         for p in range(len(polys["poly_id"])):
@@ -101,10 +101,7 @@ class PolygonIndex:
             for cx in range(max(x0, 0), min(x1, n - 1) + 1):
                 for cy in range(max(y0, 0), min(y1, n - 1) + 1):
                     key = (cx << 32) | cy
-                    self.buckets.setdefault(key, []).append(p)
-        # ascending candidate id arrays for the vectorized pair sweep
-        self._bucket_arr = {k: np.asarray(v, dtype=np.int64)
-                            for k, v in self.buckets.items()}
+                    buckets.setdefault(key, []).append(p)
         # dense CSR grid over the n×n cells: per-cell candidate count +
         # offset into one flat ascending candidate array — pair
         # expansion in assign() becomes pure repeat/cumsum arithmetic
@@ -114,7 +111,7 @@ class PolygonIndex:
         flat: list = []
         for cell in range(n * n):
             key = ((cell // n) << 32) | (cell % n)
-            cands = self.buckets.get(key)
+            cands = buckets.get(key)
             offsets[cell] = len(flat)
             if cands:
                 counts[cell] = len(cands)
