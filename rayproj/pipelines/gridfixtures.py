@@ -125,3 +125,161 @@ def ensure_fixtures() -> None:
     """Idempotently materialize both grid files (deterministic bytes)."""
     _write_atomic(HG_PATH, hgrid_bytes())
     _write_atomic(VG_PATH, vgrid_bytes())
+
+
+# ---------------------------------------------------------------------------
+# TIN fixture for the tinshift driver oracle (round-4 verdict task 2):
+# a regular-grid triangulation whose vertex source coords are exact
+# integer-degree doubles and whose target offsets / Δz are short decimal
+# formulas of the vertex (i, j) — the JSON round-trips bit-identically
+# (repr floats), so DuckDB re-derives every vertex value and the whole
+# barycentric chain (λ from the same inverse-matrix op order as
+# state/tin.py:_bucket_index, interpolation in the same λ1, λ2, λ3
+# order as TinModel.apply) is the identical IEEE-754 double sequence.
+# ---------------------------------------------------------------------------
+
+TIN_PATH = os.path.join(FIX_DIR, "testtin.json")
+TIN_X0, TIN_Y0, TIN_STEP = -180.0, -85.0, 10.0
+TIN_NX, TIN_NY = 37, 18  # vertices per axis (36 x 17 cells)
+
+
+def tin_dx(i, j):
+    """East target offset at vertex (i, j), degrees (short decimal)."""
+    return ((i * 3 + j * 7) % 17 - 8) * 0.001
+
+
+def tin_dy(i, j):
+    return ((i * 5 + j * 11) % 19 - 9) * 0.001
+
+
+def tin_dz(i, j):
+    """Vertical offset, metres — dyadic quarter-metre steps."""
+    return ((i * 2 + j * 3) % 13 - 6) * 0.25
+
+
+def tin_doc() -> dict:
+    """Triangulation JSON per the reference's format
+    (src/transformations/tinshift_impl.hpp:240-360): each grid cell
+    (ci, cj) splits into a lower triangle ((ci,cj),(ci+1,cj),(ci,cj+1))
+    and an upper triangle ((ci+1,cj+1),(ci,cj+1),(ci+1,cj))."""
+    verts = []
+    for j in range(TIN_NY):
+        for i in range(TIN_NX):
+            sx = TIN_X0 + i * TIN_STEP
+            sy = TIN_Y0 + j * TIN_STEP
+            verts.append([sx, sy, sx + tin_dx(i, j), sy + tin_dy(i, j),
+                          tin_dz(i, j)])
+    tris = []
+    for cj in range(TIN_NY - 1):
+        for ci in range(TIN_NX - 1):
+            v00 = cj * TIN_NX + ci
+            v10 = v00 + 1
+            v01 = v00 + TIN_NX
+            v11 = v01 + 1
+            tris.append([v00, v10, v01])   # lower: fx + fy < 1
+            tris.append([v11, v01, v10])   # upper
+    return {
+        "file_type": "triangulation_file",
+        "format_version": "1.1",
+        "transformed_components": ["horizontal", "vertical"],
+        "vertices_columns": ["source_x", "source_y", "target_x",
+                             "target_y", "offset_z"],
+        "triangles_columns": ["idx_vertex1", "idx_vertex2", "idx_vertex3"],
+        "vertices": verts,
+        "triangles": tris,
+    }
+
+
+def ensure_tin() -> None:
+    import json
+
+    _write_atomic(TIN_PATH, json.dumps(tin_doc()).encode())
+
+
+# ---------------------------------------------------------------------------
+# Velocity-grid fixtures for the +proj=deformation driver oracle: the
+# SAME CTable2/GTX layouts, but node values stored as the RAW integer
+# formulas (deformation interprets grid samples as mm/yr velocities, so
+# no SEC_TO_RAD scaling — ±20 mm/yr east/north, dyadic mm/yr up).
+# ---------------------------------------------------------------------------
+
+DEF_HG_PATH = os.path.join(FIX_DIR, "testdefvel.ct2")
+DEF_VG_PATH = os.path.join(FIX_DIR, "testdefvel.gtx")
+DEFMODEL_PATH = os.path.join(FIX_DIR, "testdefmodel.json")
+
+
+def def_hgrid_bytes() -> bytes:
+    j = np.arange(HG_H)[:, None]
+    i = np.arange(HG_W)[None, :]
+    arr = np.empty((HG_H, HG_W, 2), dtype="<f4")
+    # deformation reads RAW sample values (grids.cpp:3095-3140
+    # pj_hgrid_value — no NT west-positive negation), so east velocities
+    # are stored as-is
+    arr[:, :, 0] = klon(i, j)
+    arr[:, :, 1] = klat(i, j)
+    header = b"CTABLE V2" + b"\x00" * (96 - 9)
+    header += struct.pack(
+        "<4d",
+        WEST_DEG * DEG_TO_RAD,
+        SOUTH_DEG * DEG_TO_RAD,
+        STEP_DEG * DEG_TO_RAD,
+        STEP_DEG * DEG_TO_RAD,
+    )
+    header += struct.pack("<2i", HG_W, HG_H)
+    header += b"\x00" * (160 - len(header))
+    return header + arr.tobytes()
+
+
+def def_vgrid_bytes() -> bytes:
+    j = np.arange(VG_H)[:, None]
+    i = np.arange(VG_W)[None, :]
+    vals = (kz(i, j) * 4).astype(">f4")  # integer mm/yr, exact float32
+    header = struct.pack(">4d", SOUTH_DEG, WEST_DEG, STEP_DEG, STEP_DEG)
+    header += struct.pack(">2i", VG_H, VG_W)
+    return header + vals.tobytes()
+
+
+def defmodel_doc() -> dict:
+    """Deformation-model master file (defmodel.cpp JSON schema) with a
+    velocity time function over the reference's own constant 3D degree
+    grid (data/tests/simple_model_degree_3d_grid.tif: east 1 deg/yr,
+    north 2 deg/yr, up 3 m/yr) — offsets scale by (t - 2000.0), which
+    the SQL oracle reproduces arithmetically."""
+    return {
+        "file_type": "deformation_model_master_file",
+        "format_version": "1.0",
+        "source_crs": "EPSG:4326",
+        "target_crs": "foo:ignored",
+        "definition_crs": "EPSG:4326",
+        "horizontal_offset_unit": "degree",
+        "horizontal_offset_method": "addition",
+        "vertical_offset_unit": "metre",
+        "extent": {"type": "bbox", "parameters": {"bbox": [-180, -90, 180, 90]}},
+        "time_extent": {"first": "1900-01-01T00:00:00Z",
+                        "last": "2100-01-01T00:00:00Z"},
+        "components": [{
+            "description": "constant-velocity field over the reference's grid",
+            "displacement_type": "3d",
+            "uncertainty_type": "none",
+            "extent": {"type": "bbox",
+                       "parameters": {"bbox": [-180, -90, 180, 90]}},
+            "spatial_model": {
+                "type": "GeoTIFF",
+                "interpolation_method": "bilinear",
+                "filename":
+                    "/root/reference/data/tests/simple_model_degree_3d_grid.tif",
+            },
+            "time_function": {
+                "type": "velocity",
+                "parameters": {"reference_epoch": "2000-01-01T00:00:00Z"},
+            },
+        }],
+    }
+
+
+def ensure_deformation_fixtures() -> None:
+    import json
+
+    _write_atomic(DEF_HG_PATH, def_hgrid_bytes())
+    _write_atomic(DEF_VG_PATH, def_vgrid_bytes())
+    _write_atomic(DEFMODEL_PATH, json.dumps(defmodel_doc()).encode())

@@ -4263,6 +4263,390 @@ ORDER BY t.source, t.rank
 """
 
 
+
+# ---------------------------------------------------------------------------
+# §2.4 tail driver oracles (round-4 verdict task 2): tinshift, molodensky,
+# defmodel, deformation, horner — each over a deterministic fixture whose
+# SQL twin re-derives the identical IEEE-754 double chain.
+# ---------------------------------------------------------------------------
+
+
+def q_tinshift(sf_dir: str):
+    """TIN (triangulation) shift through the full stateful path: the
+    JSON fixture (gridfixtures.tin_doc, regular 36x17-cell grid TIN,
+    exact integer-degree source vertices, short-decimal target offsets
+    and dyadic quarter-metre dz) is parsed by state/tin.load_tin,
+    shipped grid-free (op __getstate__), candidate-swept and
+    barycentrically interpolated per tinshift_impl.hpp:405-553. Points
+    within 1e-6 of any cell/diagonal boundary are filtered on BOTH
+    sides so engine and oracle provably select the same triangle; the
+    remaining chain (inverse-matrix lambda per _bucket_index, lambda1,
+    lambda2, lambda3-ordered interpolation per TinModel.apply) is the
+    identical double sequence in SQL."""
+    from .gridfixtures import TIN_PATH, ensure_tin
+
+    ensure_tin()
+    op = create_operation(f"+proj=tinshift +file={TIN_PATH} +ellps=GRS80")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        batch = _geoloc_batch(batch)
+        ids = batch.column("doc_id").to_numpy()
+        x = batch.column("lon").to_numpy()
+        y = batch.column("lat").to_numpy()
+        gx = (x - (-180.0)) / 10.0
+        gy = (y - (-85.0)) / 10.0
+        fx = gx - np.floor(gx)
+        fy = gy - np.floor(gy)
+        m = ((fx > 1e-6) & (fy > 1e-6) & (fx < 1 - 1e-6) & (fy < 1 - 1e-6)
+             & (np.abs(fx + fy - 1.0) > 1e-6))
+        ids, x, y = ids[m], x[m], y[m]
+        z = (ids % 400) * 0.01
+        coo = Coords(x, y, z, np.zeros(len(ids)))
+        op.trans(FWD, coo)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "tx": pa.array(np.round(coo.x, 9)),
+                "ty": pa.array(np.round(coo.y, 9)),
+                "tz": pa.array(np.round(coo.z, 9)),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
+def _tinshift_sql() -> str:
+    """Barycentric oracle: per-point cell + lower/upper triangle by the
+    fixture layout, vertex source/target/dz values re-derived from the
+    (i, j) formulas (bit-identical to the JSON round-trip), lambda and
+    interpolation in the engine's exact op order."""
+    vert = ""
+    for k in (1, 2, 3):
+        vert += f"""
+  , -180.0 + i{k}*10.0 AS sx{k}, -85.0 + j{k}*10.0 AS sy{k}
+  , (-180.0 + i{k}*10.0) + ((i{k}*3 + j{k}*7) % 17 - 8) * 0.001 AS tx{k}
+  , (-85.0 + j{k}*10.0) + ((i{k}*5 + j{k}*11) % 19 - 9) * 0.001 AS ty{k}
+  , ((i{k}*2 + j{k}*3) % 13 - 6) * 0.25 AS dz{k}"""
+    return f"""
+WITH g AS ({GEOLOC_SQL}),
+p AS (SELECT doc_id, lon AS x, lat AS y,
+             (doc_id % 400) * CAST(0.01 AS DOUBLE) AS z FROM g),
+cell AS (SELECT *,
+  CAST(FLOOR((x - (-180.0))/10.0) AS BIGINT) AS ci,
+  CAST(FLOOR((y - (-85.0))/10.0) AS BIGINT) AS cj,
+  (x - (-180.0))/10.0 - FLOOR((x - (-180.0))/10.0) AS fx,
+  (y - (-85.0))/10.0 - FLOOR((y - (-85.0))/10.0) AS fy
+ FROM p),
+flt AS (SELECT * FROM cell
+        WHERE fx > 1e-6 AND fy > 1e-6 AND fx < 1 - 1e-6 AND fy < 1 - 1e-6
+          AND abs(fx + fy - 1.0) > 1e-6),
+tri AS (SELECT *,
+  CASE WHEN fx + fy < 1.0 THEN ci ELSE ci + 1 END AS i1,
+  CASE WHEN fx + fy < 1.0 THEN cj ELSE cj + 1 END AS j1,
+  CASE WHEN fx + fy < 1.0 THEN ci + 1 ELSE ci END AS i2,
+  CASE WHEN fx + fy < 1.0 THEN cj ELSE cj + 1 END AS j2,
+  CASE WHEN fx + fy < 1.0 THEN ci ELSE ci + 1 END AS i3,
+  CASE WHEN fx + fy < 1.0 THEN cj + 1 ELSE cj END AS j3
+ FROM flt),
+vtx AS (SELECT *{vert} FROM tri),
+lam AS (SELECT *,
+  ((sy2 - sy3) / ((sy2 - sy3)*(sx1 - sx3) + (sx3 - sx2)*(sy1 - sy3))) * (x - sx3)
+  + ((sx3 - sx2) / ((sy2 - sy3)*(sx1 - sx3) + (sx3 - sx2)*(sy1 - sy3))) * (y - sy3) AS l1,
+  ((sy3 - sy1) / ((sy2 - sy3)*(sx1 - sx3) + (sx3 - sx2)*(sy1 - sy3))) * (x - sx3)
+  + ((sx1 - sx3) / ((sy2 - sy3)*(sx1 - sx3) + (sx3 - sx2)*(sy1 - sy3))) * (y - sy3) AS l2
+ FROM vtx),
+lam3 AS (SELECT *, 1.0 - l1 - l2 AS l3 FROM lam)
+SELECT doc_id,
+  ROUND(tx1*l1 + tx2*l2 + tx3*l3, 9) AS tx,
+  ROUND(ty1*l1 + ty2*l2 + ty3*l3, 9) AS ty,
+  ROUND(z + (dz1*l1 + dz2*l2 + dz3*l3), 9) AS tz
+FROM lam3 ORDER BY doc_id
+"""
+
+
+SQL_TINSHIFT = _tinshift_sql()
+
+
+_MOLO = dict(dx=84.87, dy=96.49, dz=116.95, da=-251.0, df=-1.41927e-05)
+
+
+def q_molodensky(sf_dir: str):
+    """Molodensky datum shift, BOTH variants in one pass (standard per
+    molodensky.cpp:93-145, abridged per :50-92) on the international
+    ellipsoid with the classic ED50->WGS84-style parameter set. Output
+    lon/lat rounded at 1e-6 deg, heights at 1e-6 m."""
+    mstr = " ".join(f"+{k}={v}" for k, v in _MOLO.items())
+    op_std = create_operation(f"+proj=molodensky +ellps=intl {mstr}")
+    op_abr = create_operation(f"+proj=molodensky +ellps=intl {mstr} +abridged")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        batch = _geoloc_batch(batch)
+        ids = batch.column("doc_id").to_numpy()
+        lon = batch.column("lon").to_numpy()
+        lat = batch.column("lat").to_numpy()
+        z = (ids % 1000) * 0.01
+        cs = Coords(lon * DEG_TO_RAD, lat * DEG_TO_RAD, z.copy(), np.zeros(len(ids)))
+        op_std.trans(FWD, cs)
+        ca = Coords(lon * DEG_TO_RAD, lat * DEG_TO_RAD, z.copy(), np.zeros(len(ids)))
+        op_abr.trans(FWD, ca)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "slon_std": pa.array(np.round(cs.x * RAD_TO_DEG, 6)),
+                "slat_std": pa.array(np.round(cs.y * RAD_TO_DEG, 6)),
+                "h_std": pa.array(np.round(cs.z, 6)),
+                "slon_abr": pa.array(np.round(ca.x * RAD_TO_DEG, 6)),
+                "slat_abr": pa.array(np.round(ca.y * RAD_TO_DEG, 6)),
+                "h_abr": pa.array(np.round(ca.z, 6)),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
+SQL_MOLODENSKY = f"""
+WITH g AS ({GEOLOC_SQL}),
+c AS (SELECT 6378388.0 AS a, 1.0/297.0 AS f,
+             {_MOLO['dx']} AS dx, {_MOLO['dy']} AS dy, {_MOLO['dz']} AS dz,
+             {_MOLO['da']} AS da, {_MOLO['df']} AS df),
+e AS (SELECT *, 2*f - f*f AS es FROM c),
+pt AS (SELECT g.doc_id, g.lon * {_DRC} AS lam, g.lat * {_DRC} AS phi,
+              (g.doc_id % 1000) * CAST(0.01 AS DOUBLE) AS z, e.*
+       FROM g, e),
+tr AS (SELECT *, sin(lam) AS slam, cos(lam) AS clam,
+               sin(phi) AS sphi, cos(phi) AS cphi FROM pt),
+rn AS (SELECT *,
+  (a * (1 - es)) / pow(1 - es*sphi*sphi, 1.5e0) AS rho,
+  a / sqrt(1 - es*sphi*sphi) AS nu,
+  a*df + f*da AS adffda
+ FROM tr),
+d AS (SELECT *,
+  ((-dx*sphi*clam) - (dy*sphi*slam) + (dz*cphi)
+   + ((nu*es*sphi*cphi*da) / a)
+   + (sphi*cphi*(rho/(1 - f) + nu*(1 - f))*df)) / (rho + z) AS dphi_s,
+  (-dx*slam + dy*clam) / ((nu + z) * cphi) AS dlam_s,
+  dx*cphi*clam + dy*cphi*slam + dz*sphi
+   - (a/nu)*da + nu*(1 - f)*sphi*sphi*df AS dh_s,
+  (-dx*sphi*clam - dy*sphi*slam + dz*cphi + adffda*sin(2*phi)) / rho AS dphi_a,
+  (-dx*slam + dy*clam) / (a / sqrt(1 - es*sphi*sphi) * cphi) AS dlam_a,
+  dx*cphi*clam + dy*cphi*slam + dz*sphi - da + adffda*sphi*sphi AS dh_a
+ FROM rn)
+SELECT doc_id,
+  ROUND((lam + dlam_s) * CAST(57.295779513082321 AS DOUBLE), 6) AS slon_std,
+  ROUND((phi + dphi_s) * CAST(57.295779513082321 AS DOUBLE), 6) AS slat_std,
+  ROUND(z + dh_s, 6) AS h_std,
+  ROUND((lam + dlam_a) * CAST(57.295779513082321 AS DOUBLE), 6) AS slon_abr,
+  ROUND((phi + dphi_a) * CAST(57.295779513082321 AS DOUBLE), 6) AS slat_abr,
+  ROUND(z + dh_a, 6) AS h_abr
+FROM d ORDER BY doc_id
+"""
+
+
+def q_defmodel(sf_dir: str):
+    """Deformation-model master file (+proj=defmodel, defmodel.cpp):
+    velocity time function over the reference's own constant 3D degree
+    grid (east 1 deg/yr, north 2 deg/yr, up 3 m/yr) — the oracle
+    reproduces offset = rate x (t - 2000.0) arithmetically. Exercises
+    the JSON master parse, component extent, time-function evaluation,
+    degree-unit addition and the per-worker model reload."""
+    from .gridfixtures import DEFMODEL_PATH, ensure_deformation_fixtures
+
+    ensure_deformation_fixtures()
+    op = create_operation(f"+proj=defmodel +model={DEFMODEL_PATH} +ellps=GRS80")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        batch = _geoloc_batch(batch)
+        ids = batch.column("doc_id").to_numpy()
+        lon = batch.column("lon").to_numpy()
+        lat = batch.column("lat").to_numpy()
+        z = (ids % 300) * 0.01
+        t = 2000.0 + (ids % 250) * 0.1
+        coo = Coords(lon * DEG_TO_RAD, lat * DEG_TO_RAD, z, t)
+        op.trans(FWD, coo)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "slon": pa.array(np.round(coo.x * RAD_TO_DEG, 6)),
+                "slat": pa.array(np.round(coo.y * RAD_TO_DEG, 6)),
+                "sz": pa.array(np.round(coo.z, 6)),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
+SQL_DEFMODEL = f"""
+WITH g AS ({GEOLOC_SQL}),
+p AS (SELECT doc_id, lon, lat,
+             (doc_id % 300) * CAST(0.01 AS DOUBLE) AS z,
+             2000.0 + (doc_id % 250) * CAST(0.1 AS DOUBLE) AS t
+      FROM g)
+SELECT doc_id,
+  ROUND(lon + 1.0 * (t - 2000.0), 6) AS slon,
+  ROUND(lat + 2.0 * (t - 2000.0), 6) AS slat,
+  ROUND(z + 3.0 * (t - 2000.0), 6) AS sz
+FROM p ORDER BY doc_id
+"""
+
+
+def q_deformation(sf_dir: str):
+    """Kinematic +proj=deformation (deformation.cpp:142-208): geodetic
+    points -> cart -> dt x ENU velocity field (legacy ct2+gtx mm/yr
+    velocity grids, gridfixtures.def_*grid_bytes) rotated to XYZ per
+    Noerbech et al. The oracle recomputes cart forward, the bilinear
+    velocity samples and the ENU->XYZ rotation from the same node
+    formulas; cm-level rounding absorbs the engine's cart-roundtrip
+    (~1e-15 rad) lookup difference."""
+    from .gridfixtures import (DEF_HG_PATH, DEF_VG_PATH,
+                               ensure_deformation_fixtures)
+
+    ensure_deformation_fixtures()
+    op = create_operation(
+        "+proj=pipeline +step +proj=cart +ellps=GRS80 "
+        f"+step +proj=deformation +ellps=GRS80 +xy_grids={DEF_HG_PATH} "
+        f"+z_grids={DEF_VG_PATH} +dt=10"
+    )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        batch = _geoloc_batch(batch)
+        ids = batch.column("doc_id").to_numpy()
+        lon = batch.column("lon").to_numpy()
+        lat = batch.column("lat").to_numpy()
+        m = (lon > -170.0) & (lon < 170.0) & (lat > -78.0) & (lat < 78.0)
+        ids, lon, lat = ids[m], lon[m], lat[m]
+        coo = Coords(lon * DEG_TO_RAD, lat * DEG_TO_RAD,
+                     np.zeros(len(ids)), np.zeros(len(ids)))
+        op.trans(FWD, coo)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "dx_m": pa.array(np.round(coo.x, 4)),
+                "dy_m": pa.array(np.round(coo.y, 4)),
+                "dz_m": pa.array(np.round(coo.z, 4)),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
+SQL_DEFORMATION = f"""
+WITH g AS ({GEOLOC_SQL}),
+f0 AS (SELECT doc_id, lon, lat FROM g
+       WHERE lon > -170 AND lon < 170 AND lat > -78 AND lat < 78),
+c AS (SELECT 6378137.0 AS a, 1.0/298.257222101 AS ff),
+e AS (SELECT a, 2*ff - ff*ff AS es FROM c),
+pt AS (SELECT doc_id, lon * {_DRC} AS lam, lat * {_DRC} AS phi FROM f0),
+cart AS (SELECT pt.*, e.*,
+  a / sqrt(1 - es*sin(phi)*sin(phi)) AS nn FROM pt, e),
+xyz AS (SELECT *,
+  nn * cos(phi) * cos(lam) AS X,
+  nn * cos(phi) * sin(lam) AS Y,
+  nn * (1 - es) * sin(phi) AS Z FROM cart),
+n AS (SELECT *, (lam - {_GRID_W}) / {_GRID_R} AS gx,
+                (phi - {_GRID_S}) / {_GRID_R} AS gy FROM xyz),
+ixy AS (SELECT *, CAST(FLOOR(gx) AS BIGINT) AS ix, CAST(FLOOR(gy) AS BIGINT) AS iy,
+                  gx - FLOOR(gx) AS fx, gy - FLOOR(gy) AS fy FROM n),
+w AS (SELECT *, (1.0 - fx) * (1.0 - fy) AS m00, fx * (1.0 - fy) AS m10,
+                (1.0 - fx) * fy AS m01, fx * fy AS m11 FROM ixy),
+v AS (SELECT *,
+  CAST((ix*7 + iy*13) % 41 - 20 AS REAL) AS e00,
+  CAST(((ix+1)*7 + iy*13) % 41 - 20 AS REAL) AS e10,
+  CAST((ix*7 + (iy+1)*13) % 41 - 20 AS REAL) AS e01,
+  CAST(((ix+1)*7 + (iy+1)*13) % 41 - 20 AS REAL) AS e11,
+  CAST((ix*11 + iy*5) % 37 - 18 AS REAL) AS a00,
+  CAST(((ix+1)*11 + iy*5) % 37 - 18 AS REAL) AS a10,
+  CAST((ix*11 + (iy+1)*5) % 37 - 18 AS REAL) AS a01,
+  CAST(((ix+1)*11 + (iy+1)*5) % 37 - 18 AS REAL) AS a11,
+  CAST(((ix*3 + iy*7) % 50 - 25) AS REAL) AS u00,
+  CAST((((ix+1)*3 + iy*7) % 50 - 25) AS REAL) AS u10,
+  CAST(((ix*3 + (iy+1)*7) % 50 - 25) AS REAL) AS u01,
+  CAST((((ix+1)*3 + (iy+1)*7) % 50 - 25) AS REAL) AS u11
+ FROM w),
+vel AS (SELECT *,
+  (m00*e00 + m10*e10 + m01*e01 + m11*e11) / 1000.0 AS ve,
+  (m00*a00 + m10*a10 + m01*a01 + m11*a11) / 1000.0 AS vn,
+  (((u00*m00 + u10*m10 + u01*m01 + u11*m11)
+    / (m00 + m10 + m01 + m11)) / 1000.0) AS vu
+ FROM v),
+rot AS (SELECT *,
+  -sin(phi)*cos(lam)*vn - sin(lam)*ve + cos(phi)*cos(lam)*vu AS vx,
+  -sin(phi)*sin(lam)*vn + cos(lam)*ve + cos(phi)*sin(lam)*vu AS vy,
+  cos(phi)*vn + sin(phi)*vu AS vz
+ FROM vel)
+SELECT doc_id,
+  ROUND(X + 10.0*vx, 4) AS dx_m,
+  ROUND(Y + 10.0*vy, 4) AS dy_m,
+  ROUND(Z + 10.0*vz, 4) AS dz_m
+FROM rot ORDER BY doc_id
+"""
+
+
+_HORNER_U = (500000.0, 0.9996, 1.0e-7, -2.0e-12, 3.0e-12, -1.5e-12)
+_HORNER_V = (6100000.0, 1.0002, -2.3e-7, 1.2e-12, -2.2e-12, 2.7e-12)
+
+
+def q_horner(sf_dir: str):
+    """Real 2D Horner polynomial (+proj=horner, the Poder/Engsager
+    gen_pol scheme, horner.cpp:184-291) at degree 2 with literal
+    coefficients about a false origin — the oracle unrolls the exact
+    dual-Horner recurrence (coefficients read backwards, high-order
+    terms first) as one nested SQL expression, so the double chain is
+    bit-identical."""
+    u = ",".join(repr(v) for v in _HORNER_U)
+    v = ",".join(repr(v) for v in _HORNER_V)
+    op = create_operation(
+        f"+proj=horner +ellps=GRS80 +deg=2 +fwd_u={u} +fwd_v={v} "
+        f"+inv_u={u} +inv_v={v} +fwd_origin=500000,6000000 "
+        "+inv_origin=500000,6000000 +range=500000"
+    )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        x = 500000.0 + ((ids * 37) % 700000 - 350000) * 1.0
+        y = 6000000.0 + ((ids * 53) % 600000 - 300000) * 1.0
+        coo = Coords(x, y, np.zeros(len(ids)), np.zeros(len(ids)))
+        op.trans(FWD, coo)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "he": pa.array(np.round(coo.x, 6)),
+                "hn": pa.array(np.round(coo.y, 6)),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
+def _horner_sql() -> str:
+    u = [repr(v) for v in _HORNER_U]
+    v = [repr(v) for v in _HORNER_V]
+    # degree-2 dual Horner unroll (horner.cpp:266-284 / ops/horner.py
+    # _eval_real trace): E = n*(n*u5 + (e*u4 + u3)) + (e*(e*u2 + u1) + u0)
+    E = f"n*(n*{u[5]} + (e*{u[4]} + {u[3]})) + (e*(e*{u[2]} + {u[1]}) + {u[0]})"
+    N = f"e*(e*{v[5]} + (n*{v[4]} + {v[3]})) + (n*(n*{v[2]} + {v[1]}) + {v[0]})"
+    return f"""
+WITH d AS (SELECT doc_id,
+    (500000.0 + ((doc_id * 37) % 700000 - 350000) * 1.0) - 500000.0 AS e,
+    (6000000.0 + ((doc_id * 53) % 600000 - 300000) * 1.0) - 6000000.0 AS n
+  FROM documents)
+SELECT doc_id, ROUND({E}, 6) AS he, ROUND({N}, 6) AS hn
+FROM d ORDER BY doc_id
+"""
+
+
+SQL_HORNER = _horner_sql()
+
+
 QUERIES = {
     # consolidated per-doc / tag-union families (one driver row each)
     "doc_metrics": q_doc_metrics,
@@ -4311,6 +4695,12 @@ QUERIES = {
     "tfidf_top": q_tfidf_top,
     "inverted_index": q_inverted_index,
     "token_quantiles": q_token_quantiles,
+    # §2.4 tail oracles (round-5): fixture-backed transformation ops
+    "tinshift": q_tinshift,
+    "molodensky": q_molodensky,
+    "defmodel": q_defmodel,
+    "deformation": q_deformation,
+    "horner": q_horner,
 }
 
 ORACLE_SQL = {
@@ -4361,4 +4751,9 @@ ORACLE_SQL = {
     "tfidf_top": SQL_TFIDF_TOP,
     "inverted_index": SQL_INVERTED_INDEX,
     "token_quantiles": SQL_TOKEN_QUANTILES,
+    "tinshift": SQL_TINSHIFT,
+    "molodensky": SQL_MOLODENSKY,
+    "defmodel": SQL_DEFMODEL,
+    "deformation": SQL_DEFORMATION,
+    "horner": SQL_HORNER,
 }
