@@ -380,6 +380,51 @@ def run_kernel_baselines() -> dict:
     out["tinshift_n_triangles"] = len(tris)
     out["tinshift_load_ms"] = round(load_ms, 1)
     out["n_points"] = n
+
+    # (c) n-gram-Jaccard exact-verify kernel on planted candidate pairs
+    # (round-4 verdict task 3): ~10^5 pairs through the vectorized
+    # cooccurrence-pair expansion + pair-reduce vs the former per-pair
+    # Python set-intersection loop.
+    import pandas as pd
+
+    from rayproj.functions.dedup import (batch_shingle_hashes,
+                                         cooccurrence_pairs,
+                                         distinct_shingle_rows)
+
+    n_docs = 640  # 16-word vocab → ~1.1·10^5 co-occurring candidate pairs
+    words = [f"w{i}" for i in range(16)]
+    rng2 = np.random.default_rng(11)
+    texts = pd.Series(
+        [" ".join(rng2.choice(words, size=60)) for _ in range(n_docs)]
+    )
+    t0 = time.perf_counter()
+    d, h, nsh = distinct_shingle_rows(texts, 3)
+    order = np.lexsort((d, h))
+    a, b = cooccurrence_pairs(h[order])
+    da, db = d[order][a], d[order][b]
+    key = da.astype(np.int64) * n_docs + db
+    uk, inv = np.unique(key, return_inverse=True)
+    inter = np.bincount(inv)
+    na, nb = nsh[uk // n_docs], nsh[uk % n_docs]
+    jac_v = np.round(inter / (na + nb - inter), 6)
+    t_vec = time.perf_counter() - t0
+    n_pairs = len(uk)
+    t0 = time.perf_counter()
+    sh2, starts, _ = batch_shingle_hashes(texts, 3)
+    bounds = np.append(starts, len(sh2))
+    sets = [set(sh2[bounds[i]:bounds[i + 1]].tolist()) for i in range(n_docs)]
+    jl = []
+    for i in range(n_docs):
+        for j in range(i + 1, n_docs):
+            ii = len(sets[i] & sets[j])
+            if ii:
+                jl.append(round(ii / (len(sets[i]) + len(sets[j]) - ii), 6))
+    t_loop = time.perf_counter() - t0
+    assert len(jl) == n_pairs and np.allclose(sorted(jl), np.sort(jac_v))
+    out["ngram_verify_pairs"] = n_pairs
+    out["ngram_verify_vectorized_pairs_per_sec"] = round(n_pairs / t_vec)
+    out["ngram_verify_setloop_pairs_per_sec"] = round(n_pairs / t_loop)
+    out["ngram_verify_speedup"] = round(t_loop / t_vec, 1)
     return out
 
 

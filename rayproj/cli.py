@@ -220,8 +220,11 @@ def cmd_projinfo(args) -> int:
     can express without proj.db); with -s and -t, print the cs2cs
     datum-hub plan between them. Database-backed outputs remain
     iso19111/factory.cpp scope (SURVEY.md §2.1)."""
-    want_wkt = args.output.lower().startswith("wkt2")
-    want_json = args.output.lower() == "projjson"
+    out_fmt = args.output.lower()
+    want_wkt = out_fmt.startswith("wkt2")
+    want_wkt1 = out_fmt.startswith("wkt1")
+    wkt1_esri = out_fmt in ("wkt1:esri", "wkt1_esri")
+    want_json = out_fmt == "projjson"
 
     def describe(defn: str) -> None:
         defn = _normalize_defn(defn)
@@ -230,6 +233,11 @@ def cmd_projinfo(args) -> int:
             from .core.wkt import pretty, to_wkt2
 
             print(pretty(to_wkt2(op)))
+            return
+        if want_wkt1:
+            from .core.wkt import pretty, to_wkt1
+
+            print(pretty(to_wkt1(op, esri=wkt1_esri)))
             return
         if want_json:
             import json as _json
@@ -582,7 +590,7 @@ def main(argv=None) -> int:
     pi.add_argument("-t", "--t-crs", default=None)
     pi.add_argument("-o", "--output", default="proj",
                     help="output format: proj (default), wkt2[:2019], "
-                         "or projjson")
+                         "wkt1[:gdal], wkt1:esri, or projjson")
     pi.add_argument("crs", nargs="*")
     pi.set_defaults(fn=cmd_projinfo)
     args = ap.parse_args(argv)

@@ -301,6 +301,216 @@ def to_wkt2(op) -> str:
 
 
 # ---------------------------------------------------------------------------
+# WKT1 emission (the reference's WKTFormatter WKT1_GDAL / WKT1_ESRI
+# conventions, src/iso19111/io.cpp — re-derived for the same
+# proj-string-expressible subset as to_wkt2). Round-trips through this
+# module's own from_wkt: every projection name / parameter spelling
+# emitted here is accepted by _METHOD_PROJ/_WKT_PARAM_KEYS, and the
+# GDAL escape hatch (EXTENSION["PROJ4", ...]) is honored on import.
+# ---------------------------------------------------------------------------
+
+# op name -> (GDAL projection, ESRI projection,
+#             [(gdal param, esri param, value source)])
+_WKT1_METHODS = {
+    "tmerc": ("Transverse_Mercator", "Transverse_Mercator", [
+        ("latitude_of_origin", "Latitude_Of_Origin", "lat_0"),
+        ("central_meridian", "Central_Meridian", "lon_0"),
+        ("scale_factor", "Scale_Factor", "k0"),
+        ("false_easting", "False_Easting", "x0"),
+        ("false_northing", "False_Northing", "y0"),
+    ]),
+    "merc": ("Mercator_2SP", "Mercator", [
+        ("standard_parallel_1", "Standard_Parallel_1", "lat_ts"),
+        ("central_meridian", "Central_Meridian", "lon_0"),
+        ("false_easting", "False_Easting", "x0"),
+        ("false_northing", "False_Northing", "y0"),
+    ]),
+    "lcc": ("Lambert_Conformal_Conic_2SP", "Lambert_Conformal_Conic", [
+        ("standard_parallel_1", "Standard_Parallel_1", "lat_1"),
+        ("standard_parallel_2", "Standard_Parallel_2", "lat_2"),
+        ("latitude_of_origin", "Latitude_Of_Origin", "lat_0"),
+        ("central_meridian", "Central_Meridian", "lon_0"),
+        ("false_easting", "False_Easting", "x0"),
+        ("false_northing", "False_Northing", "y0"),
+    ]),
+    "aea": ("Albers_Conic_Equal_Area", "Albers", [
+        ("standard_parallel_1", "Standard_Parallel_1", "lat_1"),
+        ("standard_parallel_2", "Standard_Parallel_2", "lat_2"),
+        ("latitude_of_center", "Latitude_Of_Origin", "lat_0"),
+        ("longitude_of_center", "Central_Meridian", "lon_0"),
+        ("false_easting", "False_Easting", "x0"),
+        ("false_northing", "False_Northing", "y0"),
+    ]),
+    "laea": ("Lambert_Azimuthal_Equal_Area", "Lambert_Azimuthal_Equal_Area", [
+        ("latitude_of_center", "Latitude_Of_Origin", "lat_0"),
+        ("longitude_of_center", "Central_Meridian", "lon_0"),
+        ("false_easting", "False_Easting", "x0"),
+        ("false_northing", "False_Northing", "y0"),
+    ]),
+    "cea": ("Cylindrical_Equal_Area", "Cylindrical_Equal_Area", [
+        ("standard_parallel_1", "Standard_Parallel_1", "lat_ts"),
+        ("central_meridian", "Central_Meridian", "lon_0"),
+        ("false_easting", "False_Easting", "x0"),
+        ("false_northing", "False_Northing", "y0"),
+    ]),
+    "eqc": ("Equirectangular", "Equidistant_Cylindrical", [
+        ("standard_parallel_1", "Standard_Parallel_1", "lat_ts"),
+        ("central_meridian", "Central_Meridian", "lon_0"),
+        ("false_easting", "False_Easting", "x0"),
+        ("false_northing", "False_Northing", "y0"),
+    ]),
+    "somerc": ("Hotine_Oblique_Mercator_Azimuth_Center",
+               "Hotine_Oblique_Mercator_Azimuth_Center", [
+        ("latitude_of_center", "Latitude_Of_Center", "lat_0"),
+        ("longitude_of_center", "Longitude_Of_Center", "lon_0"),
+        ("scale_factor", "Scale_Factor", "k0"),
+        ("false_easting", "False_Easting", "x0"),
+        ("false_northing", "False_Northing", "y0"),
+    ]),
+}
+
+# inverse of _ESRI_DATUM_ALIASES for emission (+datum shorthand -> D_*)
+_ESRI_DATUM_REVERSE = {
+    "WGS84": "D_WGS_1984",
+    "NAD83": "D_North_American_1983",
+    "NAD27": "D_North_American_1927",
+    "OSGB36": "D_OSGB_1936",
+    "nzgd49": "D_New_Zealand_1949",
+    "potsdam": "D_Deutsches_Hauptdreiecksnetz",
+    "GGRS87": "D_Greek_Geodetic_Reference_System_1987",
+    "carthage": "D_Carthage",
+    "ire65": "D_TM65",
+    "hermannskogel": "D_MGI",
+}
+
+_W1_DEG = '0.0174532925199433'
+
+
+def _w1_spheroid(op) -> str:
+    a = getattr(op, "a_orig", None) or op.ell.a
+    es = getattr(op, "es_orig", None)
+    if es is None:
+        es = op.ell.es
+    name = op.params.str_("ellps") or "unknown"
+    name = _ELLPS_NAMES.get(name, name)
+    f = 1.0 - (1.0 - es) ** 0.5
+    rf = 1.0 / f if f else 0
+    return f'SPHEROID["{name}",{_num(a)},{_num(round(rf, 9))}]'
+
+
+def _w1_datum(op, esri: bool) -> str:
+    d = op.params.str_("datum")
+    if esri:
+        name = _ESRI_DATUM_REVERSE.get(d, "D_unknown") if d else "D_unknown"
+    else:
+        name = _DATUM_NAMES.get(d, "unknown") if d else "unknown"
+    body = f'DATUM["{name}",{_w1_spheroid(op)}'
+    # WKT1_GDAL carries the Helmert leg as a TOWGS84 node inside DATUM
+    # (io.cpp WKT1 convention) — ESRI WKT has no TOWGS84 concept
+    towgs84 = op.params.str_("towgs84")
+    if not esri and towgs84 and any(float(v) != 0.0 for v in towgs84.split(",")):
+        vals = [float(v) for v in towgs84.split(",")]
+        vals += [0.0] * (7 - len(vals))
+        body += ",TOWGS84[" + ",".join(_num(v) for v in vals[:7]) + "]"
+    return body + "]"
+
+
+def _w1_geogcs(op, esri: bool) -> str:
+    gname = "GCS_unknown" if esri else "unknown"
+    unit = f'UNIT["Degree",{_W1_DEG}]' if esri else f'UNIT["degree",{_W1_DEG}]'
+    out = (
+        f'GEOGCS["{gname}",{_w1_datum(op, esri)},'
+        f'PRIMEM["Greenwich",0],{unit}'
+    )
+    if not esri:
+        out += ',AXIS["Latitude",NORTH],AXIS["Longitude",EAST]'
+    return out + "]"
+
+
+def _w1_escape_projcs(op, esri: bool) -> str:
+    """GDAL's lossless escape hatch for methods WKT1 can't spell:
+    EXTENSION["PROJ4", "<proj-string>"] (honored by _proj_tokens on
+    import, by GDAL, and by the reference's WKT1 importer)."""
+    toks = " ".join(
+        f"+{k}={v}" if v is not None else f"+{k}"
+        for k, v in op.params.pairs
+        if k != "no_defs"
+    )
+    unit = 'UNIT["Meter",1.0]' if esri else 'UNIT["metre",1]'
+    return (
+        f'PROJCS["unknown",{_w1_geogcs(op, esri)},'
+        f'PROJECTION["custom_proj4"],{unit},'
+        f'EXTENSION["PROJ4","{toks} +wktext"]]'
+    )
+
+
+def to_wkt1(op, esri: bool = False) -> str:
+    """WKT1 for a resolved Operation — GDAL convention by default,
+    ESRI with ``esri=True`` (the WKT1_GDAL / WKT1_ESRI outputs of the
+    reference's WKTFormatter, io.cpp). Emitted strings round-trip
+    through from_wkt to the same resolved operation."""
+    if op.is_latlong:
+        return _w1_geogcs(op, esri)
+    name = op.name
+    if name == "utm":
+        entry = _WKT1_METHODS["tmerc"]
+    elif name == "webmerc" and esri:
+        # ESRI convention: Mercator_Auxiliary_Sphere with the
+        # auxiliary-sphere-type selector parameter
+        unit = 'UNIT["Meter",1.0]'
+        params = ",".join(
+            f'PARAMETER["{pn}",{_num(_param_value(op, src))}]'
+            for pn, src in (
+                ("False_Easting", "x0"), ("False_Northing", "y0"),
+                ("Central_Meridian", "lon_0"),
+            )
+        )
+        return (
+            f'PROJCS["unknown",{_w1_geogcs(op, True)},'
+            f'PROJECTION["Mercator_Auxiliary_Sphere"],{params},'
+            f'PARAMETER["Auxiliary_Sphere_Type",0],{unit}]'
+        )
+    elif name == "webmerc":
+        entry = None  # GDAL: Mercator_1SP + PROJ4 extension (below)
+    elif name == "stere":
+        polar = abs(abs(op.phi0 * RAD_TO_DEG) - 90.0) < 1e-9
+        if polar:
+            entry = ("Polar_Stereographic", "Polar_Stereographic", [
+                ("latitude_of_origin", "Standard_Parallel_1", "lat_ts"),
+                ("central_meridian", "Central_Meridian", "lon_0"),
+                ("scale_factor", "Scale_Factor", "k0"),
+                ("false_easting", "False_Easting", "x0"),
+                ("false_northing", "False_Northing", "y0"),
+            ])
+        else:
+            entry = ("Stereographic", "Stereographic", [
+                ("latitude_of_origin", "Latitude_Of_Origin", "lat_0"),
+                ("central_meridian", "Central_Meridian", "lon_0"),
+                ("scale_factor", "Scale_Factor", "k0"),
+                ("false_easting", "False_Easting", "x0"),
+                ("false_northing", "False_Northing", "y0"),
+            ])
+    else:
+        entry = _WKT1_METHODS.get(name)
+    if entry is None:
+        return _w1_escape_projcs(op, esri)
+    gname, ename, plist = entry
+    pname = ename if esri else gname
+    unit = 'UNIT["Meter",1.0]' if esri else 'UNIT["metre",1]'
+    params = ",".join(
+        f'PARAMETER["{(ep if esri else gp)}",{_num(_param_value(op, src))}]'
+        for gp, ep, src in plist
+    )
+    out = (
+        f'PROJCS["unknown",{_w1_geogcs(op, esri)},'
+        f'PROJECTION["{pname}"],{params},{unit}'
+    )
+    if not esri:
+        out += ',AXIS["Easting",EAST],AXIS["Northing",NORTH]'
+    return out + "]"
+
+
+# ---------------------------------------------------------------------------
 # PROJJSON emission (the exportToJSON direction of io.cpp; schema
 # https://proj.org/schemas/v0.7/projjson.schema.json) — same
 # proj-string-expressible subset as to_wkt2, as plain dicts.
@@ -479,6 +689,10 @@ _WKT_PARAM_KEYS = {
     "false_northing": "y_0",
     "standard_parallel_1": "lat_1",
     "standard_parallel_2": "lat_2",
+    "latitude_of_center": "lat_0",
+    "longitude_of_center": "lon_0",
+    "azimuth": "alpha",
+    "rectified_grid_angle": "gamma",
     # ESRI spellings (io.cpp:3265 getMappingsFromESRI; Title_Case with
     # underscores). Auxiliary_Sphere_Type is consumed by the webmerc
     # special case, not mapped.
@@ -499,7 +713,10 @@ _WKT_PARAM_KEYS = {
 _METHOD_PROJ = {
     "Transverse Mercator": ("tmerc", {}),
     "Transverse_Mercator": ("tmerc", {}),
-    "Polar_Stereographic": ("stere", {"lat_0": "lat_ts"}),
+    # ESRI/GDAL polar stereographic: the standard parallel arrives as
+    # latitude_of_origin (GDAL) or Standard_Parallel_1 (ESRI) — both
+    # feed the kernel's lat_ts; the pole lat_0 is implied separately
+    "Polar_Stereographic": ("stere", {"lat_0": "lat_ts", "lat_1": "lat_ts"}),
     "Oblique_Stereographic": ("sterea", {}),
     "Cylindrical_Equal_Area": ("cea", {"lat_1": "lat_ts"}),
     "Mercator (variant A)": ("merc", {}),
@@ -549,6 +766,7 @@ _METHOD_PROJ = {
     "Two_Point_Equidistant": ("tpeqd", {}),
     "Miller_Cylindrical": ("mill", {}),
     "Stereographic": ("stere", {}),
+    "Hotine_Oblique_Mercator_Azimuth_Center": ("somerc", {}),
 }
 
 # ESRI datum names (D_*) → proj +datum shorthand (io.cpp:2095-2115
@@ -749,6 +967,12 @@ def _geog_tokens(crs: WKTNode) -> list[str]:
 
 
 def _proj_tokens(crs: WKTNode) -> list[str]:
+    # GDAL WKT1 escape hatch: EXTENSION["PROJ4", "<proj-string>"] wins
+    # over the (lossy) PROJECTION/PARAMETER rendering when present —
+    # the same precedence GDAL and the reference's WKT1 importer apply
+    ext = crs.find("EXTENSION")
+    if ext is not None and len(ext.args) >= 2 and ext.args[0] == "PROJ4":
+        return [t for t in str(ext.args[1]).split() if t]
     conv = crs.find("CONVERSION", "DERIVINGCONVERSION")
     if conv is not None:
         method = conv.find("METHOD", "PROJECTION")
@@ -839,11 +1063,13 @@ def from_wkt(text: str) -> str:
     definition (the importFromWkt direction of io.cpp, for the subset
     expressible without proj.db)."""
     toks = _crs_tokens(parse_wkt(text))
-    # dedupe while preserving order (BOUNDCRS paths can repeat tokens)
+    # dedupe by parameter KEY, first wins (BOUNDCRS paths can repeat
+    # tokens; two values for one key must not reach Params precedence)
     seen, out = set(), []
     for t in toks:
-        if t not in seen:
-            seen.add(t)
+        key = t.split("=", 1)[0]
+        if key not in seen:
+            seen.add(key)
             out.append(t)
     return " ".join(out)
 

@@ -631,3 +631,48 @@ def connected_components_min_label(pairs: pd.DataFrame, max_rounds: int = 50) ->
     return pd.DataFrame(
         {"node": list(labels), "label": [root(n) for n in list(labels)]}
     )
+
+
+def distinct_shingle_rows(texts: pd.Series, shingle_size: int):
+    """Per-doc DISTINCT shingle hashes as flat rows: returns
+    ``(doc_idx, hashes, n_distinct)`` where ``doc_idx``/``hashes`` are
+    parallel arrays of (document row, distinct shingle hash) pairs in
+    (doc, hash) order and ``n_distinct[d]`` is each doc's distinct
+    count. One lexsort + one boundary mask — no per-doc Python."""
+    sh, starts, _ = batch_shingle_hashes(texts, shingle_size)
+    n = np.diff(np.append(starts, len(sh)))
+    doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64), n)
+    order = np.lexsort((sh, doc_idx))
+    d = doc_idx[order]
+    h = sh[order]
+    first = np.ones(len(d), dtype=bool)
+    if len(d) > 1:
+        first[1:] = (d[1:] != d[:-1]) | (h[1:] != h[:-1])
+    d = d[first]
+    h = h[first]
+    return d, h, np.bincount(d, minlength=len(texts)).astype(np.int64)
+
+
+def cooccurrence_pairs(keys: np.ndarray):
+    """All within-group ordered index pairs (i < j) of rows sharing a
+    key, for SORTED ``keys``: the vectorized pair-expansion used by the
+    n-gram-Jaccard verify leg (repeat/cumsum arithmetic, no Python
+    loop; same trick as the PIP CSR pair sweep). Returns (a, b) row
+    index arrays."""
+    m = len(keys)
+    if m == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z
+    newg = np.ones(m, dtype=bool)
+    newg[1:] = keys[1:] != keys[:-1]
+    gstart = np.flatnonzero(newg)
+    gid = np.cumsum(newg) - 1
+    gsize = np.diff(np.append(gstart, m))
+    c = gsize[gid]
+    r = np.arange(m, dtype=np.int64) - gstart[gid]
+    reps = c - 1 - r
+    a = np.repeat(np.arange(m, dtype=np.int64), reps)
+    total = int(reps.sum())
+    k = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(reps) - reps, reps)
+    b = a + 1 + k
+    return a, b

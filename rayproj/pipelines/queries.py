@@ -2235,37 +2235,25 @@ def q_ngram_jaccard(sf_dir: str):
     candidate set is AUGMENTED with deterministic planted variants
     (doc_id < 30 -> doc_id + 100000, first token dropped) — the same
     augmentation is expressed in the SQL twin, making the verify
-    kernel non-vacuous (tens of matching pairs instead of 0). At
-    100-TB scale pair generation is LSH-pruned (minhash_lsh); this is
-    the exact-verify leg run on candidates."""
-    from ..functions.dedup import batch_shingle_hashes
+    kernel non-vacuous (tens of matching pairs instead of 0).
+
+    Scale shape (round-4 verdict task 3 — the former per-pair Python
+    set loop is gone): per-doc DISTINCT shingle hashes emit as
+    (hash, doc, n_sh) rows; a bucketed shuffle on the hash expands
+    co-occurring docs into (doc_a, doc_b) pair rows with pure
+    repeat/cumsum arithmetic (functions/dedup.cooccurrence_pairs); a
+    second bucketed shuffle on the pair key sums intersection counts
+    and computes Jaccard vectorized. Only (hash, doc) and (pair,
+    count) rows ever shuffle — at 100 TB the candidate universe is
+    LSH-pruned first (minhash_lsh) and this leg runs on the pruned
+    pairs with the same kernels."""
+    from ..functions.dedup import (bucketed_group_apply, cooccurrence_pairs,
+                                   distinct_shingle_rows)
 
     N_DOCS = 60
     N_VARIANTS = 30
     K = 3
     THRESH = 0.2
-
-    def pairs(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values("doc_id").reset_index(drop=True)
-        toks = df["text"].fillna("").str.split().str.len().to_numpy()
-        keep = toks >= K
-        df = df[keep].reset_index(drop=True)
-        sh, starts, _ = batch_shingle_hashes(df["text"], K)
-        bounds = np.append(starts, len(sh))
-        sets = [set(sh[bounds[i]:bounds[i + 1]].tolist()) for i in range(len(df))]
-        ids = df["doc_id"].to_numpy()
-        rows = []
-        for i in range(len(sets)):
-            for j in range(i + 1, len(sets)):
-                inter = len(sets[i] & sets[j])
-                if inter == 0:
-                    continue
-                jac = round(inter / (len(sets[i]) + len(sets[j]) - inter), 6)
-                if jac >= THRESH:  # post-rounding, like the oracle
-                    rows.append((ids[i], ids[j], jac))
-        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"]).astype(
-            {"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"}
-        )
 
     def augment(df: pd.DataFrame) -> pd.DataFrame:
         df = df[df["doc_id"] < N_DOCS][["doc_id", "text"]]
@@ -2276,11 +2264,56 @@ def q_ngram_jaccard(sf_dir: str):
         )
         return pd.concat([df, var], ignore_index=True)
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        augment, batch_format="pandas"
+    def shingle_rows(df: pd.DataFrame) -> pd.DataFrame:
+        df = augment(df)
+        toks = df["text"].fillna("").str.split().str.len().to_numpy()
+        df = df[toks >= K].reset_index(drop=True)
+        d, h, n = distinct_shingle_rows(df["text"], K)
+        ids = df["doc_id"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "sh": h.astype(np.int64),  # wrap-to-int64 view of the u64 hash
+                "doc_id": ids[d],
+                "n_sh": n[d],
+            }
+        )
+
+    rows = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        shingle_rows, batch_format="pandas"
     )
-    # candidate set is tiny by construction — single-batch exact verify
-    return pairs(ds.to_pandas())
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["sh", "doc_id"], kind="mergesort")
+        a, b = cooccurrence_pairs(df["sh"].to_numpy())
+        ids = df["doc_id"].to_numpy(np.int64)
+        nsh = df["n_sh"].to_numpy(np.int64)
+        out = pd.DataFrame(
+            {
+                "doc_a": ids[a],
+                "doc_b": ids[b],
+                "n_a": nsh[a],
+                "n_b": nsh[b],
+            }
+        )
+        out["pkey"] = out["doc_a"].to_numpy() * np.int64(1000003) + out["doc_b"].to_numpy()
+        return out
+
+    pairs = bucketed_group_apply(rows, "sh", expand)
+
+    def reduce_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["doc_a", "doc_b"], sort=False)
+        out = g.agg(
+            i=("n_a", "size"), n_a=("n_a", "first"), n_b=("n_b", "first")
+        ).reset_index()
+        jac = np.round(
+            out["i"].to_numpy(np.float64)
+            / (out["n_a"] + out["n_b"] - out["i"]).to_numpy(np.float64), 6
+        )
+        out["jaccard"] = jac
+        out = out[out["jaccard"] >= THRESH]
+        return out[["doc_a", "doc_b", "jaccard"]]
+
+    return bucketed_group_apply(pairs, "pkey", reduce_pairs)
 
 
 SQL_NGRAM_JACCARD = """

@@ -19,6 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __ray_entry__ as entrymod
 from rayproj.functions.dedup import MinHasher, jaccard
+from rayproj.pipelines.queries import q_simhash
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -47,7 +48,9 @@ def _vhash(df: pd.DataFrame) -> str:
 
 
 def test_golden_pins(ray_session):
-    queries = entrymod.queries()
+    # "simhash" was consolidated into the doc_metrics driver row in
+    # round 5; its sketch values stay pinned via the query function
+    queries = dict(entrymod.queries(), simhash=q_simhash)
     for name, (rows, digest) in GOLDEN.items():
         df = _norm(queries[name](SF_DIR).to_pandas())
         assert len(df) == rows, f"{name}: {len(df)} rows != golden {rows}"
@@ -79,7 +82,7 @@ def test_minhash_lsh_finds_planted_neardup():
 
 
 def test_ngram_jaccard_non_vacuous(ray_session):
-    out = entrymod.queries()["ngram_jaccard"](SF_DIR)
+    out = entrymod.queries()["ngram_jaccard"](SF_DIR).to_pandas()
     assert len(out) >= 20, f"ngram_jaccard matched only {len(out)} pairs"
     # every planted variant should match its original with high jaccard
     planted = out[(out["doc_b"] - out["doc_a"]) == 100000]

@@ -1,7 +1,11 @@
 """WKT2:2019 emission (rayproj/core/wkt.py vs the WKTFormatter surface
 of reference src/iso19111/io.cpp for proj-string-expressible CRSs)."""
 
+import numpy as np
+import pytest
+
 from rayproj.core.factory import create_operation
+from rayproj.core.op import FWD, Coords
 from rayproj.core.wkt import pretty, to_wkt2
 
 
@@ -359,3 +363,90 @@ def test_esri_lcc_2sp_disambiguation():
     )
     assert op.name == "lcc"
     _same_fwd(op, twin)
+
+
+# ---------------------------------------------------------------------------
+# WKT1 emission (round-4 verdict task 4): GDAL + ESRI conventions must
+# round-trip through this module's own parser to the SAME resolved
+# operation (verified by transforming points through both).
+# ---------------------------------------------------------------------------
+
+_WKT1_DEFS = [
+    # (proj-string, esri_lossless) — ESRI WKT has no TOWGS84 concept,
+    # so Helmert-carrying CRSs are GDAL-only round-trips
+    ("+proj=longlat +ellps=GRS80", True),
+    ("+proj=longlat +datum=WGS84", True),
+    ("+proj=longlat +ellps=bessel +towgs84=598.1,73.7,418.2,0.202,0.045,-2.455,6.7", False),
+    ("+proj=merc +ellps=GRS80 +lat_ts=10 +lon_0=5 +x_0=100 +y_0=200", True),
+    ("+proj=tmerc +ellps=GRS80 +lat_0=1 +lon_0=9 +k_0=0.9996 +x_0=500000", True),
+    ("+proj=utm +zone=31 +ellps=GRS80", True),
+    ("+proj=webmerc +ellps=WGS84", True),
+    ("+proj=lcc +lat_0=46.5 +lon_0=3 +lat_1=49 +lat_2=44 +x_0=700000 +y_0=6600000 +ellps=GRS80", True),
+    ("+proj=aea +lat_0=23 +lon_0=-96 +lat_1=29.5 +lat_2=45.5 +ellps=GRS80", True),
+    ("+proj=laea +lat_0=52 +lon_0=10 +x_0=4321000 +y_0=3210000 +ellps=GRS80", True),
+    ("+proj=cea +lat_ts=30 +lon_0=0 +ellps=WGS84", True),
+    ("+proj=eqc +lat_ts=30 +lon_0=10 +ellps=WGS84", True),
+    ("+proj=stere +lat_0=90 +lat_ts=70 +lon_0=-45 +ellps=GRS80", True),
+    ("+proj=stere +lat_0=52.15 +lon_0=5.38 +k_0=0.9999 +x_0=155000 +y_0=463000 +ellps=bessel", True),
+    # non-WKT1-spellable method: must take the EXTENSION["PROJ4"] path
+    ("+proj=sinu +lon_0=10 +ellps=GRS80", True),
+]
+
+
+@pytest.mark.parametrize("defn,esri_ok", _WKT1_DEFS)
+def test_wkt1_roundtrip(defn, esri_ok):
+    from rayproj.core.wkt import from_wkt, to_wkt1
+
+    lon = np.radians(np.array([5.5, 11.2, -44.0]))
+    lat = np.radians(np.array([50.1, 20.2, 71.5]))
+    op = create_operation(defn)
+    for esri in (False, True):
+        if esri and not esri_ok:
+            continue
+        w1 = to_wkt1(op, esri=esri)
+        head = w1[:7]
+        assert head in ("GEOGCS[", "PROJCS[")
+        op2 = create_operation(from_wkt(w1))
+        c1 = Coords(lon.copy(), lat.copy())
+        op.trans(FWD, c1)
+        c2 = Coords(lon.copy(), lat.copy())
+        op2.trans(FWD, c2)
+        np.testing.assert_allclose(c1.x, c2.x, rtol=0, atol=1e-6)
+        np.testing.assert_allclose(c1.y, c2.y, rtol=0, atol=1e-6)
+
+
+def test_wkt1_gdal_towgs84_node():
+    from rayproj.core.wkt import to_wkt1
+
+    op = create_operation(
+        "+proj=longlat +ellps=bessel +towgs84=598.1,73.7,418.2,0.202,0.045,-2.455,6.7"
+    )
+    w1 = to_wkt1(op)
+    assert "TOWGS84[598.1,73.7,418.2,0.202,0.045,-2.455,6.7]" in w1
+    # ESRI WKT1 has no TOWGS84 concept
+    assert "TOWGS84" not in to_wkt1(op, esri=True)
+
+
+def test_wkt1_esri_conventions():
+    from rayproj.core.wkt import to_wkt1
+
+    w1 = to_wkt1(create_operation("+proj=webmerc +datum=WGS84"), esri=True)
+    assert 'GEOGCS["GCS_unknown"' in w1
+    assert 'DATUM["D_WGS_1984"' in w1
+    assert 'PROJECTION["Mercator_Auxiliary_Sphere"]' in w1
+    assert 'PARAMETER["Auxiliary_Sphere_Type",0]' in w1
+
+
+def test_wkt1_extension_proj4_import_precedence():
+    from rayproj.core.wkt import from_wkt
+
+    # EXTENSION["PROJ4", ...] wins over the lossy PROJECTION rendering
+    w1 = (
+        'PROJCS["unknown",GEOGCS["unknown",DATUM["unknown",'
+        'SPHEROID["GRS 1980",6378137,298.257222101]],PRIMEM["Greenwich",0],'
+        'UNIT["degree",0.0174532925199433]],PROJECTION["custom_proj4"],'
+        'UNIT["metre",1],EXTENSION["PROJ4","+proj=sinu +lon_0=10 '
+        '+ellps=GRS80 +wktext"]]'
+    )
+    assert "+proj=sinu" in from_wkt(w1)
+    assert "+lon_0=10" in from_wkt(w1)
