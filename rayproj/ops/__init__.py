@@ -25,6 +25,7 @@ def load_all() -> None:
         cart,
         conic_misc,
         cyl_misc,
+        extensions,
         geogoffset,
         gridshift,
         horner,

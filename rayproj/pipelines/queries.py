@@ -4048,17 +4048,61 @@ def q_multimodal_doc(sf_dir: str):
         fn_constructor_kwargs={"bin_col": "payload"},
         concurrency=_elastic_actors(),
         batch_format="pyarrow",
-    )
-    return ds.select_columns(
+    ).select_columns(
         ["doc_id", "img_h", "img_w", "img_c", "img_format",
          "audio_channels", "audio_rate", "audio_samples"]
     )
 
+    # REAL PNG pixel decode (round-4 verdict task 6): every doc gets a
+    # full zlib-compressed grayscale PNG — pixel (x, y) = (x + 2y +
+    # doc_id) % 256 with per-line filters cycling None/Sub/Up — and the
+    # stage must inflate + unfilter to reproduce the arithmetic px_sum.
+    from ..stages.multimodal import PngPixelStage, make_png
+
+    def gen_png(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        blobs = []
+        for i in ids:
+            pw = int(8 + i % 24)
+            ph2 = int(8 + i % 16)
+            px = ((np.arange(pw)[None, :] + 2 * np.arange(ph2)[:, None]
+                   + int(i)) % 256).astype(np.uint8)
+            filt = ((np.arange(ph2) + int(i)) % 3).astype(np.uint8)
+            blobs.append(make_png(pw, ph2, px, 0, filt))
+        return batch.append_column("payload", pa.array(blobs, type=pa.binary()))
+
+    ds = ds.map_batches(gen_png, batch_format="pyarrow")
+    ds = ds.map_batches(
+        PngPixelStage,
+        fn_constructor_kwargs={"bin_col": "payload"},
+        concurrency=_elastic_actors(),
+        batch_format="pyarrow",
+    )
+    return ds.select_columns(
+        ["doc_id", "img_h", "img_w", "img_c", "img_format",
+         "audio_channels", "audio_rate", "audio_samples",
+         "px_h", "px_w", "px_sum"]
+    )
+
 
 SQL_MULTIMODAL_DOC = f"""
+WITH pxd AS (
+  SELECT doc_id,
+         CAST(8 + doc_id % 16 AS INTEGER) AS px_h,
+         CAST(8 + doc_id % 24 AS INTEGER) AS px_w
+  FROM documents),
+pxs AS (
+  SELECT p.doc_id, p.px_h, p.px_w,
+         CAST(SUM((g.k % p.px_w + 2 * (g.k // p.px_w) + p.doc_id) % 256)
+              AS BIGINT) AS px_sum
+  FROM pxd p, LATERAL (SELECT unnest(range(0, p.px_w * p.px_h)) AS k) g
+  GROUP BY 1, 2, 3)
 SELECT a.doc_id, a.img_h, a.img_w, a.img_c, a.img_format,
-       b.audio_channels, b.audio_rate, b.audio_samples
-FROM ({SQL_MULTIMODAL_META}) a JOIN ({SQL_MULTIMODAL_AUDIO}) b USING (doc_id)
+       b.audio_channels, b.audio_rate, b.audio_samples,
+       c.px_h, c.px_w, c.px_sum
+FROM ({SQL_MULTIMODAL_META}) a
+JOIN ({SQL_MULTIMODAL_AUDIO}) b USING (doc_id)
+JOIN pxs c USING (doc_id)
 ORDER BY a.doc_id
 """
 

@@ -271,6 +271,11 @@ _PARAM = {
     "8824": ("lat_2", "a"), "8826": ("x_0", "l"), "8827": ("y_0", "l"),
     "8832": ("lat_ts", "a"), "8833": ("lon_0", "a"),
     "1038": ("k_0", "s"), "1039": ("h_0", "l"),
+    # 9824 zoned TM: initial longitude / zone width
+    "8830": ("lon_i", "a"), "8831": ("zw", "a"),
+    # topocentric origins (9836 geocentric, 9837 geographic)
+    "8834": ("lat_0", "a"), "8835": ("lon_0", "a"), "8836": ("h_0", "l"),
+    "8837": ("X_0", "l"), "8838": ("Y_0", "l"), "8839": ("Z_0", "l"),
 }
 
 # EPSG method code → (proj operator, param-name overrides, extra pairs)
@@ -304,6 +309,18 @@ _METHOD = {
     # 9819 is the south-west-orientated variant → axis=swu
     "9819": ("krovak", {}, [("axis", "swu")]),
     "1041": ("krovak", {}, []),
+    # Krovak Modified (EPSG 7-2 §3.2.3 polynomial correction):
+    # engine-extension operator ops/extensions.ModKrovak
+    "1042": ("mod_krovak", {}, [("axis", "swu")]),
+    "1043": ("mod_krovak", {}, []),
+    # Transverse Mercator Zoned Grid System (EPSG:32600/32700
+    # umbrellas): engine-extension operator ops/extensions.TmercZoned
+    "9824": ("tmzoned", {}, []),
+    # Geocentric/topocentric: cartesian-in conversion
+    "9836": ("topocentric", {}, []),
+    # Geographic/topocentric: cart + topocentric pipeline (assembled in
+    # _conversion_pairs — the only pipeline-shaped _METHOD entry)
+    "9837": ("topocentric", {}, []),
     "9813": ("labrd", {"8812": "lon_0", "8813": "azi"}, []),
     "1052": ("col_urban", {}, []),
     "1051": ("lcc", {}, []),  # 2SP Michigan: k_0 via param 1038
@@ -418,6 +435,15 @@ def _conversion_pairs(conv_auth: str, conv_code: str,
         raise NotImplementedError(f"EPSG method {method} not mapped")
     op, overrides, extra = _METHOD[method]
     pairs: list[tuple[str, str | None]] = [("proj", op)]
+    if method == "9837":
+        # geographic -> topocentric is a two-step pipeline; the cart
+        # step needs the base ellipsoid explicitly (pipeline globals
+        # end at the first +step, and the trailing base pairs attach
+        # to the LAST step only)
+        ell = [(k, v) for k, v in (base_pairs or [])
+               if k in ("ellps", "a", "b", "rf", "es", "R")]
+        pairs = ([("proj", "pipeline"), ("step", None), ("proj", "cart")]
+                 + ell + [("step", None), ("proj", "topocentric")])
     lat_1_for_1sp = None
     for i in range(7):
         pcode, pval, puom = row[1 + 3 * i: 4 + 3 * i]

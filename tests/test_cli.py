@@ -134,7 +134,10 @@ def test_list_flags(capsys):
 
     assert main(["proj", "-lp"]) == 0
     out = capsys.readouterr().out.splitlines()
-    assert len(out) == 176 and "merc" in out and "pipeline" in out
+    # 176 reference pj_list operators + the engine extensions
+    # (mod_krovak / topocentric / tmzoned, ops/extensions.py)
+    assert len(out) == 179 and "merc" in out and "pipeline" in out
+    assert any("mod_krovak" in l for l in out)
     assert main(["proj", "-le"]) == 0
     assert "GRS80" in capsys.readouterr().out
     assert main(["cs2cs", "-lu"]) == 0

@@ -101,3 +101,48 @@ def test_frame_sample_fallback_deterministic():
     a = FrameSampleStage(every_n=10)(t).to_pandas()
     b = FrameSampleStage(every_n=10)(t).to_pandas()
     assert a.equals(b) and len(a) >= 1
+
+
+def test_png_pixel_stage_decodes_filters():
+    """Real IDAT decode (round-5): zlib inflate + None/Sub/Up unfilter
+    must reproduce the planted pixel sums; truncated/corrupt blobs get
+    -1 sentinels."""
+    import numpy as np
+    import pyarrow as pa
+
+    from rayproj.stages.multimodal import PngPixelStage, make_png
+
+    w, h = 13, 9
+    px = ((np.arange(w)[None, :] + 2 * np.arange(h)[:, None] + 5) % 256
+          ).astype(np.uint8)
+    blobs = [
+        make_png(w, h, px, 0),                                   # all None
+        make_png(w, h, px, 0, np.arange(h, dtype=np.uint8) % 3), # mixed
+        make_png(w, h, ((np.arange(w * h * 3) * 7) % 256
+                        ).astype(np.uint8), 2),                  # RGB
+        b"not a png",
+        make_png(w, h, px, 0)[:30],                              # truncated
+    ]
+    batch = pa.table({"payload": pa.array(blobs, type=pa.binary())})
+    out = PngPixelStage()(batch)
+    s = int(px.astype(np.int64).sum())
+    s3 = int((((np.arange(w * h * 3) * 7) % 256).astype(np.int64)).sum())
+    assert out.column("px_sum").to_pylist() == [s, s, s3, -1, -1]
+    assert out.column("px_w").to_pylist() == [w, w, w, -1, -1]
+    assert out.column("px_h").to_pylist() == [h, h, h, -1, -1]
+
+
+def test_png_idat_crc_rejected():
+    import numpy as np
+    import pyarrow as pa
+
+    from rayproj.stages.multimodal import PngPixelStage, make_png
+
+    blob = bytearray(make_png(8, 8, np.zeros(64, np.uint8), 0))
+    # flip one IDAT payload byte -> CRC mismatch -> sentinel
+    idx = blob.index(b"IDAT") + 6
+    blob[idx] ^= 0xFF
+    out = PngPixelStage()(
+        pa.table({"payload": pa.array([bytes(blob)], type=pa.binary())})
+    )
+    assert out.column("px_sum").to_pylist() == [-1]
