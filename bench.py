@@ -428,6 +428,130 @@ def run_kernel_baselines() -> dict:
     return out
 
 
+SF1_DIR = os.environ.get("BENCH_SF1_DIR", "/tmp/rayproj_sf1/documents")
+SF1_FACTOR = int(os.environ.get("BENCH_SF1_FACTOR", "1000"))
+
+
+def _ensure_sf1() -> int:
+    """Materialize the sf1-scale documents fixture ONCE to /tmp as
+    partitioned parquet (one directory, many files — the resumable-
+    output layout): the sf0.1 documents table replicated SF1_FACTOR
+    times with offset doc_ids. Deterministic; reused across rounds.
+    Returns total on-disk bytes."""
+    import glob as _glob
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    marker = os.path.join(SF1_DIR, f".complete_{SF1_FACTOR}")
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(SF1_DIR, ignore_errors=True)
+        os.makedirs(SF1_DIR, exist_ok=True)
+        base = rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                               columns=["doc_id", "lang", "text"])
+        n_base = base.count()
+
+        def blow_up(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy()
+            parts = []
+            for k in range(SF1_FACTOR):
+                parts.append(pa.table({
+                    "doc_id": pa.array(ids + k * n_base),
+                    "lang": t.column("lang"),
+                    "text": t.column("text"),
+                }))
+            return pa.concat_tables(parts)
+
+        base.map_batches(blow_up, batch_format="pyarrow").write_parquet(SF1_DIR)
+        with open(marker, "w") as f:
+            f.write(str(SF1_FACTOR))
+    return sum(os.path.getsize(f)
+               for f in _glob.glob(os.path.join(SF1_DIR, "*.parquet")))
+
+
+def run_sf1_streaming() -> dict:
+    """STREAMING evidence at sf1 scale (round-4 verdict task 8): the
+    flagship tile chain + a text-token partial run over the parquet-
+    backed sf1 documents WITHOUT materializing — read_parquet streams
+    blocks through one fused map stage into bounded per-block partials.
+    A sampler thread records peak object-store usage during the timed
+    run; peak << decompressed input bytes is the direct evidence the
+    pipeline streams instead of materializing."""
+    import threading
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    from rayproj.pipelines.flagship import _cached_stage
+
+    disk_bytes = _ensure_sf1()
+    kw = {"key_col": "doc_id", "lang_col": "lang"}
+    key = tuple(sorted(kw.items()))
+
+    def fused(t: pa.Table) -> pa.Table:
+        # full flagship per-row work on (doc_id, lang) + a vectorized
+        # token-count partial over the fat text column, ONE output row
+        # per (block, tile) + the block's token sum riding along
+        part = _cached_stage(key, kw).tile_partial(
+            t.select(["doc_id", "lang"]))
+        toks = pc.sum(pc.list_value_length(
+            pc.split_pattern(t.column("text"), " "))).as_py() or 0
+        tok_col = np.zeros(len(part), dtype=np.int64)
+        if len(tok_col):
+            tok_col[0] = toks
+        return part.append_column("tok_partial", pa.array(tok_col))
+
+    total_store = int(ray.cluster_resources().get("object_store_memory", 0))
+    peak = {"used": 0}
+    stop = threading.Event()
+
+    def poll():
+        while not stop.is_set():
+            avail = ray.available_resources().get("object_store_memory",
+                                                  total_store)
+            peak["used"] = max(peak["used"], int(total_store - avail))
+            stop.wait(0.05)
+
+    ds = rd.read_parquet(SF1_DIR, columns=["doc_id", "lang", "text"])
+    n_rows = ds.count()
+    thr = threading.Thread(target=poll, daemon=True)
+    thr.start()
+    t0 = time.perf_counter()
+    tiles = 0
+    tokens = 0
+    try:
+        for bundle in ds.map_batches(
+                fused, batch_format="pyarrow",
+                batch_size=None).iter_internal_ref_bundles():
+            for b in ray.get(list(bundle.block_refs)):
+                tiles += b.num_rows
+                tokens += int(pc.sum(b.column("tok_partial")).as_py() or 0)
+        elapsed = time.perf_counter() - t0
+    finally:
+        stop.set()
+        thr.join(timeout=1)
+    import resource
+
+    return {
+        "rows": int(n_rows),
+        "replication_factor": SF1_FACTOR,
+        "seconds": round(elapsed, 3),
+        "docs_per_sec": round(n_rows / elapsed),
+        "total_tokens": tokens,
+        "tile_partial_rows": tiles,
+        "input_parquet_bytes": disk_bytes,
+        "peak_object_store_bytes": peak["used"],
+        "object_store_capacity_bytes": total_store,
+        "driver_peak_rss_bytes":
+            resource.getrusage(resource.RUSAGE_SELF).ru_maxrss * 1024,
+    }
+
+
 def main() -> None:
     # let glibc keep reusing large numpy buffers on the heap instead of
     # mmap/munmap churn (workers inherit this env)
@@ -472,6 +596,12 @@ def main() -> None:
         pages_extract = (
             None if os.environ.get("BENCH_SKIP_QUERIES") else run_pages_extract()
         )
+        sf1 = (
+            None
+            if os.environ.get("BENCH_SKIP_QUERIES")
+            or os.environ.get("BENCH_SKIP_SF1")
+            else run_sf1_streaming()
+        )
     finally:
         ray.shutdown()
     out = {
@@ -485,6 +615,7 @@ def main() -> None:
         "write_path": write_path,
         "kernel_baselines": kernels,
         "pages_extract": pages_extract,
+        "sf1_streaming": sf1,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
     }
