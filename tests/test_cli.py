@@ -223,3 +223,18 @@ def test_geod_arc_mode(capsys):
     # after +180deg the azimuth points west: mirrored longitude
     third = [float(v) for v in lines[2].split()]
     assert third[1] == pytest.approx(-1.0, abs=1e-3)
+
+
+def test_projinfo_wkt1_output(capsys):
+    from rayproj.cli import main
+
+    assert main(["projinfo", "-o", "wkt1",
+                 "+proj=utm +zone=31 +ellps=GRS80"]) == 0
+    out = capsys.readouterr().out
+    assert out.startswith("PROJCS[")
+    assert 'PROJECTION["Transverse_Mercator"]' in out
+    assert main(["projinfo", "-o", "wkt1:esri",
+                 "+proj=webmerc +datum=WGS84"]) == 0
+    out = capsys.readouterr().out
+    assert 'DATUM["D_WGS_1984"' in out
+    assert 'PROJECTION["Mercator_Auxiliary_Sphere"]' in out
