@@ -4399,9 +4399,14 @@ def q_tinshift(sf_dir: str):
         return pa.table(
             {
                 "doc_id": pa.array(ids),
-                "tx": pa.array(np.round(coo.x, 9)),
-                "ty": pa.array(np.round(coo.y, 9)),
-                "tz": pa.array(np.round(coo.z, 9)),
+                # round 7, not 9: at |v|<=185 a 1e-9 rounding scales to
+                # ~1.8e11 where the double grid is ~3e-5 — int+0.5 ties
+                # (half-even vs half-away) at ~3e-5/value; 1e-7 keeps the
+                # scaled grid at ~5e-7 while still validating the
+                # barycentric chain 4 orders below the planted offsets
+                "tx": pa.array(np.round(coo.x, 7)),
+                "ty": pa.array(np.round(coo.y, 7)),
+                "tz": pa.array(np.round(coo.z, 7)),
             }
         )
 
@@ -4452,9 +4457,9 @@ lam AS (SELECT *,
  FROM vtx),
 lam3 AS (SELECT *, 1.0 - l1 - l2 AS l3 FROM lam)
 SELECT doc_id,
-  ROUND(tx1*l1 + tx2*l2 + tx3*l3, 9) AS tx,
-  ROUND(ty1*l1 + ty2*l2 + ty3*l3, 9) AS ty,
-  ROUND(z + (dz1*l1 + dz2*l2 + dz3*l3), 9) AS tz
+  ROUND(tx1*l1 + tx2*l2 + tx3*l3, 7) AS tx,
+  ROUND(ty1*l1 + ty2*l2 + ty3*l3, 7) AS ty,
+  ROUND(z + (dz1*l1 + dz2*l2 + dz3*l3), 7) AS tz
 FROM lam3 ORDER BY doc_id
 """
 
@@ -4619,9 +4624,13 @@ def q_deformation(sf_dir: str):
         return pa.table(
             {
                 "doc_id": pa.array(ids),
-                "dx_m": pa.array(np.round(coo.x, 4)),
-                "dy_m": pa.array(np.round(coo.y, 4)),
-                "dz_m": pa.array(np.round(coo.z, 4)),
+                # round 2, not 4: ~6.4e6-magnitude cartesians at 1e-4
+                # scale to ~6e10 where the double grid is ~1e-5 wide
+                # (same tie mechanism as horner); cm rounding still sees
+                # the ~0.2 m velocity shifts under test
+                "dx_m": pa.array(np.round(coo.x, 2)),
+                "dy_m": pa.array(np.round(coo.y, 2)),
+                "dz_m": pa.array(np.round(coo.z, 2)),
             }
         )
 
@@ -4675,9 +4684,9 @@ rot AS (SELECT *,
   cos(phi)*vn + sin(phi)*vu AS vz
  FROM vel)
 SELECT doc_id,
-  ROUND(X + 10.0*vx, 4) AS dx_m,
-  ROUND(Y + 10.0*vy, 4) AS dy_m,
-  ROUND(Z + 10.0*vz, 4) AS dz_m
+  ROUND(X + 10.0*vx, 2) AS dx_m,
+  ROUND(Y + 10.0*vy, 2) AS dy_m,
+  ROUND(Z + 10.0*vz, 2) AS dz_m
 FROM rot ORDER BY doc_id
 """
 
