@@ -228,3 +228,93 @@ def test_tmerc_roundtrip(lon0, k0, seed):
     err_lam = np.abs(np.arctan2(np.sin(coo.x - lam), np.cos(coo.x - lam)))
     assert err_lam.max() < 1e-11
     np.testing.assert_allclose(coo.y, phi, atol=1e-11)
+
+
+@settings(**COMMON)
+@given(
+    ox=st.floats(min_value=-6.4e6, max_value=6.4e6),
+    oy=st.floats(min_value=-6.4e6, max_value=6.4e6),
+    oz=st.floats(min_value=-6.4e6, max_value=6.4e6),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_topocentric_roundtrip_and_isometry(ox, oy, oz, seed):
+    """Topocentric (EPSG 9836) is a rigid motion: fwd∘inv identity to
+    sub-µm and distance-preserving for random geocentric origins."""
+    op = create_operation(
+        f"+proj=topocentric +X_0={ox} +Y_0={oy} +Z_0={oz} +ellps=WGS84"
+    )
+    rng = np.random.default_rng(seed)
+    n = 64
+    X = rng.uniform(-7e6, 7e6, n)
+    Y = rng.uniform(-7e6, 7e6, n)
+    Z = rng.uniform(-7e6, 7e6, n)
+    coo = Coords(X.copy(), Y.copy(), Z.copy())
+    op.trans(FWD, coo)
+    # isometry: pairwise distance of the first two points is preserved
+    d_in = np.sqrt((X[0]-X[1])**2 + (Y[0]-Y[1])**2 + (Z[0]-Z[1])**2)
+    d_out = np.sqrt((coo.x[0]-coo.x[1])**2 + (coo.y[0]-coo.y[1])**2
+                    + (coo.z[0]-coo.z[1])**2)
+    assert abs(d_in - d_out) < 1e-6 * max(d_in, 1.0)
+    op.trans(INV, coo)
+    np.testing.assert_allclose(coo.x, X, atol=1e-6)
+    np.testing.assert_allclose(coo.y, Y, atol=1e-6)
+    np.testing.assert_allclose(coo.z, Z, atol=1e-6)
+
+
+@settings(**COMMON)
+@given(
+    k0=st.floats(min_value=0.9995, max_value=1.0005),
+    # EPSG 9824 semantics presuppose a UTM-style false easting that
+    # keeps within-zone eastings positive (the zone-prefix floor)
+    x0=st.floats(min_value=400000, max_value=600000),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_tmzoned_matches_per_zone_tmerc(k0, x0, seed):
+    """tmzoned (EPSG 9824) == zone-prefixed tmerc at the zone's central
+    meridian, for random scale/false-easting and random world points."""
+    z = create_operation(f"+proj=tmzoned +k_0={k0} +x_0={x0} +ellps=WGS84")
+    rng = np.random.default_rng(seed)
+    n = 32
+    lon = rng.uniform(-179.9, 179.9, n)
+    lat = rng.uniform(-80, 80, n)
+    coo = Coords(np.radians(lon), np.radians(lat))
+    z.trans(FWD, coo)
+    zones = np.floor((lon + 180.0) / 6.0).astype(np.int64) + 1
+    np.testing.assert_array_equal(
+        np.floor(coo.x / 1e6).astype(np.int64), zones)
+    for zone in np.unique(zones):
+        m = zones == zone
+        u = create_operation(
+            f"+proj=tmerc +lon_0={-180 + (zone - 0.5) * 6.0} "
+            f"+k_0={k0} +x_0={x0} +ellps=WGS84")
+        cu = Coords(np.radians(lon[m]), np.radians(lat[m]))
+        u.trans(FWD, cu)
+        np.testing.assert_allclose(coo.x[m] - zone * 1e6, cu.x, atol=1e-9)
+        np.testing.assert_allclose(coo.y[m], cu.y, atol=1e-9)
+    inv = Coords(coo.x.copy(), coo.y.copy())
+    z.trans(INV, inv)
+    np.testing.assert_allclose(np.degrees(inv.x), lon, atol=1e-9)
+    np.testing.assert_allclose(np.degrees(inv.y), lat, atol=1e-9)
+
+
+def test_mod_krovak_correction_bounds():
+    """mod_krovak == krovak + a bounded polynomial correction: within
+    the Czech domain the published correction is cm-to-dm scale, and
+    fwd∘inv closes to sub-µm."""
+    base = ("+lat_0=49.5 +lon_0=24.8333333333333 +k_0=0.9999 "
+            "+x_0=5000000 +y_0=5000000 +ellps=bessel")
+    mk = create_operation(f"+proj=mod_krovak {base}")
+    kr = create_operation(f"+proj=krovak {base}")
+    rng = np.random.default_rng(7)
+    lam = np.radians(rng.uniform(12.0, 18.9, 128))
+    phi = np.radians(rng.uniform(48.5, 51.1, 128))
+    cm = Coords(lam.copy(), phi.copy())
+    mk.trans(FWD, cm)
+    ck = Coords(lam.copy(), phi.copy())
+    kr.trans(FWD, ck)
+    d = np.hypot(cm.x - ck.x, cm.y - ck.y)
+    assert d.max() < 2.0 and d.min() > 1e-4  # correction present, bounded
+    ci = Coords(cm.x.copy(), cm.y.copy())
+    mk.trans(INV, ci)
+    np.testing.assert_allclose(ci.x, lam, atol=1e-11)
+    np.testing.assert_allclose(ci.y, phi, atol=1e-11)
