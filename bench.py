@@ -328,8 +328,9 @@ def run_kernel_baselines() -> dict:
         "+convention=coordinate_frame "
         "+step +inv +proj=cart +ellps=GRS80"
     )
+    reps = int(os.environ.get("BENCH_KERNEL_REPS", "5"))
     runs = []
-    for _ in range(3):
+    for _ in range(reps):
         coo = Coords(lam.copy(), phi.copy())
         t0 = time.perf_counter()
         helmert.trans(FWD, coo)
@@ -370,7 +371,7 @@ def run_kernel_baselines() -> dict:
     lon_deg = np.degrees(lam)
     lat_deg = np.degrees(phi)
     runs = []
-    for _ in range(3):
+    for _ in range(reps):
         coo = Coords(lon_deg.copy(), lat_deg.copy())
         t0 = time.perf_counter()
         tinshift.trans(FWD, coo)
