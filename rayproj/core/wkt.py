@@ -95,15 +95,8 @@ _METHODS = {
             ("False northing", "y0"),
         ],
     ),
-    "stere": (
-        "Polar Stereographic (variant B)",
-        [
-            ("Latitude of standard parallel", "lat_ts"),
-            ("Longitude of origin", "lon_0"),
-            ("False easting", "x0"),
-            ("False northing", "y0"),
-        ],
-    ),
+    # "stere" is dispatched by _method_variant (variant A/B selection
+    # + pole-signed standard parallel), not by this table
     "somerc": (
         "Hotine Oblique Mercator (variant B)",
         [
@@ -194,11 +187,25 @@ def _datum_name(op) -> str:
     return _DATUM_NAMES.get(d, "unknown") if d else "unknown"
 
 
+def _primem(op, unit: str = "") -> str:
+    """PRIMEM node from the op's resolved +pm offset (radians in
+    op.from_greenwich). Hardcoding Greenwich would silently drop a
+    non-Greenwich prime meridian the importer (_primem_tokens) fully
+    supports — a ~2.34° (175 km) error for +pm=paris after round-trip."""
+    fg = getattr(op, "from_greenwich", 0.0)
+    suffix = f",{unit}" if unit else ""
+    if not fg:
+        return f'PRIMEM["Greenwich",0{suffix}]'
+    pm = op.params.str_("pm") or ""
+    name = pm.capitalize() if pm.isalpha() else "unknown"
+    return f'PRIMEM["{name}",{_num(round(fg * RAD_TO_DEG, 12))}{suffix}]'
+
+
 def _geog_cs(op, name: str = "unknown") -> str:
     return (
         f'GEOGCRS["{name}",'
         f'DATUM["{_datum_name(op)}",{_ellipsoid(op)}],'
-        f'PRIMEM["Greenwich",0,{_ANGLEUNIT}],'
+        f'{_primem(op, _ANGLEUNIT)},'
         "CS[ellipsoidal,2],"
         f'AXIS["geodetic latitude (Lat)",north,ORDER[1],{_ANGLEUNIT}],'
         f'AXIS["geodetic longitude (Lon)",east,ORDER[2],{_ANGLEUNIT}]]'
@@ -209,7 +216,7 @@ def _base_geog(op) -> str:
     return (
         'BASEGEOGCRS["unknown",'
         f'DATUM["{_datum_name(op)}",{_ellipsoid(op)}],'
-        f'PRIMEM["Greenwich",0,{_ANGLEUNIT}]]'
+        f'{_primem(op, _ANGLEUNIT)}]'
     )
 
 
@@ -250,23 +257,70 @@ def _escape_method(params) -> str:
     return f"PROJ-based operation method: {toks}"
 
 
-def _projected(op) -> str:
+def _method_variant(op):
+    """EPSG method + parameter list for the op, selecting the variant
+    that preserves every resolved parameter (shared by to_wkt2 and
+    to_projjson; to_wkt1 applies the same logic with WKT1 spellings):
+    merc without +lat_ts is variant A (scale factor carries k_0), polar
+    stere without +lat_ts is variant A (origin at the pole + scale
+    factor), and a variant-B standard parallel is SIGNED by the pole
+    hemisphere (PROJ takes |lat_ts| and reads the pole from lat_0, but
+    WKT importers infer the pole from the parallel's sign). Parameter
+    sources may be float literals (emitted verbatim) or the usual
+    attr/param names."""
     name = op.name
     params = op.params
     if name == "utm":
         # utm resolves to tmerc constants (lam0/k0/x0/y0 already set)
-        method, plist = _METHODS["tmerc"]
-    elif name == "stere" and abs(abs(op.phi0 * RAD_TO_DEG) - 90.0) > 1e-9:
-        # Polar Stereographic variants require a polar origin; oblique
-        # stere has no proj-string-lossless EPSG method -> escape hatch
-        method, plist = _escape_method(params), []
-    elif name in _METHODS:
-        method, plist = _METHODS[name]
-    else:
-        # reference escape hatch for non-mappable operations
-        method, plist = _escape_method(params), []
+        return _METHODS["tmerc"]
+    if name == "merc" and not params.has("lat_ts"):
+        return (
+            "Mercator (variant A)",
+            [
+                ("Latitude of natural origin", 0.0),
+                ("Longitude of natural origin", "lon_0"),
+                ("Scale factor at natural origin", "k0"),
+                ("False easting", "x0"),
+                ("False northing", "y0"),
+            ],
+        )
+    if name == "stere":
+        if abs(abs(op.phi0 * RAD_TO_DEG) - 90.0) > 1e-9:
+            # oblique stere has no proj-string-lossless EPSG method
+            return _escape_method(params), []
+        sgn = 1.0 if op.phi0 >= 0.0 else -1.0
+        if not params.has("lat_ts"):
+            return (
+                "Polar Stereographic (variant A)",
+                [
+                    ("Latitude of natural origin", sgn * 90.0),
+                    ("Longitude of natural origin", "lon_0"),
+                    ("Scale factor at natural origin", "k0"),
+                    ("False easting", "x0"),
+                    ("False northing", "y0"),
+                ],
+            )
+        return (
+            "Polar Stereographic (variant B)",
+            [
+                ("Latitude of standard parallel",
+                 sgn * abs(params.float_("lat_ts", 90.0))),
+                ("Longitude of origin", "lon_0"),
+                ("False easting", "x0"),
+                ("False northing", "y0"),
+            ],
+        )
+    if name in _METHODS:
+        return _METHODS[name]
+    # reference escape hatch for non-mappable operations
+    return _escape_method(params), []
+
+
+def _projected(op) -> str:
+    method, plist = _method_variant(op)
     conv_params = ",".join(
-        f'PARAMETER["{pname}",{_num(_param_value(op, src))},'
+        f'PARAMETER["{pname}",'
+        f'{_num(src if isinstance(src, float) else _param_value(op, src))},'
         + (_ANGLEUNIT if pname.startswith(("Latitude", "Longitude")) else _METREUNIT)
         + "]"
         for pname, src in plist
@@ -293,9 +347,16 @@ def to_wkt2(op) -> str:
     else:
         inner = _projected(op)
     towgs84 = op.params.str_("towgs84")
-    # an all-zero towgs84 (what +datum=WGS84 expands to) means the datum
-    # IS the WGS84 hub: the reference emits a bare CRS, not a BOUNDCRS
-    if towgs84 and any(float(v) != 0.0 for v in towgs84.split(",")):
+    # an all-zero towgs84 coming from a NAMED datum (+datum=WGS84 expands
+    # to 0,0,0) is implied by the datum itself and emits as a bare CRS;
+    # an all-zero towgs84 the user pinned EXPLICITLY (+ellps=bessel
+    # +towgs84=0,0,0) asserts identity with WGS84 and must survive the
+    # round-trip — dropping it would change how the CRS composes in
+    # cs2cs datum hops (pinned null Helmert vs unknown datum)
+    if towgs84 and (
+        any(float(v) != 0.0 for v in towgs84.split(","))
+        or not op.params.str_("datum")
+    ):
         return _bound(inner, towgs84)
     return inner
 
@@ -406,9 +467,16 @@ def _w1_datum(op, esri: bool) -> str:
         name = _DATUM_NAMES.get(d, "unknown") if d else "unknown"
     body = f'DATUM["{name}",{_w1_spheroid(op)}'
     # WKT1_GDAL carries the Helmert leg as a TOWGS84 node inside DATUM
-    # (io.cpp WKT1 convention) — ESRI WKT has no TOWGS84 concept
+    # (io.cpp WKT1 convention) — ESRI WKT has no TOWGS84 concept.
+    # An all-zero towgs84 from a NAMED datum is implied by the name; an
+    # EXPLICIT all-zero pin (+ellps=bessel +towgs84=0,0,0) asserts
+    # identity with WGS84 and must be emitted (GDAL writes
+    # TOWGS84[0,0,0,0,0,0,0]) or the round-trip loses the datum pin
     towgs84 = op.params.str_("towgs84")
-    if not esri and towgs84 and any(float(v) != 0.0 for v in towgs84.split(",")):
+    if not esri and towgs84 and (
+        any(float(v) != 0.0 for v in towgs84.split(","))
+        or not d
+    ):
         vals = [float(v) for v in towgs84.split(",")]
         vals += [0.0] * (7 - len(vals))
         body += ",TOWGS84[" + ",".join(_num(v) for v in vals[:7]) + "]"
@@ -420,7 +488,7 @@ def _w1_geogcs(op, esri: bool) -> str:
     unit = f'UNIT["Degree",{_W1_DEG}]' if esri else f'UNIT["degree",{_W1_DEG}]'
     out = (
         f'GEOGCS["{gname}",{_w1_datum(op, esri)},'
-        f'PRIMEM["Greenwich",0],{unit}'
+        f'{_primem(op)},{unit}'
     )
     if not esri:
         out += ',AXIS["Latitude",NORTH],AXIS["Longitude",EAST]'
@@ -472,11 +540,39 @@ def to_wkt1(op, esri: bool = False) -> str:
         )
     elif name == "webmerc":
         entry = None  # GDAL: Mercator_1SP + PROJ4 extension (below)
+    elif name == "merc":
+        if op.params.has("lat_ts") or (esri and op.k0 == 1.0):
+            # variant B (2SP): standard parallel carries the scaling;
+            # ESRI variant A with k0=1 is the same op as SP1=0
+            entry = _WKT1_METHODS["merc"]
+        elif esri:
+            entry = None  # ESRI has no scale-factor Mercator: escape hatch
+        else:
+            # GDAL variant A: Mercator_1SP + scale_factor — emitting
+            # Mercator_2SP here would silently drop +k_0
+            entry = ("Mercator_1SP", "Mercator", [
+                ("central_meridian", "Central_Meridian", "lon_0"),
+                ("scale_factor", "Scale_Factor", "k0"),
+                ("false_easting", "False_Easting", "x0"),
+                ("false_northing", "False_Northing", "y0"),
+            ])
     elif name == "stere":
         polar = abs(abs(op.phi0 * RAD_TO_DEG) - 90.0) < 1e-9
         if polar:
+            # GDAL convention: latitude_of_origin carries the standard
+            # parallel SIGNED by the pole hemisphere. Variant A (no
+            # +lat_ts) emits the pole itself (±90) + scale_factor; the
+            # importer's lat_ts=±90 reduces to the k0 form (stere.setup
+            # phits=π/2 branch), the exact inverse mapping. Reading the
+            # raw lat_ts param here would lose the hemisphere for
+            # variant A (lat_ts defaults to 0 → +90 pole on import).
+            sgn = 1.0 if op.phi0 >= 0.0 else -1.0
+            if op.params.has("lat_ts"):
+                lat_or = sgn * abs(op.params.float_("lat_ts", 90.0))
+            else:
+                lat_or = sgn * 90.0
             entry = ("Polar_Stereographic", "Polar_Stereographic", [
-                ("latitude_of_origin", "Standard_Parallel_1", "lat_ts"),
+                ("latitude_of_origin", "Standard_Parallel_1", lat_or),
                 ("central_meridian", "Central_Meridian", "lon_0"),
                 ("scale_factor", "Scale_Factor", "k0"),
                 ("false_easting", "False_Easting", "x0"),
@@ -498,7 +594,8 @@ def to_wkt1(op, esri: bool = False) -> str:
     pname = ename if esri else gname
     unit = 'UNIT["Meter",1.0]' if esri else 'UNIT["metre",1]'
     params = ",".join(
-        f'PARAMETER["{(ep if esri else gp)}",{_num(_param_value(op, src))}]'
+        f'PARAMETER["{(ep if esri else gp)}",'
+        f'{_num(src if isinstance(src, float) else _param_value(op, src))}]'
         for gp, ep, src in plist
     )
     out = (
@@ -542,10 +639,21 @@ def _pj_datum(op) -> dict:
 
 
 def _pj_geog(op, name="unknown") -> dict:
+    datum = _pj_datum(op)
+    fg = getattr(op, "from_greenwich", 0.0)
+    if fg:
+        # non-Greenwich +pm: PROJJSON carries it inside the datum
+        # (GeodeticReferenceFrame.prime_meridian); omitting it would
+        # silently shift every longitude by the meridian offset
+        pm = op.params.str_("pm") or ""
+        datum["prime_meridian"] = {
+            "name": pm.capitalize() if pm.isalpha() else "unknown",
+            "longitude": round(fg * RAD_TO_DEG, 12),
+        }
     return {
         "type": "GeographicCRS",
         "name": name,
-        "datum": _pj_datum(op),
+        "datum": datum,
         "coordinate_system": {
             "subtype": "ellipsoidal",
             "axis": [
@@ -559,19 +667,11 @@ def _pj_geog(op, name="unknown") -> dict:
 
 
 def _pj_conversion(op) -> dict:
-    name = op.name
-    if name == "utm":
-        method, plist = _METHODS["tmerc"]
-    elif name == "stere" and abs(abs(op.phi0 * RAD_TO_DEG) - 90.0) > 1e-9:
-        method, plist = _escape_method(op.params), []
-    elif name in _METHODS:
-        method, plist = _METHODS[name]
-    else:
-        method, plist = _escape_method(op.params), []
+    method, plist = _method_variant(op)
     params = [
         {
             "name": pname,
-            "value": _param_value(op, src),
+            "value": src if isinstance(src, float) else _param_value(op, src),
             "unit": "degree"
             if pname.startswith(("Latitude", "Longitude"))
             else "metre",
@@ -609,7 +709,12 @@ def to_projjson(op) -> dict:
             },
         }
     towgs84 = op.params.str_("towgs84")
-    if towgs84 and any(float(v) != 0.0 for v in towgs84.split(",")):
+    # same explicit-zero rule as to_wkt2: a user-pinned all-zero
+    # towgs84 asserts identity with WGS84 and must survive
+    if towgs84 and (
+        any(float(v) != 0.0 for v in towgs84.split(","))
+        or not op.params.str_("datum")
+    ):
         vals = [float(v) for v in towgs84.split(",")]
         vals += [0.0] * (7 - len(vals))
         pnames = [
@@ -1014,8 +1119,10 @@ def _proj_tokens(crs: WKTNode) -> list[str]:
         elif key.startswith(("x_", "y_")):
             val = val * _unit_factor(p)
         toks.append(f"+{key}={_num(val)}")
-    if mname in ("Polar Stereographic (variant B)", "Polar_Stereographic"):
-        # the pole is implied by the standard parallel's hemisphere
+    if mname in ("Polar Stereographic (variant B)",
+                 "Polar Stereographic (variant A)", "Polar_Stereographic"):
+        # the pole is implied by the standard parallel's (variant B) or
+        # natural origin's (variant A, remapped to lat_ts) hemisphere
         ts = next(
             (float(t.split("=")[1]) for t in toks if t.startswith("+lat_ts=")),
             90.0,
@@ -1180,7 +1287,8 @@ def _pj_proj_tokens(crs: dict) -> list[str]:
         if kind == "angle":
             val = round(val, 12)
         toks.append(f"+{key}={_num(val)}")
-    if mname in ("Polar Stereographic (variant B)", "Polar_Stereographic"):
+    if mname in ("Polar Stereographic (variant B)",
+                 "Polar Stereographic (variant A)", "Polar_Stereographic"):
         ts = next(
             (float(t.split("=")[1]) for t in toks if t.startswith("+lat_ts=")),
             90.0,

@@ -88,7 +88,13 @@ def test_from_wkt_roundtrip_projected():
         "+proj=lcc +lat_1=33 +lat_2=45 +lat_0=39 +lon_0=-96 +ellps=GRS80",
         "+proj=aea +lat_1=29.5 +lat_2=45.5 +lat_0=23 +lon_0=-96 +ellps=GRS80",
         "+proj=stere +lat_ts=-71 +lat_0=-90 +lon_0=0 +ellps=WGS84",
+        # polar variant A (k_0, no lat_ts) and a POSITIVE-lat_ts south
+        # pole: hemisphere + scale must survive the method mapping
+        "+proj=stere +lat_0=-90 +k_0=0.994 +ellps=WGS84",
+        "+proj=stere +lat_0=-90 +lat_ts=71 +ellps=WGS84",
         "+proj=merc +lat_ts=30 +ellps=WGS84",
+        "+proj=merc +k_0=0.5 +ellps=WGS84",  # variant A carries k_0
+        "+proj=tmerc +lon_0=0 +pm=paris +ellps=GRS80",  # prime meridian
         "+proj=eck4 +ellps=WGS84",  # escape-hatch method embeds proj-string
     ]:
         back = from_wkt(to_wkt2(create_operation(defn)))
@@ -197,7 +203,7 @@ def test_pretty_roundtrip_structure():
 # --- PROJJSON input (io.cpp:4905 JSONParser direction) ---------------------
 
 
-def _roundtrip_projjson(defn: str):
+def _roundtrip_projjson(defn: str, atol: float = 1e-9):
     import json
 
     import numpy as np
@@ -216,8 +222,8 @@ def _roundtrip_projjson(defn: str):
     c2 = Coords(lam.copy(), phi.copy())
     op1.trans(FWD, c1)
     op2.trans(FWD, c2)
-    np.testing.assert_allclose(c2.x, c1.x, rtol=0, atol=1e-9)
-    np.testing.assert_allclose(c2.y, c1.y, rtol=0, atol=1e-9)
+    np.testing.assert_allclose(c2.x, c1.x, rtol=0, atol=atol)
+    np.testing.assert_allclose(c2.y, c1.y, rtol=0, atol=atol)
     return op1, op2
 
 
@@ -234,6 +240,19 @@ def test_from_projjson_roundtrip_lcc():
 
 def test_from_projjson_roundtrip_escape_hatch():
     _roundtrip_projjson("+proj=eck4 +ellps=WGS84")
+
+
+def test_from_projjson_roundtrip_variants_and_pm():
+    # polar stere variant A keeps hemisphere + k_0; a positive-lat_ts
+    # south pole keeps the hemisphere; Mercator variant A keeps k_0;
+    # a non-Greenwich prime meridian survives inside the datum object
+    _roundtrip_projjson("+proj=stere +lat_0=-90 +k_0=0.994 +ellps=WGS84")
+    _roundtrip_projjson("+proj=stere +lat_0=-90 +lat_ts=71 +ellps=WGS84")
+    _roundtrip_projjson("+proj=merc +k_0=0.5 +ellps=WGS84")
+    # the Paris offset is a repeating decimal: the 1e-12-degree emit
+    # rounding leaves ~2.5e-8 m, far below geodetic significance
+    _roundtrip_projjson("+proj=tmerc +lon_0=0 +pm=paris +ellps=GRS80",
+                        atol=1e-6)
 
 
 def test_from_projjson_boundcrs_towgs84():
@@ -388,6 +407,20 @@ _WKT1_DEFS = [
     ("+proj=eqc +lat_ts=30 +lon_0=10 +ellps=WGS84", True),
     ("+proj=stere +lat_0=90 +lat_ts=70 +lon_0=-45 +ellps=GRS80", True),
     ("+proj=stere +lat_0=52.15 +lon_0=5.38 +k_0=0.9999 +x_0=155000 +y_0=463000 +ellps=bessel", True),
+    # polar stere variant A (no lat_ts): hemisphere + k_0 must survive
+    ("+proj=stere +lat_0=-90 +k_0=0.994 +ellps=WGS84", True),
+    # south-pole variant B with POSITIVE lat_ts: hemisphere from lat_0
+    ("+proj=stere +lat_0=-90 +lat_ts=71 +ellps=WGS84", True),
+    ("+proj=stere +lat_0=-90 +lat_ts=-71 +lon_0=70 +ellps=WGS84", True),
+    # Mercator variant A with k_0: GDAL Mercator_1SP + scale_factor
+    # (ESRI has no scale-factor Mercator: takes the escape hatch)
+    ("+proj=merc +k_0=0.5 +ellps=WGS84", True),
+    # non-Greenwich prime meridian: PRIMEM must carry the offset
+    ("+proj=tmerc +lon_0=0 +pm=paris +ellps=GRS80", True),
+    ("+proj=longlat +pm=paris +ellps=GRS80", True),
+    # explicit all-zero towgs84 pins the datum to WGS84 — must emit
+    # TOWGS84[0,0,0,0,0,0,0] (GDAL convention), not drop the node
+    ("+proj=longlat +ellps=bessel +towgs84=0,0,0", False),
     # non-WKT1-spellable method: must take the EXTENSION["PROJ4"] path
     ("+proj=sinu +lon_0=10 +ellps=GRS80", True),
 ]
@@ -425,6 +458,37 @@ def test_wkt1_gdal_towgs84_node():
     assert "TOWGS84[598.1,73.7,418.2,0.202,0.045,-2.455,6.7]" in w1
     # ESRI WKT1 has no TOWGS84 concept
     assert "TOWGS84" not in to_wkt1(op, esri=True)
+
+
+def test_wkt1_explicit_zero_towgs84_pins_datum():
+    """+towgs84=0,0,0 pinned explicitly asserts identity with WGS84 and
+    must survive the round-trip (it changes cs2cs datum-hop planning);
+    an all-zero towgs84 implied by a NAMED datum stays implicit."""
+    from rayproj.core.wkt import from_wkt, to_wkt1, to_wkt2
+
+    op = create_operation("+proj=longlat +ellps=bessel +towgs84=0,0,0")
+    w1 = to_wkt1(op)
+    assert "TOWGS84[0,0,0,0,0,0,0]" in w1
+    assert "+towgs84=0,0,0,0,0,0,0" in from_wkt(w1)
+    w2 = to_wkt2(op)
+    assert w2.startswith("BOUNDCRS")
+    assert "+towgs84=0,0,0,0,0,0,0" in from_wkt(w2)
+    # named datum: the zero towgs84 is implied by the datum name
+    named = create_operation("+proj=longlat +datum=WGS84")
+    assert "TOWGS84" not in to_wkt1(named)
+    assert to_wkt2(named).startswith("GEOGCRS")
+
+
+def test_wkt1_primem_non_greenwich():
+    """+pm survives WKT1/WKT2 emission (a dropped Paris meridian is a
+    ~175 km error after round-trip)."""
+    from rayproj.core.wkt import to_wkt1, to_wkt2
+
+    op = create_operation("+proj=longlat +pm=paris +ellps=GRS80")
+    assert 'PRIMEM["Paris",2.337229166667' in to_wkt1(op)
+    assert 'PRIMEM["Paris",2.337229166667' in to_wkt2(op)
+    plain = create_operation("+proj=longlat +ellps=GRS80")
+    assert 'PRIMEM["Greenwich",0' in to_wkt1(plain)
 
 
 def test_wkt1_esri_conventions():
