@@ -318,3 +318,76 @@ def test_mod_krovak_correction_bounds():
     mk.trans(INV, ci)
     np.testing.assert_allclose(ci.x, lam, atol=1e-11)
     np.testing.assert_allclose(ci.y, phi, atol=1e-11)
+
+
+@settings(deadline=None, max_examples=40)
+@given(
+    method=st.sampled_from(
+        ["tmerc", "merc_a", "merc_b", "lcc", "aea", "laea", "cea",
+         "eqc", "stere_pa", "stere_pb", "stere_obl"]
+    ),
+    lat_0=st.floats(min_value=-60.0, max_value=60.0),
+    lon_0=st.floats(min_value=-170.0, max_value=170.0),
+    k_0=st.floats(min_value=0.5, max_value=1.1),
+    ts=st.floats(min_value=5.0, max_value=85.0),
+    lat_1=st.floats(min_value=10.0, max_value=40.0),
+    dlat=st.floats(min_value=5.0, max_value=30.0),
+    x_0=st.floats(min_value=-1e6, max_value=1e6),
+    y_0=st.floats(min_value=-1e6, max_value=1e6),
+    rf=st.floats(min_value=150.0, max_value=500.0),
+    south=st.booleans(),
+)
+def test_wkt_emitters_roundtrip_random_params(
+    method, lat_0, lon_0, k_0, ts, lat_1, dlat, x_0, y_0, rf, south
+):
+    """Emit→parse→construct returns the SAME resolved operation for
+    every WKT-mappable method under random parameter draws, across all
+    four emitters (WKT2, WKT1-GDAL, WKT1-ESRI, PROJJSON). Pins the
+    variant-selection logic (Mercator/polar-stere A vs B), the
+    pole-signed standard parallel, and the parameter spellings on
+    inputs the fixed round-trip lists never generate."""
+    import json
+
+    from rayproj.core.wkt import (
+        from_projjson, from_wkt, to_projjson, to_wkt1, to_wkt2,
+    )
+
+    sgn = -1.0 if south else 1.0
+    base = f"+a=6378137 +rf={rf} +lon_0={lon_0} +x_0={x_0} +y_0={y_0}"
+    defn = {
+        "tmerc": f"+proj=tmerc +lat_0={lat_0} +k_0={k_0} {base}",
+        "merc_a": f"+proj=merc +k_0={k_0} {base}",
+        "merc_b": f"+proj=merc +lat_ts={sgn * ts} {base}",
+        "lcc": f"+proj=lcc +lat_0={lat_0} +lat_1={lat_1} "
+               f"+lat_2={lat_1 + dlat} {base}",
+        "aea": f"+proj=aea +lat_0={lat_0} +lat_1={lat_1} "
+               f"+lat_2={lat_1 + dlat} {base}",
+        "laea": f"+proj=laea +lat_0={lat_0} {base}",
+        "cea": f"+proj=cea +lat_ts={ts} {base}",
+        "eqc": f"+proj=eqc +lat_ts={ts} {base}",
+        "stere_pa": f"+proj=stere +lat_0={sgn * 90} +k_0={k_0} {base}",
+        "stere_pb": f"+proj=stere +lat_0={sgn * 90} +lat_ts={ts} {base}",
+        "stere_obl": f"+proj=stere +lat_0={lat_0} +k_0={k_0} {base}",
+    }[method]
+    op = create_operation(defn)
+    rng = np.random.default_rng(7)
+    lam = np.radians(rng.uniform(-30.0, 30.0, 8) + lon_0)
+    # keep test points on the projection's own hemisphere / far from
+    # the tmerc divergence band
+    phi = np.radians(sgn * rng.uniform(15.0, 75.0, 8))
+    c0 = Coords(lam.copy(), phi.copy())
+    op.trans(FWD, c0)
+    emitters = [
+        lambda o: from_wkt(to_wkt2(o)),
+        lambda o: from_wkt(to_wkt1(o)),
+        lambda o: from_wkt(to_wkt1(o, esri=True)),
+        lambda o: from_projjson(json.dumps(to_projjson(o))),
+    ]
+    for emit in emitters:
+        op2 = create_operation(emit(op))
+        c2 = Coords(lam.copy(), phi.copy())
+        op2.trans(FWD, c2)
+        # sub-mm: parameter re-parse noise only (angles snapped at
+        # 1e-10 deg, rf at 1e-9)
+        np.testing.assert_allclose(c2.x, c0.x, rtol=0, atol=1e-3)
+        np.testing.assert_allclose(c2.y, c0.y, rtol=0, atol=1e-3)
