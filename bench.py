@@ -382,6 +382,52 @@ def run_kernel_baselines() -> dict:
     out["tinshift_load_ms"] = round(load_ms, 1)
     out["n_points"] = n
 
+    # (b2) LARGE TIN at RFC-6's second published scale: 115,000
+    # triangles / 71,000 vertices, reference 2.2 M pts/s "including
+    # load overhead" and ~450 ms load (rfc-6.rst:158-160, :322-325).
+    # 241x241 vertex grid -> 58,081 vertices / 115,200 triangles
+    # (triangle count matched exactly; lookup cost scales with
+    # triangles, not vertices). Fixture JSON cached on disk.
+    kL = 241
+    tin_large = "/tmp/bench_tin_large.json"
+    if not os.path.exists(tin_large):
+        xs = np.linspace(19.0, 31.0, kL)
+        ys = np.linspace(59.0, 70.5, kL)
+        gx, gy = np.meshgrid(xs, ys)
+        vertsL = np.column_stack(
+            [gx.ravel(), gy.ravel(), gx.ravel() + 1e-4, gy.ravel() + 5e-5]
+        ).tolist()
+        rr, cc = np.meshgrid(np.arange(kL - 1), np.arange(kL - 1), indexing="ij")
+        v0 = (rr * kL + cc).ravel()
+        trisL = np.concatenate(
+            [np.column_stack([v0, v0 + 1, v0 + kL]),
+             np.column_stack([v0 + 1, v0 + kL + 1, v0 + kL])]
+        ).tolist()
+        docL = dict(doc, vertices=vertsL, triangles=trisL)
+        with open(tin_large + ".tmp", "w") as f:
+            json.dump(docL, f)
+        os.replace(tin_large + ".tmp", tin_large)
+    t_load0 = time.perf_counter()
+    tin_l = create_operation(f"+proj=tinshift +file={tin_large}")
+    # index build happens lazily on first batch — charge it to load,
+    # like the reference's quadtree build inside its load path
+    coo = Coords(lon_deg[:1024].copy(), lat_deg[:1024].copy())
+    tin_l.trans(FWD, coo)
+    load_l_ms = (time.perf_counter() - t_load0) * 1000
+    runs = []
+    for _ in range(reps):
+        coo = Coords(lon_deg.copy(), lat_deg.copy())
+        t0 = time.perf_counter()
+        tin_l.trans(FWD, coo)
+        runs.append(time.perf_counter() - t0)
+    out["tinshift_large_pts_per_sec"] = round(n / min(runs))
+    out["tinshift_large_incl_load_pts_per_sec"] = round(
+        n / (min(runs) + load_l_ms / 1000))
+    out["tinshift_large_ref_pts_per_sec"] = 2_200_000  # incl. load
+    out["tinshift_large_n_triangles"] = 2 * (kL - 1) * (kL - 1)
+    out["tinshift_large_load_ms"] = round(load_l_ms, 1)
+    out["tinshift_large_ref_load_ms"] = 450.0
+
     # (c) n-gram-Jaccard exact-verify kernel on planted candidate pairs
     # (round-4 verdict task 3): ~10^5 pairs through the vectorized
     # cooccurrence-pair expansion + pair-reduce vs the former per-pair
