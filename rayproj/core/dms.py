@@ -15,7 +15,10 @@ from .errors import ERR_WRONG_FORMAT_DMS_VALUE, ProjError
 
 # multipliers for degree / minute / second fields
 _VM = (DEG_TO_RAD, DEG_TO_RAD / 60.0, DEG_TO_RAD / 3600.0)
-_NUM = re.compile(r"[0-9.]+(?:[eE][-+]?[0-9]+)?")
+# must contain at least one DIGIT: a bare "." (or "...") is "no
+# conversion" in the reference's strtod-based dmstor, i.e. an error,
+# not float('.')'s ValueError
+_NUM = re.compile(r"(?:[0-9]+\.?[0-9]*|\.[0-9]+)(?:[eE][-+]?[0-9]+)?")
 
 
 def dms_to_rad(text: str) -> float:

@@ -1335,6 +1335,9 @@ def from_projjson(text_or_doc) -> str:
 
     doc = (_json.loads(text_or_doc) if isinstance(text_or_doc, str)
            else text_or_doc)
+    if not isinstance(doc, dict):
+        raise ValueError(
+            f"PROJJSON: document must be an object, got {type(doc).__name__}")
     toks = _pj_crs_tokens(doc)
     # dedupe by parameter KEY (first wins), not by whole token: a mapped
     # parameter (e.g. an explicit +lat_0) and a later method-implied

@@ -1,0 +1,209 @@
+"""Parser-robustness fuzz: the user-facing plan-time surfaces
+(proj-string → create_operation, WKT1/WKT2/ESRI → from_wkt,
+PROJJSON → from_projjson, DMS → dms_to_rad) must fail CLEANLY on
+arbitrary or corrupted input — a defined error type, never an
+internal-shaped crash (IndexError / AttributeError / TypeError /
+UnboundLocalError / RecursionError) and never a hang.
+
+The reference hardens the same surfaces with libfuzzer harnesses
+(/root/reference/test/fuzzers/standard_fuzzer.cpp — proj_create over
+arbitrary bytes); this is the pytest/hypothesis equivalent, with the
+allowed-exception set standing in for "returns NULL with an errno".
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from rayproj.core.dms import dms_to_rad
+from rayproj.core.errors import ProjError
+from rayproj.core.factory import create_operation
+from rayproj.core.wkt import from_projjson, from_wkt, to_wkt1, to_wkt2
+
+# Plan-time failures may surface as any of these; anything else is an
+# unhandled internal path. OSError covers file-backed ops (+file=...)
+# pointed at nonexistent paths.
+ALLOWED = (ProjError, ValueError, KeyError, NotImplementedError, OSError)
+
+FUZZ = settings(
+    max_examples=150,
+    deadline=None,  # this host time-shares noisily; wall-time asserts lie
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+
+# ---------------------------------------------------------------------------
+# proj-string surface
+
+_PROJ_NAMES = ["merc", "utm", "tmerc", "lcc", "aea", "stere", "longlat",
+               "cart", "helmert", "pipeline", "unitconvert", "axisswap",
+               "noop", "krovak", "geos", "nosuchproj"]
+_KEYS = ["proj", "ellps", "datum", "zone", "lat_0", "lat_1", "lat_2",
+         "lat_ts", "lon_0", "k_0", "x_0", "y_0", "units", "to_meter",
+         "a", "b", "rf", "es", "f", "R", "step", "inv", "order", "axis",
+         "towgs84", "south", "over", "pm", "init", "file", "h", "sweep",
+         "o_proj", "garbage_key"]
+_VALUES = ["0", "1", "-1", "90", "-90", "91", "360", "1e300", "-1e300",
+           "nan", "inf", "-inf", "0.0001", "WGS84", "GRS80", "intl",
+           "m", "ft", "deg", "junk", "", "1,2,3", "1,2,3,4,5,6,7",
+           "2,1", "enu", "wsu", "epsg:4326", "zzz:1", "🌍", "1e", "--5"]
+
+
+@st.composite
+def projstrings(draw):
+    n = draw(st.integers(min_value=0, max_value=8))
+    toks = []
+    for _ in range(n):
+        kind = draw(st.integers(min_value=0, max_value=3))
+        if kind == 0:
+            toks.append("+proj=" + draw(st.sampled_from(_PROJ_NAMES)))
+        elif kind == 1:
+            k = draw(st.sampled_from(_KEYS))
+            v = draw(st.sampled_from(_VALUES))
+            toks.append(f"+{k}={v}")
+        elif kind == 2:
+            toks.append("+" + draw(st.sampled_from(_KEYS)))
+        else:
+            toks.append(draw(st.text(min_size=1, max_size=12)))
+    return " ".join(toks)
+
+
+@FUZZ
+@given(projstrings())
+def test_create_operation_fails_cleanly(s):
+    try:
+        op = create_operation(s)
+    except ALLOWED:
+        return
+    # construction succeeded: the op must also TRANSFORM without
+    # raising — runtime errors are in-band (err column / inf lanes)
+    from rayproj.core.op import FWD, Coords
+
+    coo = Coords(np.array([0.1, np.nan, 2.0]), np.array([0.2, 0.5, np.inf]))
+    op.trans(FWD, coo)
+
+
+@FUZZ
+@given(st.text(max_size=64))
+def test_create_operation_arbitrary_text(s):
+    try:
+        create_operation(s)
+    except ALLOWED:
+        pass
+
+
+# ---------------------------------------------------------------------------
+# WKT surface
+
+_VALID_WKTS = [
+    to_wkt2(create_operation("+proj=utm +zone=33 +ellps=GRS80")),
+    to_wkt2(create_operation(
+        "+proj=lcc +lat_1=49 +lat_2=44 +lat_0=46.5 +lon_0=3 "
+        "+x_0=700000 +y_0=6600000 +ellps=GRS80 +towgs84=0,0,0")),
+    to_wkt1(create_operation("+proj=merc +lat_ts=2 +ellps=WGS84")),
+    to_wkt1(create_operation("+proj=stere +lat_0=90 +lat_ts=70 +ellps=WGS84"),
+            esri=True),
+]
+
+
+@st.composite
+def mutated_wkt(draw):
+    base = draw(st.sampled_from(_VALID_WKTS))
+    n_edits = draw(st.integers(min_value=1, max_value=6))
+    s = base
+    for _ in range(n_edits):
+        if not s:
+            break
+        pos = draw(st.integers(min_value=0, max_value=len(s) - 1))
+        action = draw(st.integers(min_value=0, max_value=2))
+        if action == 0:  # delete a char
+            s = s[:pos] + s[pos + 1:]
+        elif action == 1:  # insert a char
+            c = draw(st.sampled_from('[]",x0 '))
+            s = s[:pos] + c + s[pos:]
+        else:  # swap two adjacent chars
+            if pos + 1 < len(s):
+                s = s[:pos] + s[pos + 1] + s[pos] + s[pos + 2:]
+    return s
+
+
+@FUZZ
+@given(mutated_wkt())
+def test_from_wkt_mutated_fails_cleanly(s):
+    try:
+        out = from_wkt(s)
+    except ALLOWED:
+        return
+    assert isinstance(out, str)
+
+
+@FUZZ
+@given(st.text(max_size=80))
+def test_from_wkt_arbitrary_text(s):
+    try:
+        from_wkt(s)
+    except ALLOWED:
+        pass
+
+
+# ---------------------------------------------------------------------------
+# PROJJSON surface
+
+_JSON_SCALARS = st.one_of(
+    st.none(), st.booleans(), st.integers(min_value=-10, max_value=10**6),
+    st.floats(allow_nan=True, allow_infinity=True),
+    st.sampled_from(["ProjectedCRS", "GeographicCRS", "name", "Mercator",
+                     "metre", "degree", "EPSG", "", "🌍", "4326"]),
+)
+_JSON_DOCS = st.recursive(
+    _JSON_SCALARS,
+    lambda kids: st.one_of(
+        st.lists(kids, max_size=4),
+        st.dictionaries(
+            st.sampled_from(["type", "name", "base_crs", "conversion",
+                             "method", "parameters", "value", "unit", "id",
+                             "authority", "code", "coordinate_system",
+                             "datum", "ellipsoid", "semi_major_axis",
+                             "inverse_flattening", "junk"]),
+            kids, max_size=6),
+    ),
+    max_leaves=20,
+)
+
+
+@FUZZ
+@given(_JSON_DOCS)
+def test_from_projjson_fails_cleanly(doc):
+    try:
+        out = from_projjson(doc)
+    except ALLOWED + (TypeError,):
+        # TypeError is allowed HERE only because the input is a parsed
+        # Python object of arbitrary shape (a non-dict doc is a caller
+        # type error, same as json.loads(3))
+        return
+    assert isinstance(out, str)
+
+
+# ---------------------------------------------------------------------------
+# DMS surface
+
+@FUZZ
+@given(st.text(
+    alphabet="0123456789.+-eEdDrRnNsSwW'\" _", max_size=16))
+def test_dms_to_rad_fails_cleanly(s):
+    try:
+        v = dms_to_rad(s)
+    except ProjError:
+        return
+    assert isinstance(v, float)
+
+
+@FUZZ
+@given(st.text(max_size=16))
+def test_dms_to_rad_arbitrary_text(s):
+    try:
+        v = dms_to_rad(s)
+    except ProjError:
+        return
+    assert isinstance(v, float)
