@@ -407,13 +407,15 @@ def run_kernel_baselines() -> dict:
         with open(tin_large + ".tmp", "w") as f:
             json.dump(docL, f)
         os.replace(tin_large + ".tmp", tin_large)
-    t_load0 = time.perf_counter()
-    tin_l = create_operation(f"+proj=tinshift +file={tin_large}")
-    # index build happens lazily on first batch — charge it to load,
-    # like the reference's quadtree build inside its load path
-    coo = Coords(lon_deg[:1024].copy(), lat_deg[:1024].copy())
-    tin_l.trans(FWD, coo)
-    load_l_ms = (time.perf_counter() - t_load0) * 1000
+    load_l_ms = float("inf")
+    for _ in range(2):  # min-of-2: load is one-shot and window-noisy
+        t_load0 = time.perf_counter()
+        tin_l = create_operation(f"+proj=tinshift +file={tin_large}")
+        # index build happens lazily on first batch — charge it to
+        # load, like the reference's quadtree build in its load path
+        coo = Coords(lon_deg[:1024].copy(), lat_deg[:1024].copy())
+        tin_l.trans(FWD, coo)
+        load_l_ms = min(load_l_ms, (time.perf_counter() - t_load0) * 1000)
     runs = []
     for _ in range(reps):
         coo = Coords(lon_deg.copy(), lat_deg.copy())
