@@ -21,13 +21,155 @@ mode is the byte-for-byte-comparable reference UX.
 from __future__ import annotations
 
 import argparse
+import re
 import sys
 
 import numpy as np
 
 from .core.constants import DEG_TO_RAD, RAD_TO_DEG
+from .core.dms import dmstor_prefix, rtodms, strtod_prefix
 from .core.factory import create_operation
 from .core.op import FWD, INV, Coords
+
+# printf numeric format accepted by -f: exactly one %-conversion of the
+# float family (proj.cpp validate_form_string_for_numbers via emess)
+_OFORM = re.compile(r"^[^%]*%[-+ 0#]*\d*(?:\.\d+)?[eEfgG][^%]*$")
+
+
+def _parse_filter_lines(stream, *, informat, reversein=False, tag="#",
+                        read_zt=False):
+    """Reference line scanner (src/apps/proj.cpp:57-105,
+    src/apps/cs2cs.cpp:90-135): per line, either a tag-echo record
+    ``("echo", line)`` or a data record
+    ``("data", u, v, z, echoed_prefix, trailing)``.
+
+    ``u``/``v`` are parsed with the prefix-consuming ``informat``
+    (dmstor for angular input, strtod otherwise); a failed dmstor
+    yields ``inf`` (the reference's HUGE_VAL error lane) and a failed
+    strtod yields ``0.0`` with no characters consumed — both exactly
+    the C behavior. With ``read_zt`` a third strtod field is consumed
+    as ``z`` and a fourth is *probed* as ``t`` but rewound
+    (cs2cs.cpp:117-129: the t value feeds the 4D transform yet the
+    output echoes the input's t text verbatim); a missing t probes to
+    ``inf``. Everything after ``z`` is passed through as ``trailing``.
+    """
+    recs = []
+    inf = float("inf")
+    for line in stream:
+        if not line.endswith("\n"):
+            line += "\n"
+        if line[:1] == tag:
+            recs.append(("echo", line))
+            continue
+        i = 0
+        if reversein:
+            v, i = informat(line, i)
+            u, i = informat(line, i)
+        else:
+            u, i = informat(line, i)
+            v, i = informat(line, i)
+        z, t = 0.0, 0.0
+        if read_zt:
+            z, i = strtod_prefix(line, i)
+            t, j = strtod_prefix(line, i)
+            if j == i:
+                t = inf
+        if v == inf:
+            u = inf
+        prefix = line[:i]
+        trailing = line[i:]
+        if not trailing:
+            trailing = "\n"
+        recs.append(("data", u, v, z, t, prefix, trailing))
+    return recs
+
+
+def _emit_filtered(recs, coo, *, ang_out, oform, oterr, echoin=False,
+                   reverseout=False, lat_first=False, fract=3,
+                   fixed_width=False, with_z=False, facs=None, out=None):
+    """Reference output formatter (src/apps/proj.cpp:126-173,
+    src/apps/cs2cs.cpp:166-219): error rows print ``oterr``; angular
+    output prints DMS via ``rtodms`` unless ``-f``/``-d`` set a printf
+    ``oform``; projected output prints through ``oform``; the line's
+    trailing text (which carries cs2cs's verbatim ``t`` column) is
+    appended byte-identically."""
+    out = out if out is not None else sys.stdout
+    k = 0
+    inf = float("inf")
+    for rec in recs:
+        if rec[0] == "echo":
+            out.write(rec[1])
+            continue
+        _, pu, pv, pz, pt, prefix, trailing = rec
+        if echoin:
+            out.write(prefix + "\t")
+        u, v, z = coo.x[k], coo.y[k], coo.z[k]
+        bad = (coo.err[k] != 0 or pu == inf or not np.isfinite(u)
+               or not np.isfinite(v))
+        k += 1
+        if bad:
+            out.write(oterr)
+        elif ang_out and not oform:
+            lu = ("N", "S") if lat_first else ("E", "W")
+            lv = ("E", "W") if lat_first else ("N", "S")
+            pairs = [(v, lv), (u, lu)] if reverseout else [(u, lu), (v, lv)]
+            out.write("\t".join(
+                rtodms(val, lt[0], lt[1], fract, fixed_width)
+                for val, lt in pairs))
+        else:
+            f = oform or "%.2f"
+            if ang_out:
+                u *= RAD_TO_DEG
+                v *= RAD_TO_DEG
+            a, b = (v, u) if reverseout else (u, v)
+            out.write((f % a) + "\t" + (f % b))
+        if with_z:
+            out.write(" " + ((oform or "%.3f") % z))
+        if facs is not None and not bad:
+            h, kk, s, w, ta, tb = facs[k - 1]
+            if np.isfinite(h):
+                out.write("\t<%g %g %g %g %g %g>" % (h, kk, s, w, ta, tb))
+            else:
+                out.write("\t<* * * * * *>")
+        out.write(trailing)
+    return 0
+
+
+def _filter_opts(args):
+    """Resolve the text-filter output flags: ``-f`` printf format wins
+    over ``-d`` digits (proj.cpp:431-438); ``-w``/``-W`` set the
+    rtodms fractional-second digits / constant-width mode
+    (proj.cpp:420-428 via set_rtodms)."""
+    oform = getattr(args, "oform", None)
+    if oform is not None and not _OFORM.match(oform):
+        raise SystemExit("rayproj: invalid -f format string (need one "
+                         "%e/%f/%g conversion)")
+    digits = getattr(args, "digits", None)
+    if oform is None and digits is not None:
+        oform = "%%.%df" % digits
+    fract, fixed = 3, False
+    if getattr(args, "dms_fixed", None) is not None:
+        fract, fixed = args.dms_fixed, True
+    elif getattr(args, "dms_digits", None) is not None:
+        fract = args.dms_digits
+    return oform, fract, fixed
+
+
+def _parse_mult(mv: str, inverse: bool):
+    """``-m`` cartesian multiplier (proj.cpp:404-423): ``1/x``/``1:x``
+    is a reciprocal ratio; returns ``(prescale, postscale)`` — inverse
+    mode flips the post-transform scale to a pre-transform divide
+    (proj.cpp:470-474)."""
+    try:
+        fscale = (1.0 / float(mv[2:])) if mv[:2] in ("1/", "1:") \
+            else float(mv)
+    except (ValueError, ZeroDivisionError):
+        fscale = 0.0
+    if fscale == 0.0 or not np.isfinite(fscale):
+        raise SystemExit("rayproj: invalid -m multiplier")
+    if inverse:
+        return 1.0 / fscale, None
+    return None, fscale
 
 
 def _read_text(stream):
@@ -44,27 +186,6 @@ def _read_text(stream):
         vals += [0.0] * (4 - len(vals))
         rows.append(vals[:4])
     return np.asarray(rows, dtype=np.float64).reshape(-1, 4)
-
-
-def _coords(arr, angular_in: bool) -> Coords:
-    x, y = arr[:, 0].copy(), arr[:, 1].copy()
-    if angular_in:
-        x *= DEG_TO_RAD
-        y *= DEG_TO_RAD
-    return Coords(x, y, arr[:, 2].copy(), arr[:, 3].copy())
-
-
-def _emit(coo: Coords, angular_out: bool, digits: int, out=None):
-    out = out if out is not None else sys.stdout
-    x, y = coo.x, coo.y
-    if angular_out:
-        x = x * RAD_TO_DEG
-        y = y * RAD_TO_DEG
-    for i in range(len(coo)):
-        if coo.err[i] != 0:
-            out.write("*\t* inf\n")
-        else:
-            out.write(f"{x[i]:.{digits}f}\t{y[i]:.{digits}f} {coo.z[i]:.{digits}f}\n")
 
 
 def _apply_parquet(args, transform, out_cols=("x", "y", "z")):
@@ -131,10 +252,48 @@ def cmd_proj(args) -> int:
     if args.parquet:
         _apply_parquet(args, transform)
         return 0
-    arr = _read_text(sys.stdin)
-    coo = _coords(arr, ang_in)
-    op.trans(direction, coo)
-    _emit(coo, ang_out, args.digits)
+
+    # reference text-filter path (src/apps/proj.cpp:57-176): dmstor
+    # prefix parsing on the angular side, strtod on the projected side,
+    # tag-line echo, trailing-text passthrough, DMS output on inverse.
+    oform, fract, fixedw = _filter_opts(args)
+    prescale = postscale = None
+    if getattr(args, "mult", None):
+        prescale, postscale = _parse_mult(args.mult, args.inverse)
+    informat = dmstor_prefix if ang_in else strtod_prefix
+    recs = _parse_filter_lines(sys.stdin, informat=informat,
+                               reversein=args.rev_in, tag=args.tag)
+    data = [r for r in recs if r[0] == "data"]
+    coo = Coords(np.array([r[1] for r in data], dtype=np.float64),
+                 np.array([r[2] for r in data], dtype=np.float64))
+    if prescale:
+        coo.x *= prescale
+        coo.y *= prescale
+    facs = None
+    if getattr(args, "factors", False):
+        from .core.factors import factors as _factors
+
+        def _facs_rows(lam, phi):
+            with np.errstate(all="ignore"):
+                f = _factors(op, np.asarray(lam), np.asarray(phi))
+            rows = np.column_stack([f.h, f.k, f.s,
+                                    np.degrees(f.omega), f.a, f.b])
+            rows[~f.ok] = np.nan
+            return rows
+
+        if not args.inverse:
+            facs = _facs_rows(coo.x, coo.y)
+    with np.errstate(all="ignore"):
+        op.trans(direction, coo)
+    if facs is None and getattr(args, "factors", False):
+        facs = _facs_rows(coo.x, coo.y)
+    if postscale:
+        coo.x *= postscale
+        coo.y *= postscale
+    _emit_filtered(recs, coo, ang_out=ang_out, oform=oform,
+                   oterr=args.oterr, echoin=args.echo_in,
+                   reverseout=args.rev_out, fract=fract,
+                   fixed_width=fixedw, facs=facs)
     return 0
 
 
@@ -308,10 +467,37 @@ def cmd_cs2cs(args) -> int:
     if args.parquet:
         _apply_parquet(args, transform)
         return 0
-    arr = _read_text(sys.stdin)
-    coo = Coords(arr[:, 0].copy(), arr[:, 1].copy(), arr[:, 2].copy(), arr[:, 3].copy())
-    transform(coo)
-    _emit(coo, False, args.digits)
+
+    # reference text-filter path (src/apps/cs2cs.cpp:84-221): dmstor
+    # radians on a geographic source, z consumed, t probed-but-echoed,
+    # DMS output on a geographic destination unless -f/-d.
+    def text_transform(coo: Coords) -> Coords:
+        src.inv(coo)
+        dst.fwd(coo)
+        return coo
+
+    return _run_cs2cs_filter(args, text_transform, ang_in, ang_out)
+
+
+def _run_cs2cs_filter(args, text_transform, ang_in, ang_out) -> int:
+    """Shared cs2cs text path: parse, 4D transform over radians,
+    reference output formatting (x y␣z + verbatim trailing text)."""
+    oform, fract, fixedw = _filter_opts(args)
+    informat = dmstor_prefix if ang_in else strtod_prefix
+    recs = _parse_filter_lines(sys.stdin, informat=informat,
+                               reversein=args.rev_in, tag=args.tag,
+                               read_zt=True)
+    data = [r for r in recs if r[0] == "data"]
+    coo = Coords(np.array([r[1] for r in data], dtype=np.float64),
+                 np.array([r[2] for r in data], dtype=np.float64),
+                 np.array([r[3] for r in data], dtype=np.float64),
+                 np.array([r[4] for r in data], dtype=np.float64))
+    with np.errstate(all="ignore"):
+        text_transform(coo)
+    _emit_filtered(recs, coo, ang_out=ang_out, oform=oform,
+                   oterr=args.oterr, echoin=args.echo_in,
+                   reverseout=args.rev_out, fract=fract,
+                   fixed_width=fixedw, with_z=True)
     return 0
 
 
@@ -348,12 +534,12 @@ def _cs2cs_db_route(args, toks) -> int:
     if args.parquet:
         _apply_parquet(args, transform)
         return 0
-    arr = _read_text(sys.stdin)
-    coo = Coords(arr[:, 0].copy(), arr[:, 1].copy(), arr[:, 2].copy(),
-                 arr[:, 3].copy())
-    transform(coo)
-    _emit(coo, False, args.digits)
-    return 0
+
+    def text_transform(coo: Coords) -> Coords:
+        op.trans(FWD, coo)
+        return coo
+
+    return _run_cs2cs_filter(args, text_transform, ang_in, ang_out)
 
 
 def cmd_cct(args) -> int:
@@ -373,15 +559,89 @@ def cmd_cct(args) -> int:
     if args.parquet:
         _apply_parquet(args, transform)
         return 0
-    arr = _read_text(sys.stdin)
-    coo = Coords(arr[:, 0].copy(), arr[:, 1].copy(), arr[:, 2].copy(), arr[:, 3].copy())
-    transform(coo)
-    for i in range(len(coo)):
-        if coo.err[i] != 0:
-            print("# error:", coo.err[i])
+
+    # reference text path (src/apps/cct.cpp:333-408): whitespace
+    # columns picked by -c (1-based), -z/-t fixed constants, -s skip,
+    # blank/# lines reflected, unreadable records flagged, fixed-width
+    # output (%14.10f angles / %13.4f distances by default, -d
+    # overrides both) with trailing columns echoed as a comment.
+    cols = [1, 2, 3, 4]
+    if getattr(args, "columns", None):
+        picked = [int(c) for c in args.columns.split(",") if c.strip()]
+        cols = (picked + [0, 0, 0, 0])[:4]
+    fixed_z = getattr(args, "fixed_z", None)
+    fixed_t = getattr(args, "fixed_t", None)
+    skip = getattr(args, "skip_lines", 0) or 0
+    dec_ang = args.digits if args.digits is not None else 10
+    dec_dist = args.digits if args.digits is not None else 4
+    ang_in = op.angular_input(direction)
+    ang_out = op.angular_output(direction)
+    colmax = max(cols)
+    inf = float("inf")
+
+    recs = []
+    for line in sys.stdin:
+        if not line.endswith("\n"):
+            line += "\n"
+        if skip > 0:
+            skip -= 1
+            continue
+        fields = line.split()
+        if not fields or fields[0].startswith("#"):
+            recs.append(("echo", line))
+            continue
+
+        def _col(n):
+            if n < 1 or n > len(fields):
+                return inf
+            val, end = strtod_prefix(fields[n - 1])
+            return val if end else inf
+
+        x, y = _col(cols[0]), _col(cols[1])
+        z = fixed_z if fixed_z is not None else _col(cols[2])
+        t = fixed_t if fixed_t is not None else _col(cols[3])
+        if x == inf or y == inf:
+            recs.append(("echo", f"# UNREADABLE: {line}"))
+            continue
+        comment = " ".join(fields[colmax:])
+        recs.append(("data", x, y,
+                     z if z != inf else 0.0, t if t != inf else inf,
+                     comment))
+
+    data = [r for r in recs if r[0] == "data"]
+    coo = Coords(np.array([r[1] for r in data]),
+                 np.array([r[2] for r in data]),
+                 np.array([r[3] for r in data]),
+                 np.array([r[4] for r in data]))
+    if ang_in:
+        coo.x *= DEG_TO_RAD
+        coo.y *= DEG_TO_RAD
+    with np.errstate(all="ignore"):
+        op.trans(direction, coo)
+    k = 0
+    for rec in recs:
+        if rec[0] == "echo":
+            sys.stdout.write(rec[1])
+            continue
+        comment = rec[5]
+        x, y, z, t = coo.x[k], coo.y[k], coo.z[k], coo.t[k]
+        bad = coo.err[k] != 0 or not (np.isfinite(x) and np.isfinite(y))
+        k += 1
+        if bad:
+            sys.stdout.write("# TRANSFORMATION ERROR\n")
+            continue
+        if not np.isfinite(t):
+            t = 0.0
+        sep = " " if comment else ""
+        if ang_out:
+            fmt = "%%14.%df  %%14.%df  %%12.%df  %%12.4f%%s%%s\n" % (
+                dec_ang, dec_ang, dec_dist)
+            sys.stdout.write(fmt % (x * RAD_TO_DEG, y * RAD_TO_DEG,
+                                    z, t, sep, comment))
         else:
-            print(f"{coo.x[i]:15.{args.digits}f} {coo.y[i]:15.{args.digits}f} "
-                  f"{coo.z[i]:15.{args.digits}f} {coo.t[i]:15.4f}")
+            fmt = "%%13.%df  %%13.%df  %%12.%df  %%12.4f%%s%%s\n" % (
+                dec_dist, dec_dist, dec_dist)
+            sys.stdout.write(fmt % (x, y, z, t, sep, comment))
     return 0
 
 
@@ -466,7 +726,8 @@ def cmd_geod(args) -> int:
     f = (ell.a - ell.b) / ell.a
     R = DEG_TO_RAD
     if par.str_("lat_1") is not None:
-        return _geod_line_mode(par, ell.a, f, args.digits)
+        return _geod_line_mode(par, ell.a, f,
+                               args.digits if args.digits is not None else 6)
     if args.parquet:
         # bulk inverse problem over a parquet table:
         # (lat1, lon1, lat2, lon2) degrees → azi1, azi2 (deg), dist_m
@@ -493,24 +754,88 @@ def cmd_geod(args) -> int:
             fn, batch_format="pyarrow"
         ).write_parquet(args.parquet[1])
         return 0
-    arr = _read_text(sys.stdin)
-    d = args.digits
+    # reference text-filter path (src/apps/geod.cpp:62-127): dmstor
+    # inputs (lat lon order), tag-line echo, trailing-text passthrough,
+    # DMS output via rtodms unless -f; distance through -F (default
+    # %.3f) scaled by +units; -a full output; -p positive azimuths.
+    from .core.units import linear_unit_to_meter
+
+    oform, fract, fixedw = _filter_opts(args)
+    osform = getattr(args, "osform", None) or "%.3f"
+    if not _OFORM.match(osform):
+        raise SystemExit("rayproj: invalid -F format string")
+    to_meter = 1.0
+    if par.str_("units") is not None:
+        to_meter = linear_unit_to_meter(par.str_("units"))
+    elif par.float_("to_meter"):
+        to_meter = par.float_("to_meter")
+    recs = []
+    for line in sys.stdin:
+        if not line.endswith("\n"):
+            line += "\n"
+        if line[:1] == args.tag:
+            recs.append(("echo", line))
+            continue
+        i = 0
+        a1, i = dmstor_prefix(line, i)
+        a2, i = dmstor_prefix(line, i)
+        a3, i = dmstor_prefix(line, i)
+        if args.inverse:
+            a4, i = dmstor_prefix(line, i)
+        else:
+            # 4th field is a distance: re-parse it as plain strtod
+            # from where the 3rd parse ended (dmstor would misread
+            # 12d34 units); reference uses strtod directly
+            a4, i = strtod_prefix(line, i)
+            a4 *= to_meter
+        recs.append(("data", a1, a2, a3, a4, line[i:] or "\n"))
+
+    data = [r for r in recs if r[0] == "data"]
+    cols = [np.array([r[j] for r in data], dtype=np.float64)
+            for j in (1, 2, 3, 4)]
     if args.inverse:
-        s12, azi1, azi2 = geod_inverse(
-            ell.a, f, arr[:, 0] * R, arr[:, 1] * R, arr[:, 2] * R, arr[:, 3] * R
-        )
-        for i in range(len(arr)):
-            print(f"{azi1[i] * RAD_TO_DEG:.{d}f}\t{azi2[i] * RAD_TO_DEG:.{d}f}\t"
-                  f"{s12[i]:.3f}")
+        s12, al12, al21 = geod_inverse(ell.a, f, cols[0], cols[1],
+                                       cols[2], cols[3])
+        phi2, lam2 = cols[2], cols[3]
     else:
-        lat2, lon2, azi2 = geod_direct(
-            ell.a, f, arr[:, 0] * R, arr[:, 1] * R, arr[:, 2] * R, arr[:, 3]
-        )
-        for i in range(len(arr)):
-            back = azi2[i] * RAD_TO_DEG
-            back += 180.0 if back <= 0 else -180.0
-            print(f"{lat2[i] * RAD_TO_DEG:.{d}f}\t{lon2[i] * RAD_TO_DEG:.{d}f}\t"
-                  f"{back:.{d}f}")
+        phi2, lam2, al21 = geod_direct(ell.a, f, cols[0], cols[1],
+                                       cols[2], cols[3])
+        s12, al12 = cols[3], cols[2]
+    if getattr(args, "pos_azi", False):
+        al12 = np.where(al12 < 0, al12 + 2 * np.pi, al12)
+        al21 = np.where(al21 < 0, al21 + 2 * np.pi, al21)
+
+    def _ll(phi, lam):
+        if oform:
+            return ((oform % (phi * RAD_TO_DEG)) + "\t"
+                    + (oform % (lam * RAD_TO_DEG)))
+        return (rtodms(phi, "N", "S", fract, fixedw) + "\t"
+                + rtodms(lam, "E", "W", fract, fixedw))
+
+    def _az(a):
+        if oform:
+            return oform % (a * RAD_TO_DEG)
+        return rtodms(a, "", "", fract, fixedw)
+
+    k = 0
+    for rec in recs:
+        if rec[0] == "echo":
+            sys.stdout.write(rec[1])
+            continue
+        trailing = rec[5]
+        parts = []
+        if getattr(args, "fullout", False):
+            parts.append(_ll(cols[0][k], cols[1][k]))
+            parts.append(_ll(phi2[k], lam2[k]))
+            parts.append(_az(al12[k]) + "\t" + _az(al21[k]) + "\t"
+                         + (osform % (s12[k] / to_meter)))
+        elif args.inverse:
+            parts.append(_az(al12[k]) + "\t" + _az(al21[k]) + "\t"
+                         + (osform % (s12[k] / to_meter)))
+        else:
+            parts.append(_ll(phi2[k], lam2[k]) + "\t" + _az(al21[k]))
+        sys.stdout.write("\t".join(parts) + trailing)
+        k += 1
     return 0
 
 
@@ -561,9 +886,50 @@ def main(argv=None) -> int:
                      ("geod", cmd_geod)]:
         p = sub.add_parser(name)
         p.add_argument("-I", "--inverse", action="store_true")
-        p.add_argument("-d", "--digits", type=int, default=6)
+        p.add_argument("-d", "--digits", type=int, default=None)
         if name == "proj":
             p.add_argument("-V", "--verbose-factors", action="store_true")
+            p.add_argument("-S", dest="factors", action="store_true",
+                           help="append <h k s w a b> scale factors")
+            p.add_argument("-m", dest="mult", default=None,
+                           help="cartesian multiplier (x, 1/x or 1:x)")
+        if name in ("proj", "cs2cs", "geod"):
+            # reference text-filter flags (proj.cpp:325-448,
+            # cs2cs.cpp:314-500, geod.cpp:146-210)
+            p.add_argument("-f", dest="oform", default=None,
+                           help="printf output format, e.g. %%.4f")
+            p.add_argument("-t", dest="tag", default="#",
+                           help="pass-through line tag character")
+            p.add_argument("-w", dest="dms_digits", type=int, default=None,
+                           help="DMS fractional-second digits")
+            p.add_argument("-W", dest="dms_fixed", type=int, default=None,
+                           help="constant-width DMS with N digits")
+        if name in ("proj", "cs2cs"):
+            p.add_argument("-e", dest="oterr", default="*\t*",
+                           help="error line text")
+            p.add_argument("-E", dest="echo_in", action="store_true",
+                           help="echo input line before output")
+            p.add_argument("-r", dest="rev_in", action="store_true",
+                           help="reverse input coordinate order")
+            p.add_argument("-s", dest="rev_out", action="store_true",
+                           help="reverse output coordinate order")
+        if name == "geod":
+            p.add_argument("-F", dest="osform", default=None,
+                           help="printf format for distances")
+            p.add_argument("-p", dest="pos_azi", action="store_true",
+                           help="azimuths as positive angles")
+            p.add_argument("-a", dest="fullout", action="store_true",
+                           help="full output: both endpoints + azimuths")
+        if name == "cct":
+            # reference cct column/constant flags (cct.cpp:207-285)
+            p.add_argument("-c", dest="columns", default=None,
+                           help="1-based input columns as x,y,z,t")
+            p.add_argument("-z", dest="fixed_z", type=float, default=None,
+                           help="fixed height for all records")
+            p.add_argument("-t", dest="fixed_t", type=float, default=None,
+                           help="fixed time for all records")
+            p.add_argument("-s", dest="skip_lines", type=int, default=0,
+                           help="skip N first lines of input")
         p.add_argument("-lp", action="store_true", dest="list_projs",
                        help="list projection ids")
         p.add_argument("-le", action="store_true", dest="list_ellps",

@@ -8,6 +8,7 @@ optional N/E/S/W postfix sign. Returns radians.
 
 from __future__ import annotations
 
+import math
 import re
 
 from .constants import DEG_TO_RAD
@@ -66,3 +67,118 @@ def dms_to_rad(text: str) -> float:
         sign = -1.0 if s[i] in "SsWw" else 1.0
         i += 1
     return sign * v
+
+
+# C-strtod prefix: optional whitespace/sign, digits with optional
+# fraction and exponent. Must contain at least one digit (a bare "."
+# or "+" is "no conversion").
+_STRTOD = re.compile(
+    r"[ \t\r\n\v\f]*[-+]?(?:[0-9]+\.?[0-9]*|\.[0-9]+)(?:[eE][-+]?[0-9]+)?"
+)
+
+
+def strtod_prefix(s: str, i: int = 0) -> tuple[float, int]:
+    """C ``strtod`` over ``s[i:]``: skip leading whitespace, parse one
+    decimal float, return ``(value, end_index)``. No conversion returns
+    ``(0.0, i)`` (endptr == nptr), exactly like the C library call the
+    reference apps lean on (src/apps/proj.cpp:523, cs2cs.cpp:630)."""
+    m = _STRTOD.match(s, i)
+    if not m:
+        return 0.0, i
+    return float(m.group(0)), m.end()
+
+
+def dmstor_prefix(s: str, i: int = 0) -> tuple[float, int]:
+    """Prefix-consuming ``dmstor`` (src/dmstor.cpp:28-98): parse a
+    DMS / decimal-degree / ``<x>r`` radian token starting at ``s[i]``
+    and return ``(radians, end_index)``. A malformed sexagesimal field
+    order returns ``(inf, i)`` — the reference's ``HUGE_VAL`` error
+    lane, which the CLI apps turn into the ``-e`` error line."""
+    n = len(s)
+    j = i
+    while j < n and s[j].isspace():
+        j += 1
+    # the reference copies at most 63 "graph" chars into a work buffer
+    k = j
+    while k < n and s[k].isprintable() and not s[k].isspace() and k - j < 63:
+        k += 1
+    work = s[j:k]
+    p = 0
+    sign = 1.0
+    if p < len(work) and work[p] in "+-":
+        sign = -1.0 if work[p] == "-" else 1.0
+        p += 1
+    v = 0.0
+    nl = 0
+    while nl < 3:
+        if p >= len(work) or not (work[p].isdigit() or work[p] == "."):
+            break
+        m = _NUM.match(work, p)
+        if not m:
+            break
+        tv = float(m.group(0))
+        p = m.end()
+        c = work[p] if p < len(work) else "\0"
+        if c in "Dd":
+            fld = 0
+        elif c == "'":
+            fld = 1
+        elif c == '"':
+            fld = 2
+        elif c in "rR":
+            if nl:
+                return float("inf"), i
+            p += 1
+            v = tv  # radians verbatim
+            break
+        else:
+            v += tv * _VM[nl]
+            break
+        if fld < nl:
+            return float("inf"), i
+        v += tv * _VM[fld]
+        p += 1
+        nl = fld + 1
+    # postfix hemisphere sign overrides any leading sign
+    if p < len(work) and work[p] in "NnEeSsWw":
+        sign = -1.0 if work[p] in "SsWw" else 1.0
+        p += 1
+    return sign * v, j + p
+
+
+def rtodms(r: float, pos: str, neg: str, fract: int = 3,
+           fixed_width: bool = False) -> str:
+    """Radians → DMS string, mirroring the reference's ``rtodms``
+    (src/rtodms.cpp:43-87): round to ``fract`` fractional second
+    digits, drop zero-valued trailing fields (``12d30'E``, ``12dE``),
+    strip trailing zeros off the seconds fraction, and append the
+    ``pos``/``neg`` hemisphere letter (falsy ``pos`` emits a leading
+    ``-`` instead). ``fixed_width`` is the ``-W`` constant-width form:
+    zero-padded minutes and seconds, no field dropping."""
+    res = 10.0 ** fract
+    conv = 180.0 * 3600.0 * res / math.pi
+    lead = ""
+    if r < 0:
+        r = -r
+        if not pos:
+            lead, sign = "-", ""
+        else:
+            sign = neg
+    else:
+        sign = pos
+    r = math.floor(r * conv + 0.5)
+    sec = math.fmod(r / res, 60.0)
+    r = math.floor(r / (res * 60.0))
+    mn = int(math.fmod(r, 60.0))
+    deg = int(math.floor(r / 60.0))
+    if fixed_width:
+        w = fract + 2 + (1 if fract else 0)
+        return f"{lead}{deg}d{mn:02d}'{sec:0{w}.{fract}f}\"{sign}"
+    if sec != 0.0:
+        sec_str = f"{sec:.{fract}f}"
+        if "." in sec_str:
+            sec_str = sec_str.rstrip("0").rstrip(".")
+        return f"{lead}{deg}d{mn}'{sec_str}\"{sign}"
+    if mn:
+        return f"{lead}{deg}d{mn}'{sign}"
+    return f"{lead}{deg}d{sign}"

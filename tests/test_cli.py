@@ -23,13 +23,66 @@ def _run(argv, stdin_text):
 
 
 def test_proj_merc_roundtrip_text():
-    rc, out = _run(["proj", "+proj=merc", "+ellps=WGS84"], "2 1\n")
+    rc, out = _run(["proj", "-d", "4", "+proj=merc", "+ellps=WGS84"], "2 1\n")
     assert rc == 0
-    x, y, _z = map(float, out.split())
-    rc, out = _run(["proj", "-I", "+proj=merc", "+ellps=WGS84"], f"{x} {y}\n")
-    lon, lat, _z = map(float, out.split())
-    assert lon == pytest.approx(2.0, abs=1e-9)
-    assert lat == pytest.approx(1.0, abs=1e-9)
+    x, y = map(float, out.split())
+    rc, out = _run(["proj", "-I", "-f", "%.9f", "+proj=merc",
+                    "+ellps=WGS84"], f"{x} {y}\n")
+    lon, lat = map(float, out.split())
+    assert lon == pytest.approx(2.0, abs=1e-8)
+    assert lat == pytest.approx(1.0, abs=1e-8)
+
+
+def test_proj_reference_ux():
+    """Byte-level reference UX (src/apps/proj.cpp): default %.2f
+    forward output with tab separator, trailing-text passthrough,
+    tag-line echo, DMS output on inverse, -E echo, -e error text."""
+    rc, out = _run(["proj", "+proj=merc", "+lat_ts=56.5", "+ellps=GRS80"],
+                   "55.2 12.2\n# comment line\n55.2 12.2 here be text\n")
+    assert rc == 0
+    assert out == ("3399483.80\t752085.60\n"
+                   "# comment line\n"
+                   "3399483.80\t752085.60 here be text\n")
+    # inverse emits DMS with hemisphere letters by default
+    rc, out = _run(["proj", "-I", "+proj=merc", "+lat_ts=56.5",
+                    "+ellps=GRS80"], "3399483.80\t752085.60\n")
+    assert out == "55d12'E\t12d12'N\n"
+    # DMS input round-trips through dmstor; -E echoes the parsed prefix
+    rc, out = _run(["proj", "-E", "+proj=merc", "+lat_ts=56.5",
+                    "+ellps=GRS80"], "55d12'E 12d12'N\n")
+    assert out == "55d12'E 12d12'N\t3399483.80\t752085.60\n"
+    # -e error text + -r/-s reversed order
+    rc, out = _run(["proj", "-e", "*err*", "+proj=merc", "+ellps=WGS84"],
+                   "0 90\n")
+    assert out == "*err*\n"
+    rc, out = _run(["proj", "-r", "-s", "+proj=merc", "+lat_ts=56.5",
+                    "+ellps=GRS80"], "12.2 55.2\n")
+    assert out == "752085.60\t3399483.80\n"
+
+
+def test_proj_dms_output_modes():
+    """-w/-W rtodms precision control (src/rtodms.cpp set_rtodms)."""
+    rc, out = _run(["proj", "-I", "-W5", "+proj=merc", "+lat_ts=56.5",
+                    "+ellps=GRS80"], "3399483.80 752085.60\n")
+    assert out == "55d12'00.00025\"E\t12d12'00.00018\"N\n"
+    rc, out = _run(["proj", "-I", "-w5", "+proj=merc", "+lat_ts=56.5",
+                    "+ellps=GRS80"], "3399483.80 752085.60\n")
+    assert out == "55d12'0.00025\"E\t12d12'0.00018\"N\n"
+
+
+def test_cs2cs_reference_ux():
+    """cs2cs text path: z column transformed, t column fed to the 4D
+    transform but echoed verbatim (src/apps/cs2cs.cpp:117-129)."""
+    rc, out = _run(["cs2cs", "-f", "%.7f", "+proj=utm", "+zone=12",
+                    "+datum=WGS84", "+to", "+proj=latlong",
+                    "+datum=WGS84"], "500000 4649776.22 10\tt-text\n")
+    assert rc == 0
+    assert out == "-111.0000000\t42.0000000 10.0000000\tt-text\n"
+    # geographic destination without -f → DMS output + z via %.3f
+    rc, out = _run(["cs2cs", "+proj=utm", "+zone=12", "+datum=WGS84",
+                    "+to", "+proj=latlong", "+datum=WGS84"],
+                   "500000 4649776.22 10\n")
+    assert out.startswith("111dW\t42d") and out.endswith(" 10.000\n")
 
 
 def test_cs2cs_sch_testvarious():
@@ -68,7 +121,8 @@ def test_gie_subcommand(capsys):
 def test_geod_inverse_jfk_lhr():
     # canonical JFK->LHR geodesic (Karney 2013 example): azi1 51.19888,
     # s12 5551759.4 m
-    rc, out = _run(["geod", "-I", "+ellps=WGS84"], "40.6 -73.8 51.6 -0.5\n")
+    rc, out = _run(["geod", "-I", "-f", "%.8f", "+ellps=WGS84"],
+                   "40.6 -73.8 51.6 -0.5\n")
     assert rc == 0
     azi1, azi2, s12 = map(float, out.split())
     assert azi1 == pytest.approx(51.19888, abs=1e-4)
@@ -76,10 +130,33 @@ def test_geod_inverse_jfk_lhr():
 
 
 def test_geod_direct_roundtrip():
-    rc, out = _run(["geod", "+ellps=WGS84"], "40.6 -73.8 51.19888 5551759.4\n")
-    lat2, lon2, _back = map(float, out.split())
+    rc, out = _run(["geod", "-f", "%.8f", "+ellps=WGS84"],
+                   "40.6 -73.8 51.19888 5551759.4\n")
+    lat2, lon2, _al21 = map(float, out.split())
     assert lat2 == pytest.approx(51.6, abs=1e-4)
     assert lon2 == pytest.approx(-0.5, abs=1e-4)
+
+
+def test_geod_reference_ux():
+    """geod text UX (src/apps/geod.cpp:62-127): dmstor DMS input, DMS
+    azimuth output via rtodms (no hemisphere letter, '-' prefix),
+    distance through -F scaled by +units, -a full output, tag echo,
+    trailing-text passthrough."""
+    rc, out = _run(["geod", "-I", "+ellps=WGS84"],
+                   "40.6 -73.8 51.6 -0.5 trailing\n# tag\n")
+    assert rc == 0
+    lines = out.splitlines()
+    assert lines[0].endswith(" trailing") or "\ttrailing" in lines[0]
+    assert lines[1] == "# tag"
+    assert "5551759.400" in lines[0]
+    # -p wraps negative azimuths positive; -F formats the distance
+    rc, out = _run(["geod", "-I", "-p", "-F", "%.1f", "+ellps=WGS84",
+                    "+units=km"], "40.6 -73.8 51.6 -0.5\n")
+    assert out.split()[2] == "5551.8"
+    # full output repeats both endpoints in DMS
+    rc, out = _run(["geod", "-a", "-I", "+ellps=WGS84"],
+                   "40.6 -73.8 51.6 -0.5\n")
+    assert out.startswith("40d36'N\t73d48'W\t51d36'N\t0d30'W\t")
 
 
 def test_proj_factors_tmerc():
@@ -238,3 +315,28 @@ def test_projinfo_wkt1_output(capsys):
     out = capsys.readouterr().out
     assert 'DATUM["D_WGS_1984"' in out
     assert 'PROJECTION["Mercator_Auxiliary_Sphere"]' in out
+
+
+def test_cct_reference_ux():
+    """cct text UX (src/apps/cct.cpp:333-408): fixed-width output
+    (%13.4f distances / %14.10f angles), comment reflection, -c column
+    selection, -z/-t constants, -s skip, trailing-column passthrough."""
+    rc, out = _run(["cct", "+proj=utm", "+zone=32"],
+                   "12 55 0 0\n# a comment\n12 56 100 2020.5 note\n")
+    assert rc == 0
+    lines = out.splitlines()
+    # canonical doc example: cct +proj=utm +zone=32 <<< "12 55 0 0"
+    assert lines[0] == ("  691875.6321   6098907.8250        0.0000"
+                       "        0.0000")
+    assert lines[1] == "# a comment"
+    assert lines[2].endswith("2020.5000 note")
+    # -s skip + -c column pick + trailing comment column
+    rc, out = _run(["cct", "-s", "1", "-c", "2,3", "-z0", "-t0",
+                    "+proj=merc", "+ellps=GRS80"],
+                   "skipme\n3 12 55 7\n")
+    assert out == (" 1335833.8895   7326837.7149        0.0000"
+                   "        0.0000 7\n")
+    # inverse angular output uses 10 decimals
+    rc, out = _run(["cct", "-I", "+proj=utm", "+zone=32"],
+                   "691875.6321 6098907.8250 0 0\n")
+    assert out.split()[0] == "11.9999999994"

@@ -120,3 +120,41 @@ def test_factors_merc_sphere_analytic():
     assert np.allclose(f.h, f.k, rtol=1e-7)
     assert np.all(np.abs(f.omega) < 1e-7)
     assert np.allclose(f.s, f.h * f.k, rtol=1e-6)
+
+
+def test_prefix_parsers_and_rtodms():
+    """strtod/dmstor prefix consumption + rtodms emission match the
+    C library semantics the reference apps build on (src/dmstor.cpp,
+    src/rtodms.cpp)."""
+    from rayproj.core.constants import DEG_TO_RAD
+    from rayproj.core.dms import dmstor_prefix, rtodms, strtod_prefix
+
+    # strtod: leading whitespace, exponent, endptr; no-conversion -> (0, i)
+    assert strtod_prefix("  1.5e2x") == (150.0, 7)
+    assert strtod_prefix("abc") == (0.0, 0)
+    assert strtod_prefix("12 34", 2) == (34.0, 5)
+    # dmstor: radians suffix, postfix hemisphere overrides leading sign,
+    # prefix stops at whitespace, malformed field order -> inf
+    v, i = dmstor_prefix("12d30'30\"W rest")
+    assert v == pytest.approx(-(12 + 30 / 60 + 30 / 3600) * DEG_TO_RAD)
+    assert i == 10
+    assert dmstor_prefix("1.5r x")[0] == 1.5
+    assert dmstor_prefix("-12d30N")[0] == pytest.approx(12.5 * DEG_TO_RAD)
+    assert dmstor_prefix("12'30d")[0] == float("inf")
+    v, i = dmstor_prefix("  7.5 more")
+    assert (v, i) == (pytest.approx(7.5 * DEG_TO_RAD), 5)
+    # rtodms: zero-field dropping, fraction stripping, fixed width,
+    # falsy pos emits a '-' prefix
+    assert rtodms(12.5 * DEG_TO_RAD, "E", "W") == "12d30'E"
+    assert rtodms(-12.0 * DEG_TO_RAD, "E", "W") == "12dW"
+    assert rtodms(-12.0 * DEG_TO_RAD, "", "") == "-12d"
+    s = (12 + 30 / 60 + 30.25 / 3600) * DEG_TO_RAD
+    assert rtodms(s, "N", "S") == "12d30'30.25\"N"
+    assert rtodms(s, "N", "S", 3, True) == "12d30'30.250\"N"
+    assert rtodms(s, "N", "S", 0) == "12d30'30\"N"
+    # round-trip: dmstor(rtodms(x)) == x at 1e-9 rad for random values
+    rng = np.random.default_rng(42)
+    for x in rng.uniform(-3.1, 3.1, 200):
+        txt = rtodms(float(x), "E", "W", 7)
+        back, _ = dmstor_prefix(txt)
+        assert back == pytest.approx(float(x), abs=1e-9)

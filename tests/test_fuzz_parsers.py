@@ -207,3 +207,37 @@ def test_dms_to_rad_arbitrary_text(s):
     except ProjError:
         return
     assert isinstance(v, float)
+
+
+@FUZZ
+@given(st.text(
+    alphabet="0123456789.+-eEdDrRnNsSwW'\" \t_x", max_size=24),
+    st.integers(min_value=0, max_value=4))
+def test_prefix_parsers_never_raise(s, i):
+    """strtod_prefix/dmstor_prefix are total: any text yields a float
+    plus an end index in [i, len(s)] that never moves backwards."""
+    from rayproj.core.dms import dmstor_prefix, strtod_prefix
+
+    i = min(i, len(s))
+    for fn in (strtod_prefix, dmstor_prefix):
+        v, j = fn(s, i)
+        assert isinstance(v, float)
+        assert i <= j <= len(s)
+
+
+@FUZZ
+@given(st.floats(min_value=-3.2, max_value=3.2,
+                 allow_nan=False, allow_infinity=False),
+       st.integers(min_value=0, max_value=8),
+       st.booleans())
+def test_rtodms_roundtrip_random(r, fract, fixed):
+    """rtodms output always re-parses via dmstor to within the
+    emitted precision."""
+    from rayproj.core.dms import dmstor_prefix, rtodms
+
+    txt = rtodms(r, "E", "W", fract, fixed)
+    back, consumed = dmstor_prefix(txt)
+    assert consumed == len(txt)
+    import math
+    tol = math.pi / 180.0 / 3600.0 * (10.0 ** -fract) * 0.51
+    assert abs(back - r) <= tol
