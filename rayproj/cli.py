@@ -213,28 +213,94 @@ def _apply_parquet(args, transform, out_cols=("x", "y", "z")):
     ).write_parquet(args.parquet[1])
 
 
+def _proj_vprocess(args, op) -> int:
+    """proj -V verbose per-point analysis, byte-format of the
+    reference's vprocess (src/apps/proj.cpp:178-290): lon/lat echoed
+    in DMS + %.11g degrees, easting/northing through oform (default
+    %.3f in -V mode), the six factors with %-error annotations, and
+    convergence in DMS. A leading ``I``/``i`` on a line flips that
+    line to inverse input."""
+    from .core.factors import factors as _factors
+
+    oform, fract, fixedw = _filter_opts(args)
+    oform = oform or "%.3f"
+    tag = getattr(args, "tag", "#")
+    for line in sys.stdin:
+        if not line.endswith("\n"):
+            line += "\n"
+        if line[:1] == tag:
+            sys.stdout.write(line)
+            continue
+        i = 0
+        linvers = args.inverse
+        if line[:1] in "Ii":
+            linvers = True
+            i = 1
+        if linvers:
+            x, i = strtod_prefix(line, i)
+            y, i = strtod_prefix(line, i)
+            if getattr(args, "rev_in", False):
+                x, y = y, x
+            coo = Coords(np.array([x]), np.array([y]))
+            with np.errstate(all="ignore"):
+                op.trans(INV, coo)
+            lam, phi = float(coo.x[0]), float(coo.y[0])
+            if not (np.isfinite(lam) and np.isfinite(phi)):
+                print("lon-lat input conversion failure", file=sys.stderr)
+                continue
+        else:
+            lam, i = dmstor_prefix(line, i)
+            phi, i = dmstor_prefix(line, i)
+            if not (np.isfinite(lam) and np.isfinite(phi)):
+                print("lon-lat input conversion failure", file=sys.stderr)
+                continue
+            if getattr(args, "rev_in", False):
+                lam, phi = phi, lam
+            coo = Coords(np.array([lam]), np.array([phi]))
+            with np.errstate(all="ignore"):
+                op.trans(FWD, coo)
+            x, y = float(coo.x[0]), float(coo.y[0])
+        if coo.err[0] != 0 or not (np.isfinite(x) and np.isfinite(y)):
+            print("projection failure", file=sys.stderr)
+            continue
+        with np.errstate(all="ignore"):
+            f = _factors(op, np.array([lam]), np.array([phi]))
+        if not f.ok[0]:
+            print("failed to compute factors\n", file=sys.stderr)
+            continue
+        trailing = line[i:]
+        if trailing != "\n":
+            sys.stdout.write(trailing)
+        w = sys.stdout.write
+        w("Longitude: %s [ %.11g ]\n"
+          % (rtodms(lam, "E", "W", fract, fixedw), lam * RAD_TO_DEG))
+        w("Latitude:  %s [ %.11g ]\n"
+          % (rtodms(phi, "N", "S", fract, fixedw), phi * RAD_TO_DEG))
+        w("Easting (x):   " + (oform % x) + "\n")
+        w("Northing (y):  " + (oform % y) + "\n")
+        h, k, s = float(f.h[0]), float(f.k[0]), float(f.s[0])
+        w("Meridian scale (h) : %.8f  ( %.4g %% error )\n"
+          % (h, (h - 1.0) * 100.0))
+        w("Parallel scale (k) : %.8f  ( %.4g %% error )\n"
+          % (k, (k - 1.0) * 100.0))
+        w("Areal scale (s):     %.8f  ( %.4g %% error )\n"
+          % (s, (s - 1.0) * 100.0))
+        w("Angular distortion (w): %.3f\n"
+          % (float(f.omega[0]) * RAD_TO_DEG))
+        w("Meridian/Parallel angle: %.5f\n"
+          % (float(f.thetap[0]) * RAD_TO_DEG))
+        w("Convergence : %s [ %.8f ]\n"
+          % (rtodms(float(f.conv[0]), "", "", fract, fixedw),
+             float(f.conv[0]) * RAD_TO_DEG))
+        w("Max-min (Tissot axis a-b) scale error: %.5f %.5f\n\n"
+          % (float(f.a[0]), float(f.b[0])))
+    return 0
+
+
 def cmd_proj(args) -> int:
     op = create_operation(" ".join(args.projargs))
     if getattr(args, "verbose_factors", False):
-        # proj -V scale-factor analysis (src/apps/proj.cpp:178-280)
-        from .core.factors import factors as _factors
-
-        arr = _read_text(sys.stdin)
-        lam = arr[:, 0] * DEG_TO_RAD
-        phi = arr[:, 1] * DEG_TO_RAD
-        f = _factors(op, lam, phi)
-        for i in range(len(lam)):
-            if not f.ok[i]:
-                print("# point out of range")
-                continue
-            print(
-                f"Meridian scale (h): {f.h[i]:.8f}  Parallel scale (k): {f.k[i]:.8f}\n"
-                f"Areal scale (s): {f.s[i]:.8f}  Angular distortion (w): "
-                f"{np.degrees(f.omega[i]):.8f}\n"
-                f"Meridian convergence: {np.degrees(f.conv[i]):.8f}  "
-                f"Tissot axes (a,b): {f.a[i]:.8f} {f.b[i]:.8f}"
-            )
-        return 0
+        return _proj_vprocess(args, op)
     direction = INV if args.inverse else FWD
     ang_in = op.angular_input(direction)
     ang_out = op.angular_output(direction)

@@ -340,3 +340,28 @@ def test_cct_reference_ux():
     rc, out = _run(["cct", "-I", "+proj=utm", "+zone=32"],
                    "691875.6321 6098907.8250 0 0\n")
     assert out.split()[0] == "11.9999999994"
+
+
+def test_proj_vprocess_block_format():
+    """proj -V byte-format parity with vprocess
+    (src/apps/proj.cpp:178-290), incl. the leading-I line-inverse."""
+    rc, out = _run(["proj", "-V", "+proj=tmerc", "+ellps=WGS84",
+                    "+k_0=0.9996", "+lon_0=9"], "9 45\n")
+    assert rc == 0
+    assert out == (
+        "Longitude: 9dE [ 9 ]\n"
+        "Latitude:  45dN [ 45 ]\n"
+        "Easting (x):   0.000\n"
+        "Northing (y):  4982950.400\n"
+        "Meridian scale (h) : 0.99960000  ( -0.04 % error )\n"
+        "Parallel scale (k) : 0.99960000  ( -0.04 % error )\n"
+        "Areal scale (s):     0.99920016  ( -0.07998 % error )\n"
+        "Angular distortion (w): 0.000\n"
+        "Meridian/Parallel angle: 90.00000\n"
+        "Convergence : 0d [ -0.00000000 ]\n"
+        "Max-min (Tissot axis a-b) scale error: 0.99960 0.99960\n\n")
+    # leading 'I' flips a single line to inverse input
+    rc, out = _run(["proj", "-V", "+proj=tmerc", "+ellps=WGS84",
+                    "+k_0=0.9996", "+lon_0=9"], "I 500000 4982950\n")
+    assert "Longitude: 15d19'28.535\"E" in out
+    assert "Easting (x):   500000.000" in out
