@@ -124,7 +124,10 @@ def _emit_filtered(recs, coo, *, ang_out, oform, oterr, echoin=False,
             a, b = (v, u) if reverseout else (u, v)
             out.write((f % a) + "\t" + (f % b))
         if with_z:
-            out.write(" " + ((oform or "%.3f") % z))
+            # error rows keep the input z: the reference only assigns
+            # z from the transform result on success (cs2cs.cpp:159)
+            zv = pz if bad or not np.isfinite(z) else z
+            out.write(" " + ((oform or "%.3f") % zv))
         if facs is not None and not bad:
             h, kk, s, w, ta, tb = facs[k - 1]
             if np.isfinite(h):
