@@ -55,6 +55,7 @@ def _parse_filter_lines(stream, *, informat, reversein=False, tag="#",
     """
     recs = []
     inf = float("inf")
+    tag = (tag or "#")[:1]  # the reference keeps only the first char
     for line in stream:
         if not line.endswith("\n"):
             line += "\n"
@@ -124,9 +125,10 @@ def _emit_filtered(recs, coo, *, ang_out, oform, oterr, echoin=False,
             a, b = (v, u) if reverseout else (u, v)
             out.write((f % a) + "\t" + (f % b))
         if with_z:
-            # error rows keep the input z: the reference only assigns
-            # z from the transform result on success (cs2cs.cpp:159)
-            zv = pz if bad or not np.isfinite(z) else z
+            # parse-error rows keep the input z (the transform block is
+            # skipped, cs2cs.cpp:147-163); transform-error rows print
+            # the failed result, which formats as inf/nan like printf
+            zv = pz if pu == inf else z
             out.write(" " + ((oform or "%.3f") % zv))
         if facs is not None and not bad:
             h, kk, s, w, ta, tb = facs[k - 1]
@@ -149,7 +151,7 @@ def _filter_opts(args):
                          "%e/%f/%g conversion)")
     digits = getattr(args, "digits", None)
     if oform is None and digits is not None:
-        oform = "%%.%df" % digits
+        oform = "%%.%df" % max(0, digits)
     fract, fixed = 3, False
     if getattr(args, "dms_fixed", None) is not None:
         fract, fixed = args.dms_fixed, True
@@ -173,22 +175,6 @@ def _parse_mult(mv: str, inverse: bool):
     if inverse:
         return 1.0 / fscale, None
     return None, fscale
-
-
-def _read_text(stream):
-    rows = []
-    for lineno, line in enumerate(stream, 1):
-        line = line.split("#", 1)[0].strip()
-        if not line:
-            continue
-        try:
-            vals = [float(v) for v in line.split()]
-        except ValueError:
-            print(f"# skipping unparseable line {lineno}: {line!r}", file=sys.stderr)
-            continue
-        vals += [0.0] * (4 - len(vals))
-        rows.append(vals[:4])
-    return np.asarray(rows, dtype=np.float64).reshape(-1, 4)
 
 
 def _apply_parquet(args, transform, out_cols=("x", "y", "z")):
@@ -227,7 +213,7 @@ def _proj_vprocess(args, op) -> int:
 
     oform, fract, fixedw = _filter_opts(args)
     oform = oform or "%.3f"
-    tag = getattr(args, "tag", "#")
+    tag = (getattr(args, "tag", "#") or "#")[:1]
     for line in sys.stdin:
         if not line.endswith("\n"):
             line += "\n"
@@ -308,11 +294,21 @@ def cmd_proj(args) -> int:
     ang_in = op.angular_input(direction)
     ang_out = op.angular_output(direction)
 
+    prescale = postscale = None
+    if getattr(args, "mult", None):
+        prescale, postscale = _parse_mult(args.mult, args.inverse)
+
     def transform(coo: Coords) -> Coords:
         if ang_in:
             coo.x *= DEG_TO_RAD
             coo.y *= DEG_TO_RAD
+        if prescale:
+            coo.x *= prescale
+            coo.y *= prescale
         op.trans(direction, coo)
+        if postscale:
+            coo.x *= postscale
+            coo.y *= postscale
         if ang_out:
             coo.x *= RAD_TO_DEG
             coo.y *= RAD_TO_DEG
@@ -326,36 +322,31 @@ def cmd_proj(args) -> int:
     # prefix parsing on the angular side, strtod on the projected side,
     # tag-line echo, trailing-text passthrough, DMS output on inverse.
     oform, fract, fixedw = _filter_opts(args)
-    prescale = postscale = None
-    if getattr(args, "mult", None):
-        prescale, postscale = _parse_mult(args.mult, args.inverse)
     informat = dmstor_prefix if ang_in else strtod_prefix
     recs = _parse_filter_lines(sys.stdin, informat=informat,
                                reversein=args.rev_in, tag=args.tag)
     data = [r for r in recs if r[0] == "data"]
     coo = Coords(np.array([r[1] for r in data], dtype=np.float64),
                  np.array([r[2] for r in data], dtype=np.float64))
+    facs = None
+    if getattr(args, "factors", False):
+        # the reference computes proj_factors at the PRE-transform
+        # coordinate in both directions (proj.cpp:108-121 copies
+        # coord.lp before the transform) — for -I that means projected
+        # values read as radians, which mostly yields the <* * * * * *>
+        # row; we reproduce that byte behavior rather than "fix" it
+        from .core.factors import factors as _factors
+
+        with np.errstate(all="ignore"):
+            f = _factors(op, coo.x.copy(), coo.y.copy())
+        facs = np.column_stack([f.h, f.k, f.s,
+                                np.degrees(f.omega), f.a, f.b])
+        facs[~f.ok] = np.nan
     if prescale:
         coo.x *= prescale
         coo.y *= prescale
-    facs = None
-    if getattr(args, "factors", False):
-        from .core.factors import factors as _factors
-
-        def _facs_rows(lam, phi):
-            with np.errstate(all="ignore"):
-                f = _factors(op, np.asarray(lam), np.asarray(phi))
-            rows = np.column_stack([f.h, f.k, f.s,
-                                    np.degrees(f.omega), f.a, f.b])
-            rows[~f.ok] = np.nan
-            return rows
-
-        if not args.inverse:
-            facs = _facs_rows(coo.x, coo.y)
     with np.errstate(all="ignore"):
         op.trans(direction, coo)
-    if facs is None and getattr(args, "factors", False):
-        facs = _facs_rows(coo.x, coo.y)
     if postscale:
         coo.x *= postscale
         coo.y *= postscale
@@ -673,9 +664,7 @@ def cmd_cct(args) -> int:
             recs.append(("echo", f"# UNREADABLE: {line}"))
             continue
         comment = " ".join(fields[colmax:])
-        recs.append(("data", x, y,
-                     z if z != inf else 0.0, t if t != inf else inf,
-                     comment))
+        recs.append(("data", x, y, z if z != inf else 0.0, t, comment))
 
     data = [r for r in recs if r[0] == "data"]
     coo = Coords(np.array([r[1] for r in data]),
@@ -838,11 +827,12 @@ def cmd_geod(args) -> int:
         to_meter = linear_unit_to_meter(par.str_("units"))
     elif par.float_("to_meter"):
         to_meter = par.float_("to_meter")
+    tag = (args.tag or "#")[:1]
     recs = []
     for line in sys.stdin:
         if not line.endswith("\n"):
             line += "\n"
-        if line[:1] == args.tag:
+        if line[:1] == tag:
             recs.append(("echo", line))
             continue
         i = 0
@@ -862,14 +852,19 @@ def cmd_geod(args) -> int:
     data = [r for r in recs if r[0] == "data"]
     cols = [np.array([r[j] for r in data], dtype=np.float64)
             for j in (1, 2, 3, 4)]
-    if args.inverse:
-        s12, al12, al21 = geod_inverse(ell.a, f, cols[0], cols[1],
-                                       cols[2], cols[3])
-        phi2, lam2 = cols[2], cols[3]
-    else:
-        phi2, lam2, al21 = geod_direct(ell.a, f, cols[0], cols[1],
-                                       cols[2], cols[3])
-        s12, al12 = cols[3], cols[2]
+    with np.errstate(all="ignore"):
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            if args.inverse:
+                s12, al12, al21 = geod_inverse(ell.a, f, cols[0], cols[1],
+                                               cols[2], cols[3])
+                phi2, lam2 = cols[2], cols[3]
+            else:
+                phi2, lam2, al21 = geod_direct(ell.a, f, cols[0], cols[1],
+                                               cols[2], cols[3])
+                s12, al12 = cols[3], cols[2]
     if getattr(args, "pos_azi", False):
         al12 = np.where(al12 < 0, al12 + 2 * np.pi, al12)
         al21 = np.where(al21 < 0, al21 + 2 * np.pi, al21)
@@ -946,6 +941,43 @@ def cmd_lists(args) -> int:
         for did, (shift, ellps) in DATUM_TABLE.items():
             print(f"{did:>14} {ellps:10} {shift}")
     return 0
+
+
+# options that consume a following value token, per transform
+# subcommand — used to hoist options placed after the +proj-string
+# (argparse REMAINDER would otherwise swallow them silently; the
+# reference apps accept options anywhere on the command line)
+_VALUE_OPTS = {
+    "proj": {"-d", "-m", "-f", "-e", "-t", "-w", "-W"},
+    "cs2cs": {"-d", "-f", "-e", "-t", "-w", "-W"},
+    "geod": {"-d", "-f", "-F", "-t", "-w", "-W"},
+    "cct": {"-d", "-c", "-z", "-t", "-s"},
+}
+_COMMON_VALUE_OPTS = {"--digits", "--x-col", "--y-col", "--z-col"}
+
+
+def _hoist_options(cmd: str, toks: list[str]) -> list[str]:
+    """Reorder a transform subcommand's argv so every option (plus its
+    value tokens) precedes the positional proj-string — the reference
+    apps scan options anywhere (proj.cpp:300-460), while argparse's
+    REMAINDER stops option recognition at the first ``+`` token."""
+    value_opts = _VALUE_OPTS.get(cmd, set()) | _COMMON_VALUE_OPTS
+    head: list[str] = []
+    tail: list[str] = []
+    i = 0
+    while i < len(toks):
+        tk = toks[i]
+        if len(tk) > 1 and tk.startswith("-"):
+            head.append(tk)
+            nval = 2 if tk == "--parquet" else (1 if tk in value_opts else 0)
+            for _ in range(nval):
+                i += 1
+                if i < len(toks):
+                    head.append(toks[i])
+        else:
+            tail.append(tk)
+        i += 1
+    return head + tail
 
 
 def main(argv=None) -> int:
@@ -1028,6 +1060,9 @@ def main(argv=None) -> int:
                          "wkt1[:gdal], wkt1:esri, or projjson")
     pi.add_argument("crs", nargs="*")
     pi.set_defaults(fn=cmd_projinfo)
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if argv and argv[0] in ("proj", "cs2cs", "cct", "geod"):
+        argv = [argv[0]] + _hoist_options(argv[0], argv[1:])
     args = ap.parse_args(argv)
     if getattr(args, "list_projs", False) or getattr(args, "list_ellps", False) \
             or getattr(args, "list_units", False) or getattr(args, "list_datums", False):

@@ -55,7 +55,7 @@ def dms_to_rad(text: str) -> float:
             break
         else:
             # bare number: interpret at the current field level
-            v += tv * _VM[min(level, 2)] if level else tv * _VM[0]
+            v += tv * _VM[level]
             break
         if n < level:
             raise ProjError(ERR_WRONG_FORMAT_DMS_VALUE, text)
@@ -154,7 +154,12 @@ def rtodms(r: float, pos: str, neg: str, fract: int = 3,
     strip trailing zeros off the seconds fraction, and append the
     ``pos``/``neg`` hemisphere letter (falsy ``pos`` emits a leading
     ``-`` instead). ``fixed_width`` is the ``-W`` constant-width form:
-    zero-padded minutes and seconds, no field dropping."""
+    zero-padded minutes and seconds, no field dropping. Total
+    function: non-finite input formats as ``inf``/``nan`` text rather
+    than raising (the C version's printf prints garbage but never
+    aborts)."""
+    if not math.isfinite(r):
+        return "%g" % r
     res = 10.0 ** fract
     conv = 180.0 * 3600.0 * res / math.pi
     lead = ""
