@@ -550,9 +550,14 @@ def run_sf1_streaming() -> dict:
             t.select(["doc_id", "lang"]))
         toks = pc.sum(pc.list_value_length(
             pc.split_pattern(t.column("text"), " "))).as_py() or 0
+        if len(part) == 0:
+            # a block whose rows all fell outside the tile stage still
+            # contributes its token sum — emit a carrier row so the
+            # partial is never silently dropped
+            part = pa.table({c.name: pa.nulls(1, type=c.type)
+                             for c in part.schema})
         tok_col = np.zeros(len(part), dtype=np.int64)
-        if len(tok_col):
-            tok_col[0] = toks
+        tok_col[0] = toks
         return part.append_column("tok_partial", pa.array(tok_col))
 
     total_store = int(ray.cluster_resources().get("object_store_memory", 0))

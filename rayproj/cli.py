@@ -111,9 +111,13 @@ def _emit_filtered(recs, coo, *, ang_out, oform, oterr, echoin=False,
         if bad:
             out.write(oterr)
         elif ang_out and not oform:
-            lu = ("N", "S") if lat_first else ("E", "W")
-            lv = ("E", "W") if lat_first else ("N", "S")
-            pairs = [(v, lv), (u, lu)] if reverseout else [(u, lu), (v, lv)]
+            # u is always longitude in this engine's data layout;
+            # lat_first (the reference's destIsLatLong) only flips the
+            # print order — the reference normalizes axes so its u
+            # holds latitude for lat-first CRSs, same output bytes
+            first_lat = lat_first != reverseout
+            pairs = ([(v, ("N", "S")), (u, ("E", "W"))] if first_lat
+                     else [(u, ("E", "W")), (v, ("N", "S"))])
             out.write("\t".join(
                 rtodms(val, lt[0], lt[1], fract, fixed_width)
                 for val, lt in pairs))
@@ -122,7 +126,7 @@ def _emit_filtered(recs, coo, *, ang_out, oform, oterr, echoin=False,
             if ang_out:
                 u *= RAD_TO_DEG
                 v *= RAD_TO_DEG
-            a, b = (v, u) if reverseout else (u, v)
+            a, b = (v, u) if (lat_first != reverseout) else (u, v)
             out.write((f % a) + "\t" + (f % b))
         if with_z:
             # parse-error rows keep the input z (the transform block is
@@ -130,7 +134,9 @@ def _emit_filtered(recs, coo, *, ang_out, oform, oterr, echoin=False,
             # the failed result, which formats as inf/nan like printf
             zv = pz if pu == inf else z
             out.write(" " + ((oform or "%.3f") % zv))
-        if facs is not None and not bad:
+        if facs is not None:
+            # printed even after oterr (proj.cpp:165-172 has no guard);
+            # rows whose factors failed print the star form
             h, kk, s, w, ta, tb = facs[k - 1]
             if np.isfinite(h):
                 out.write("\t<%g %g %g %g %g %g>" % (h, kk, s, w, ta, tb))
@@ -214,6 +220,11 @@ def _proj_vprocess(args, op) -> int:
     oform, fract, fixedw = _filter_opts(args)
     oform = oform or "%.3f"
     tag = (getattr(args, "tag", "#") or "#")[:1]
+    prescale = postscale = None
+    if getattr(args, "mult", None):
+        # vprocess applies -m too: prescale before pj_inv
+        # (proj.cpp:228), postscale after pj_fwd (proj.cpp:249)
+        prescale, postscale = _parse_mult(args.mult, args.inverse)
     for line in sys.stdin:
         if not line.endswith("\n"):
             line += "\n"
@@ -228,6 +239,9 @@ def _proj_vprocess(args, op) -> int:
         if linvers:
             x, i = strtod_prefix(line, i)
             y, i = strtod_prefix(line, i)
+            if prescale:
+                x *= prescale
+                y *= prescale
             if getattr(args, "rev_in", False):
                 x, y = y, x
             coo = Coords(np.array([x]), np.array([y]))
@@ -249,6 +263,9 @@ def _proj_vprocess(args, op) -> int:
             with np.errstate(all="ignore"):
                 op.trans(FWD, coo)
             x, y = float(coo.x[0]), float(coo.y[0])
+            if postscale:
+                x *= postscale
+                y *= postscale
         if coo.err[0] != 0 or not (np.isfinite(x) and np.isfinite(y)):
             print("projection failure", file=sys.stderr)
             continue
@@ -492,6 +509,35 @@ def cmd_projinfo(args) -> int:
     return 0
 
 
+def _tok_lat_first(side_toks) -> bool:
+    for t in side_toks:
+        m = re.match(r"(?:\+init=)?(EPSG|IGNF|ESRI):(\w+)$", t, re.I)
+        if m:
+            try:
+                from .state.projdb import crs_is_lat_first
+
+                return crs_is_lat_first(m.group(1).upper(), m.group(2))
+            except Exception:
+                return False
+    return False
+
+
+def _latlong_sides(raw_toks, inverse: bool) -> tuple[bool, bool]:
+    """(srcIsLatFirst, dstIsLatFirst) — cs2cs.cpp:560-607
+    instantiate_crs isLatFirst on each side of +to. A lat-first
+    geographic SOURCE consumes input as lat lon (axis normalization on
+    the input side); a lat-first DESTINATION prints lat/N-S first."""
+    toks = list(raw_toks)
+    sep = "+to" if "+to" in toks else ("to" if "to" in toks else None)
+    if sep is None:
+        return False, False
+    split = toks.index(sep)
+    a, b = toks[:split], toks[split + 1:]
+    if inverse:
+        a, b = b, a
+    return _tok_lat_first(a), _tok_lat_first(b)
+
+
 def cmd_cs2cs(args) -> int:
     raw = list(args.projargs)
     if getattr(args, "db_route", False):
@@ -536,16 +582,22 @@ def cmd_cs2cs(args) -> int:
         dst.fwd(coo)
         return coo
 
-    return _run_cs2cs_filter(args, text_transform, ang_in, ang_out)
+    src_lf, dst_lf = _latlong_sides(raw, args.inverse)
+    return _run_cs2cs_filter(args, text_transform, ang_in, ang_out,
+                             lat_first=dst_lf, src_lat_first=src_lf)
 
 
-def _run_cs2cs_filter(args, text_transform, ang_in, ang_out) -> int:
+def _run_cs2cs_filter(args, text_transform, ang_in, ang_out,
+                      lat_first=False, src_lat_first=False) -> int:
     """Shared cs2cs text path: parse, 4D transform over radians,
     reference output formatting (x y␣z + verbatim trailing text)."""
     oform, fract, fixedw = _filter_opts(args)
     informat = dmstor_prefix if ang_in else strtod_prefix
+    # a lat-first source consumes lat before lon: same mechanics as -r
+    # (the reference normalizes axes inside the transform instead)
+    rev_in = args.rev_in != src_lat_first
     recs = _parse_filter_lines(sys.stdin, informat=informat,
-                               reversein=args.rev_in, tag=args.tag,
+                               reversein=rev_in, tag=args.tag,
                                read_zt=True)
     data = [r for r in recs if r[0] == "data"]
     coo = Coords(np.array([r[1] for r in data], dtype=np.float64),
@@ -557,7 +609,7 @@ def _run_cs2cs_filter(args, text_transform, ang_in, ang_out) -> int:
     _emit_filtered(recs, coo, ang_out=ang_out, oform=oform,
                    oterr=args.oterr, echoin=args.echo_in,
                    reverseout=args.rev_out, fract=fract,
-                   fixed_width=fixedw, with_z=True)
+                   fixed_width=fixedw, with_z=True, lat_first=lat_first)
     return 0
 
 
@@ -599,7 +651,9 @@ def _cs2cs_db_route(args, toks) -> int:
         op.trans(FWD, coo)
         return coo
 
-    return _run_cs2cs_filter(args, text_transform, ang_in, ang_out)
+    src_lf, dst_lf = _latlong_sides(toks, args.inverse)
+    return _run_cs2cs_filter(args, text_transform, ang_in, ang_out,
+                             lat_first=dst_lf, src_lat_first=src_lf)
 
 
 def cmd_cct(args) -> int:
@@ -640,7 +694,9 @@ def cmd_cct(args) -> int:
     inf = float("inf")
 
     recs = []
+    rec_no = -1
     for line in sys.stdin:
+        rec_no += 1  # optargpm.h record_index: counts every read line
         if not line.endswith("\n"):
             line += "\n"
         if skip > 0:
@@ -658,13 +714,19 @@ def cmd_cct(args) -> int:
             return val if end else inf
 
         x, y = _col(cols[0]), _col(cols[1])
+        # missing z/t columns stay HUGE_VAL and flow into the 4D
+        # transform and the output (cct.cpp parse_input_line:457-460);
+        # only a missing/unparseable x marks the record unreadable
         z = fixed_z if fixed_z is not None else _col(cols[2])
         t = fixed_t if fixed_t is not None else _col(cols[3])
-        if x == inf or y == inf:
-            recs.append(("echo", f"# UNREADABLE: {line}"))
+        if x == inf:
+            recs.append(("echo", "# Record %d UNREADABLE: %s"
+                         % (rec_no, line)))
+            print("cct: Could not parse file '<stdin>' line %d"
+                  % (rec_no + 1), file=sys.stderr)
             continue
         comment = " ".join(fields[colmax:])
-        recs.append(("data", x, y, z if z != inf else 0.0, t, comment))
+        recs.append(("data", x, y, z, t, comment, rec_no, line))
 
     data = [r for r in recs if r[0] == "data"]
     coo = Coords(np.array([r[1] for r in data]),
@@ -686,10 +748,9 @@ def cmd_cct(args) -> int:
         bad = coo.err[k] != 0 or not (np.isfinite(x) and np.isfinite(y))
         k += 1
         if bad:
-            sys.stdout.write("# TRANSFORMATION ERROR\n")
+            sys.stdout.write("# Record %d TRANSFORMATION ERROR: %s"
+                             % (rec[6], rec[7]))
             continue
-        if not np.isfinite(t):
-            t = 0.0
         sep = " " if comment else ""
         if ang_out:
             fmt = "%%14.%df  %%14.%df  %%12.%df  %%12.4f%%s%%s\n" % (
@@ -865,6 +926,9 @@ def cmd_geod(args) -> int:
                 phi2, lam2, al21 = geod_direct(ell.a, f, cols[0], cols[1],
                                                cols[2], cols[3])
                 s12, al12 = cols[3], cols[2]
+    # back azimuth: azi2 += azi2 >= 0 ? -180 : 180
+    # (geod_interface.cpp:20,32 — applied in both geod_for and geod_inv)
+    al21 = np.where(al21 >= 0, al21 - np.pi, al21 + np.pi)
     if getattr(args, "pos_azi", False):
         al12 = np.where(al12 < 0, al12 + 2 * np.pi, al12)
         al21 = np.where(al21 < 0, al21 + 2 * np.pi, al21)

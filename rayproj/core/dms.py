@@ -117,6 +117,12 @@ def dmstor_prefix(s: str, i: int = 0) -> tuple[float, int]:
         if not m:
             break
         tv = float(m.group(0))
+        if math.isinf(tv):
+            # numeric overflow: the reference's proj_strtod returns
+            # HUGE_VAL and dmstor propagates it immediately, before
+            # sign application, with endptr left at the start
+            # (dmstor.cpp:53-54) — never -inf
+            return tv, i
         p = m.end()
         c = work[p] if p < len(work) else "\0"
         if c in "Dd":
@@ -157,7 +163,13 @@ def rtodms(r: float, pos: str, neg: str, fract: int = 3,
     zero-padded minutes and seconds, no field dropping. Total
     function: non-finite input formats as ``inf``/``nan`` text rather
     than raising (the C version's printf prints garbage but never
-    aborts)."""
+    aborts).
+
+    Known deliberate deviation: at ``fract=0`` the C zero-strip loop
+    (rtodms.cpp:64-81) has no decimal-point guard and eats significant
+    trailing zeros off integer seconds (``12d0'10"E`` prints as
+    ``12d0'1"E``) — a data-corrupting formatter bug we do not
+    reproduce; our output keeps the full integer seconds."""
     if not math.isfinite(r):
         return "%g" % r
     res = 10.0 ** fract

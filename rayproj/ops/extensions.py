@@ -209,8 +209,11 @@ class TmercZoned(Operation):
         from ..core.op import FWD
 
         lon_deg = coo.x * (180.0 / math.pi)
-        zone = np.floor((lon_deg - self.lon_i) / self.zw).astype(np.int64) + 1
-        zone = np.clip(zone, 1, self.nzones)
+        # EPSG 9824: Z = INT((lon + 180 + W)/W) mod 60 — the zone
+        # wraps at the antimeridian rather than clipping (lon=+180
+        # belongs to zone 1, not zone nzones)
+        zone = (np.floor((lon_deg - self.lon_i) / self.zw).astype(np.int64)
+                % self.nzones) + 1
         x = np.empty_like(coo.x)
         y = np.empty_like(coo.y)
         for z in np.unique(zone):

@@ -843,3 +843,24 @@ def create_crs_to_crs(s_crs: str, t_crs: str):
             return coo
 
     return CrsToCrs()
+
+
+def crs_is_lat_first(auth: str, code: str) -> bool:
+    """True when the CRS is a geographic CRS whose first axis is
+    latitude — cs2cs's destIsLatLong (cs2cs.cpp instantiate_crs
+    isLatFirst), which flips the DMS print order to lat/N-S first."""
+    con = _db()
+    row = con.execute(
+        "SELECT coordinate_system_auth_name, coordinate_system_code "
+        "FROM geodetic_crs WHERE auth_name=? AND code=?",
+        (auth, code),
+    ).fetchone()
+    if row is None:
+        return False
+    a = con.execute(
+        "SELECT orientation FROM axis WHERE coordinate_system_auth_name=?"
+        " AND coordinate_system_code=? ORDER BY coordinate_system_order"
+        " LIMIT 1",
+        (str(row[0]), str(row[1])),
+    ).fetchone()
+    return a is not None and str(a[0]).strip().lower() == "north"

@@ -195,7 +195,9 @@ def test_cs2cs_epsg_shorthand(capsys):
     # Rome through WGS84 -> UTM 33N, against the direct utm operation
     stdin = sys.stdin
     try:
-        sys.stdin = io.StringIO("12.4924 41.8902\n")
+        # EPSG:4326 is lat-first: input order is lat lon (cs2cs axis
+        # normalization, cs2cs.cpp:560-607)
+        sys.stdin = io.StringIO("41.8902 12.4924\n")
         rc = cli.main(["cs2cs", "EPSG:4326", "+to", "EPSG:32633"])
     finally:
         sys.stdin = stdin
@@ -233,7 +235,8 @@ def test_cs2cs_db_route(monkeypatch, capsys):
         import pytest
 
         pytest.skip("EPSG registry unavailable")
-    monkeypatch.setattr("sys.stdin", io.StringIO("-98 39 0\n"))
+    # EPSG:4267 (NAD27) is lat-first: lat lon input order
+    monkeypatch.setattr("sys.stdin", io.StringIO("39 -98 0\n"))
     assert main(["cs2cs", "--db-route", "EPSG:4267", "+to", "EPSG:32614"]) == 0
     x, y = [float(v) for v in capsys.readouterr().out.split()[:2]]
     # the routed CONUS candidate (library-tested in test_projdb) —
@@ -365,3 +368,78 @@ def test_proj_vprocess_block_format():
                     "+k_0=0.9996", "+lon_0=9"], "I 500000 4982950\n")
     assert "Longitude: 15d19'28.535\"E" in out
     assert "Easting (x):   500000.000" in out
+
+
+def test_cs2cs_lat_first_axis_order():
+    """EPSG lat-first geographic CRSs consume and emit lat before lon
+    (cs2cs.cpp:560-607 axis normalization)."""
+    from rayproj.state import projdb
+
+    if not projdb.available():
+        pytest.skip("EPSG registry unavailable")
+    rc, out = _run(["cs2cs", "-f", "%.2f", "EPSG:4326", "+to",
+                    "EPSG:32612"], "42 -111.08 0\n")
+    assert rc == 0
+    x = float(out.split()[0])
+    assert x == pytest.approx(493374.59, abs=0.5)
+    # reverse direction prints lat first (DMS default, then -f decimal)
+    rc, out = _run(["cs2cs", "EPSG:32612", "+to", "EPSG:4326"],
+                   "500000 4649776.22 0\n")
+    assert out.split("\t")[0].endswith("N")
+    rc, out = _run(["cs2cs", "-f", "%.4f", "EPSG:32612", "+to",
+                    "EPSG:4326"], "500000 4649776.22 0\n")
+    lat, lon = map(float, out.split()[:2])
+    assert lat == pytest.approx(42.0, abs=1e-3)
+    assert lon == pytest.approx(-111.0, abs=1e-3)  # the central meridian
+
+
+def test_proj_factors_on_error_rows():
+    """-S prints the factor section even after oterr
+    (proj.cpp:165-172 has no error guard)."""
+    rc, out = _run(["proj", "-S", "+proj=merc", "+ellps=WGS84"],
+                   "0 90\n0 10\n")
+    lines = out.splitlines()
+    assert lines[0] == "*\t*\t<* * * * * *>"
+    assert lines[1].count("<") == 1 and "*" not in lines[1]
+
+
+def test_geod_back_azimuth_flip():
+    """geod prints the BACK azimuth: azi2 +/- 180
+    (geod_interface.cpp:20,32)."""
+    rc, out = _run(["geod", "-f", "%.5f", "+ellps=WGS84"],
+                   "40.6 -73.8 51.19888 5551759.4\n")
+    assert out.split()[2] == "-72.17822"
+
+
+def test_dmstor_overflow_huge_val():
+    """Numeric overflow propagates +HUGE_VAL with no consumption and
+    no sign application (dmstor.cpp:53-54 via proj_strtod)."""
+    from rayproj.core.dms import dmstor_prefix
+
+    v, i = dmstor_prefix("-1e999 45")
+    assert v == float("inf") and i == 0
+
+
+def test_cct_record_numbered_errors():
+    """cct error lines carry the 0-based record number; only a
+    missing/unparseable x is UNREADABLE — a missing y is a
+    TRANSFORMATION ERROR (cct.cpp:355-372 checks x only)."""
+    rc, out = _run(["cct", "+proj=utm", "+zone=32"],
+                   "12 55 0 0\nx 55\n12\n")
+    lines = out.splitlines()
+    assert lines[1] == "# Record 1 UNREADABLE: x 55"
+    assert lines[2] == "# Record 2 TRANSFORMATION ERROR: 12"
+
+
+def test_tmzoned_antimeridian_wrap():
+    """EPSG 9824 zone index wraps modulo the zone count: lon=+180
+    lands in zone 1, not zone 60."""
+    from rayproj.core.factory import create_operation
+    from rayproj.core.op import Coords, FWD
+
+    op = create_operation("+proj=tmzoned +x_0=500000 +ellps=WGS84")
+    c = Coords(np.radians([180.0, -180.0, 179.999]),
+               np.radians([10.0, 10.0, 10.0]))
+    op.trans(FWD, c)
+    zones = np.floor(c.x / 1e6).astype(int)
+    assert list(zones) == [1, 1, 60]
