@@ -21,6 +21,7 @@ mode is the byte-for-byte-comparable reference UX.
 from __future__ import annotations
 
 import argparse
+import os
 import re
 import sys
 
@@ -305,6 +306,13 @@ def _proj_vprocess(args, op) -> int:
 
 def cmd_proj(args) -> int:
     op = create_operation(" ".join(args.projargs))
+    # the proj app's issue-#1782 hack (proj.cpp:489-496): General
+    # Oblique Transformation with WHATEVER output is rebound to
+    # PROJECTED so +to_meter/x_0 apply on output
+    if op.name == "ob_tran" and op.right == "whatever":
+        from .core.op import IO_PROJECTED
+
+        op.right = IO_PROJECTED
     if getattr(args, "verbose_factors", False):
         return _proj_vprocess(args, op)
     direction = INV if args.inverse else FWD
@@ -509,9 +517,54 @@ def cmd_projinfo(args) -> int:
     return 0
 
 
+_GEODETIC_KEYS = {
+    "ellps", "a", "b", "rf", "es", "e", "f", "R", "R_A", "R_V", "R_a",
+    "R_g", "R_h", "datum", "towgs84", "nadgrids", "pm", "geoidgrids",
+    "vunits", "vto_meter", "over",
+}
+
+
+def _geog_base_tokens(toks):
+    """The geographic CRS underlying a projected proj-string: keep only
+    its geodetic parameters under +proj=latlong (cs2cs.cpp
+    get_geog_crs_proj_string_from_proj_crs equivalent)."""
+    out = ["+proj=latlong"]
+    for t in toks:
+        key = t.lstrip("+").split("=", 1)[0]
+        if key in _GEODETIC_KEYS:
+            out.append(t)
+    return out
+
+
+# operator kernels that read or write the vertical coordinate — a
+# cs2cs end built on one of these is 3D and must not have its height
+# pinned by the 2D push/pop emulation
+_Z_ACTIVE_OPS = {
+    "geocent", "cart", "sch", "affine", "axisswap", "pipeline",
+    "topocentric", "geogoffset", "molodensky", "deformation",
+    "xyzgridshift", "tinshift", "defmodel", "vgridshift", "unitconvert",
+}
+
+
+def _crs_is_3d(op) -> bool:
+    """True when a cs2cs end is inherently 3D — geocentric, a
+    z-transforming kernel, or carrying vertical machinery — so the
+    input height must flow through instead of being preserved (the
+    reference wraps only the datum leg of 2D-CRS pipelines in
+    +push v_3 ... +pop v_3; conversions like sch still map z)."""
+    if op.name in _Z_ACTIVE_OPS:
+        return True
+    p = op.params
+    return any(p.has(k)
+               for k in ("geoidgrids", "vunits", "vto_meter", "vgrids"))
+
+
 def _tok_lat_first(side_toks) -> bool:
+    # only bare authority strings are axis-normalized; +init=epsg:...
+    # keeps classic lon-first proj4 init rules (cs2cs.cpp:543
+    # proj_context_use_proj4_init_rules(TRUE))
     for t in side_toks:
-        m = re.match(r"(?:\+init=)?(EPSG|IGNF|ESRI):(\w+)$", t, re.I)
+        m = re.match(r"(EPSG|IGNF|ESRI):(\w+)$", t, re.I)
         if m:
             try:
                 from .state.projdb import crs_is_lat_first
@@ -538,24 +591,106 @@ def _latlong_sides(raw_toks, inverse: bool) -> tuple[bool, bool]:
     return _tok_lat_first(a), _tok_lat_first(b)
 
 
+def _strip_datum_tokens(toks):
+    """Drop datum-shift info while keeping the implied ellipsoid —
+    used to emulate pj_datum_transform's rule that the shift is
+    skipped entirely when EITHER side has no datum information
+    (transform.cpp: PJD_UNKNOWN short-circuit)."""
+    from .core.datums import DATUM_TABLE
+
+    out = []
+    for t in toks:
+        key, _, val = t.lstrip("+").partition("=")
+        if key in ("towgs84", "nadgrids"):
+            continue
+        if key == "datum":
+            ell = DATUM_TABLE.get(val, (None, None))[1]
+            if ell:
+                out.append(f"+ellps={ell}")
+            continue
+        out.append(t)
+    return out
+
+
+def _datum_known(toks) -> bool:
+    return any(t.lstrip("+").split("=", 1)[0]
+               in ("datum", "towgs84", "nadgrids") for t in toks)
+
+
 def cmd_cs2cs(args) -> int:
     raw = list(args.projargs)
     if getattr(args, "db_route", False):
         return _cs2cs_db_route(args, raw)
-    toks = _expand_crs_tokens(raw)
-    if "+to" in toks:
-        split = toks.index("+to")
-    elif "to" in toks:
-        split = toks.index("to")
+    if "+to" in raw or "to" in raw:
+        split = raw.index("+to" if "+to" in raw else "to")
+        raw_src, raw_dst = raw[:split], raw[split + 1:]
+    elif raw and not any(t.startswith("+") for t in raw):
+        # positional {source_crs} {target_crs} [files...] form (cs2cs
+        # usage line): non-file tokens are CRSs, the rest input files
+        crs_pos, files = [], []
+        for t in raw:
+            if len(crs_pos) < 2 and not os.path.exists(t):
+                crs_pos.append(t)
+            else:
+                files.append(t)
+        if len(crs_pos) != 2:
+            print("cs2cs: missing source/target CRS", file=sys.stderr)
+            return 2
+        # bare frame names ('ITRF2000', 'ITRF1993') resolve by
+        # registry name search (createFromUserInput's name leg)
+        for i, tok in enumerate(crs_pos):
+            if ":" not in tok:
+                from .state.projdb import resolve_crs_name
+
+                ac = resolve_crs_name(tok)
+                if ac is not None:
+                    crs_pos[i] = f"{ac[0]}:{ac[1]}"
+        raw_src, raw_dst = [crs_pos[0]], [crs_pos[1]]
+        if files:
+            import itertools
+
+            args._in_stream = itertools.chain.from_iterable(
+                open(f) for f in files)
     else:
-        print("cs2cs: missing +to separator", file=sys.stderr)
-        return 2
-    src = create_operation(" ".join(toks[:split]))
-    dst = create_operation(" ".join(toks[split + 1:]))
+        # no +to: the destination is the geographic CRS of the source
+        # (cs2cs.cpp:564-572 get_geog_crs_proj_string_from_proj_crs) —
+        # classic invproj-style usage
+        raw_src, raw_dst = raw, None
     if args.inverse:
-        src, dst = dst, src
-    ang_in = src.angular_input(INV) if not src.is_latlong else True
-    ang_out = dst.angular_output(FWD) if not dst.is_latlong else True
+        raw_src, raw_dst = raw_dst, raw_src
+    src_toks = _expand_crs_tokens(raw_src) if raw_src is not None else None
+    dst_toks = _expand_crs_tokens(raw_dst) if raw_dst is not None else None
+    if dst_toks is None:
+        dst_toks = _geog_base_tokens(src_toks)
+    elif src_toks is None:
+        src_toks = _geog_base_tokens(dst_toks)
+    if not (_datum_known(src_toks) and _datum_known(dst_toks)):
+        # the towgs84 hub can't express this pair — try a DIRECT
+        # (possibly time-dependent) registry Helmert between the two
+        # frames (EPSG 1053-family; ITRF/ETRF cases)
+        fr = _frame_pair_op(raw_src, raw_dst)
+        if fr is not None:
+            return fr(args)
+    if _datum_known(src_toks) != _datum_known(dst_toks):
+        # one side has no datum info: the reference skips the datum
+        # shift on BOTH sides (pj_datum_transform PJD_UNKNOWN rule)
+        src_toks = _strip_datum_tokens(src_toks)
+        dst_toks = _strip_datum_tokens(dst_toks)
+    src = create_operation(" ".join(src_toks))
+    dst = create_operation(" ".join(dst_toks))
+
+    def _rotated_longlat(op):
+        # +proj=ob_tran +o_proj=longlat is a geographic CRS to the CRS
+        # machinery (io.cpp rotated-pole special case, #1525): ob_tran
+        # leaves right=WHATEVER exactly when the linked op is angular
+        from .core.op import IO_WHATEVER
+
+        return op.name == "ob_tran" and op.right == IO_WHATEVER
+
+    ang_in = (True if src.is_latlong or _rotated_longlat(src)
+              else src.angular_input(INV))
+    ang_out = (True if dst.is_latlong or _rotated_longlat(dst)
+               else dst.angular_output(FWD))
 
     def transform(coo: Coords) -> Coords:
         if ang_in:
@@ -582,13 +717,17 @@ def cmd_cs2cs(args) -> int:
         dst.fwd(coo)
         return coo
 
-    src_lf, dst_lf = _latlong_sides(raw, args.inverse)
+    src_lf = _tok_lat_first(raw_src or [])
+    dst_lf = _tok_lat_first(raw_dst or [])
     return _run_cs2cs_filter(args, text_transform, ang_in, ang_out,
-                             lat_first=dst_lf, src_lat_first=src_lf)
+                             lat_first=dst_lf, src_lat_first=src_lf,
+                             preserve_z=not (_crs_is_3d(src)
+                                             or _crs_is_3d(dst)))
 
 
 def _run_cs2cs_filter(args, text_transform, ang_in, ang_out,
-                      lat_first=False, src_lat_first=False) -> int:
+                      lat_first=False, src_lat_first=False,
+                      preserve_z=False) -> int:
     """Shared cs2cs text path: parse, 4D transform over radians,
     reference output formatting (x y␣z + verbatim trailing text)."""
     oform, fract, fixedw = _filter_opts(args)
@@ -596,7 +735,8 @@ def _run_cs2cs_filter(args, text_transform, ang_in, ang_out,
     # a lat-first source consumes lat before lon: same mechanics as -r
     # (the reference normalizes axes inside the transform instead)
     rev_in = args.rev_in != src_lat_first
-    recs = _parse_filter_lines(sys.stdin, informat=informat,
+    stream = getattr(args, "_in_stream", None) or sys.stdin
+    recs = _parse_filter_lines(stream, informat=informat,
                                reversein=rev_in, tag=args.tag,
                                read_zt=True)
     data = [r for r in recs if r[0] == "data"]
@@ -604,8 +744,15 @@ def _run_cs2cs_filter(args, text_transform, ang_in, ang_out,
                  np.array([r[2] for r in data], dtype=np.float64),
                  np.array([r[3] for r in data], dtype=np.float64),
                  np.array([r[4] for r in data], dtype=np.float64))
+    z_in = coo.z.copy() if preserve_z else None
     with np.errstate(all="ignore"):
         text_transform(coo)
+    if z_in is not None:
+        # 2D-CRS pipelines keep the input height byte-identical
+        # (the reference's +push v_3 / +pop v_3 wrap) — but only on
+        # rows whose transform succeeded; error rows keep the error z
+        ok = (coo.err == 0) & np.isfinite(coo.x) & np.isfinite(coo.y)
+        coo.z[ok] = z_in[ok]
     _emit_filtered(recs, coo, ang_out=ang_out, oform=oform,
                    oterr=args.oterr, echoin=args.echo_in,
                    reverseout=args.rev_out, fract=fract,
@@ -654,6 +801,44 @@ def _cs2cs_db_route(args, toks) -> int:
     src_lf, dst_lf = _latlong_sides(toks, args.inverse)
     return _run_cs2cs_filter(args, text_transform, ang_in, ang_out,
                              lat_first=dst_lf, src_lat_first=src_lf)
+
+
+def _frame_pair_op(raw_src, raw_dst):
+    """When both cs2cs sides are single authority tokens naming
+    reference frames with a direct registry Helmert (time-dependent
+    ITRF/ETRF family), return a runner applying that operation; else
+    None. Axis order and angular ends follow the CRS types."""
+    if not (raw_src and raw_dst and len(raw_src) == 1 and len(raw_dst) == 1
+            and ":" in raw_src[0] and ":" in raw_dst[0]):
+        return None
+    try:
+        from .state.projdb import (_crs_datum_and_type, crs_is_lat_first,
+                                   frame_shift_operation)
+
+        sa, sc = raw_src[0].split(":", 1)
+        ta, tc = raw_dst[0].split(":", 1)
+        sa, ta = sa.upper(), ta.upper()
+        op = frame_shift_operation(sa, sc, ta, tc)
+        if op is None:
+            return None
+        s_kind = _crs_datum_and_type(sa, sc)[2]
+        t_kind = _crs_datum_and_type(ta, tc)[2]
+        src_lf = crs_is_lat_first(sa, sc)
+        dst_lf = crs_is_lat_first(ta, tc)
+    except Exception:
+        return None
+    ang_in = s_kind != "geocentric"
+    ang_out = t_kind != "geocentric"
+
+    def run(args):
+        def text_transform(coo: Coords) -> Coords:
+            op.trans(FWD, coo)
+            return coo
+
+        return _run_cs2cs_filter(args, text_transform, ang_in, ang_out,
+                                 lat_first=dst_lf, src_lat_first=src_lf)
+
+    return run
 
 
 def cmd_cct(args) -> int:

@@ -220,17 +220,34 @@ def _towgs84(auth: str, crs_code: str) -> str | None:
     convention (coordinate-frame rotations negated), arcsec/ppm units —
     the classic +towgs84 contract (ref transform.cpp datum hub)."""
     con = _db()
+    # rank candidates the way the reference does with no area of
+    # interest (createOperations filterAndSort): LARGEST usage extent
+    # first — a nationwide transformation beats a more accurate but
+    # regional one (e.g. MGI: EPSG:1618 Austria over EPSG:1194 Styria,
+    # testvarious #207) — then accuracy, then code
     row = con.execute(
-        "SELECT method_code, tx, ty, tz, rx, ry, rz, scale_difference, "
-        "  rotation_uom_code, scale_difference_uom_code, translation_uom_code "
-        "FROM helmert_transformation "
-        "WHERE source_crs_auth_name=? AND source_crs_code=? "
-        "  AND target_crs_auth_name='EPSG' AND target_crs_code='4326' "
-        "  AND deprecated=0 AND method_code IN "
+        "SELECT h.method_code, h.tx, h.ty, h.tz, h.rx, h.ry, h.rz, "
+        "  h.scale_difference, h.rotation_uom_code, "
+        "  h.scale_difference_uom_code, h.translation_uom_code, "
+        "  (SELECT MAX((e.east_lon - e.west_lon) * "
+        "              (e.north_lat - e.south_lat)) "
+        "   FROM usage u JOIN extent e ON e.auth_name=u.extent_auth_name "
+        "     AND e.code=u.extent_code "
+        "   WHERE u.object_table_name='helmert_transformation' "
+        "     AND u.object_auth_name=h.auth_name "
+        "     AND u.object_code=h.code) AS area "
+        "FROM helmert_transformation h "
+        "WHERE h.source_crs_auth_name=? AND h.source_crs_code=? "
+        "  AND h.target_crs_auth_name='EPSG' AND h.target_crs_code='4326' "
+        "  AND h.deprecated=0 AND h.method_code IN "
         "  ('9603','9606','9607','1031','1032','1033') "
-        "ORDER BY (accuracy IS NULL), accuracy, code LIMIT 1",
+        "ORDER BY (area IS NULL), area DESC, "
+        "  (h.accuracy IS NULL), h.accuracy, "
+        "  (h.auth_name != 'EPSG'), h.code LIMIT 1",
         (auth, crs_code),
     ).fetchone()
+    if row is not None:
+        row = row[:-1]  # drop the ranking area column
     if row is None:
         return None
     (method, tx, ty, tz, rx, ry, rz, ds, rot_uom, ds_uom, tr_uom) = row
@@ -846,14 +863,18 @@ def create_crs_to_crs(s_crs: str, t_crs: str):
 
 
 def crs_is_lat_first(auth: str, code: str) -> bool:
-    """True when the CRS is a geographic CRS whose first axis is
-    latitude — cs2cs's destIsLatLong (cs2cs.cpp instantiate_crs
-    isLatFirst), which flips the DMS print order to lat/N-S first."""
+    """True when the CRS's first axis points north — cs2cs's
+    isLatFirst axis normalization (cs2cs.cpp instantiate_crs), which
+    flips both the input consumption order and the print order. Covers
+    geographic (lat,lon) AND projected (northing,easting) CRSs."""
     con = _db()
     row = con.execute(
         "SELECT coordinate_system_auth_name, coordinate_system_code "
-        "FROM geodetic_crs WHERE auth_name=? AND code=?",
-        (auth, code),
+        "FROM geodetic_crs WHERE auth_name=? AND code=? "
+        "UNION ALL "
+        "SELECT coordinate_system_auth_name, coordinate_system_code "
+        "FROM projected_crs WHERE auth_name=? AND code=? LIMIT 1",
+        (auth, code, auth, code),
     ).fetchone()
     if row is None:
         return False
@@ -864,3 +885,157 @@ def crs_is_lat_first(auth: str, code: str) -> bool:
         (str(row[0]), str(row[1])),
     ).fetchone()
     return a is not None and str(a[0]).strip().lower() == "north"
+
+
+def resolve_crs_name(name: str):
+    """Name → (auth, code) lookup over geodetic_crs, the
+    createFromUserInput name-search leg (iso19111/io.cpp): exact
+    case-insensitive match first, then closest approximate match
+    (difflib ratio >= 0.8 — 'ITRF1993' resolves to 'ITRF93'). Among
+    same-name entries prefer geographic 3D, then 2D, then geocentric
+    (matching the reference's resolution of bare frame names to the
+    coordinate CRS users feed lat/lon/h into)."""
+    import difflib
+
+    con = _db()
+    rows = con.execute(
+        "SELECT auth_name, code, name, type FROM geodetic_crs "
+        "WHERE deprecated=0"
+    ).fetchall()
+    pref = {"geographic 3D": 0, "geographic 2D": 1, "geocentric": 2}
+    want = name.strip().lower()
+    exact = [r for r in rows if str(r[2]).lower() == want]
+    if not exact:
+        scored = []
+        for r in rows:
+            ratio = difflib.SequenceMatcher(
+                None, want, str(r[2]).lower()).ratio()
+            if ratio >= 0.8:
+                scored.append((ratio, r))
+        if not scored:
+            return None
+        top = max(s[0] for s in scored)
+        exact = [r for s, r in scored if s == top]
+    exact.sort(key=lambda r: (pref.get(str(r[3]), 9),
+                              r[0] != "EPSG", str(r[1])))
+    r = exact[0]
+    return str(r[0]), str(r[1])
+
+
+def _crs_datum_and_type(auth: str, code: str):
+    row = _db().execute(
+        "SELECT datum_auth_name, datum_code, type FROM geodetic_crs "
+        "WHERE auth_name=? AND code=?", (auth, code)).fetchone()
+    return (str(row[0]), str(row[1]), str(row[2])) if row else None
+
+
+def _uom_factor(code) -> float:
+    row = _db().execute(
+        "SELECT conv_factor FROM unit_of_measure WHERE code=?",
+        (str(code),)).fetchone()
+    return float(row[0]) if row and row[0] is not None else 1.0
+
+
+def frame_shift_operation(s_auth: str, s_code: str,
+                          t_auth: str, t_code: str):
+    """Direct — possibly TIME-DEPENDENT — Helmert operation between two
+    reference frames (EPSG methods 1053/1054/1056/1057 carry rates and
+    a reference epoch; helmert.cpp kinematic mode). The registry links
+    the frames' GEOCENTRIC CRS codes, so candidates are matched on the
+    DATUM of each end; geographic ends get cart legs. Returns a created
+    Operation or None when no direct candidate exists."""
+    import math as _m
+
+    from ..core.factory import create_operation
+
+    con = _db()
+    sd = _crs_datum_and_type(s_auth, s_code)
+    td = _crs_datum_and_type(t_auth, t_code)
+    if not (sd and td) or sd[:2] == td[:2]:
+        return None
+
+    def family(datum):
+        return [str(r[0]) for r in con.execute(
+            "SELECT code FROM geodetic_crs WHERE datum_auth_name=? "
+            "AND datum_code=? AND auth_name='EPSG'", datum[:2])]
+
+    s_fam, t_fam = family(sd), family(td)
+    best = None
+    for src_list, dst_list, inverse in ((s_fam, t_fam, False),
+                                        (t_fam, s_fam, True)):
+        if not (src_list and dst_list):
+            continue
+        q = ("SELECT method_name, tx, ty, tz, translation_uom_code, "
+             "  rx, ry, rz, rotation_uom_code, "
+             "  scale_difference, scale_difference_uom_code, "
+             "  rate_tx, rate_ty, rate_tz, rate_translation_uom_code, "
+             "  rate_rx, rate_ry, rate_rz, rate_rotation_uom_code, "
+             "  rate_scale_difference, rate_scale_difference_uom_code, "
+             "  epoch, accuracy "
+             "FROM helmert_transformation "
+             "WHERE auth_name='EPSG' AND deprecated=0 "
+             "  AND source_crs_code IN (%s) AND target_crs_code IN (%s) "
+             "ORDER BY (accuracy IS NULL), accuracy, code LIMIT 1"
+             % (",".join("?" * len(src_list)),
+                ",".join("?" * len(dst_list))))
+        row = con.execute(q, src_list + dst_list).fetchone()
+        if row is not None and (
+                best is None
+                or (row[-1] or 1e9) < (best[0][-1] or 1e9)):
+            best = (row, inverse)
+        if best is not None and not inverse:
+            break
+    if best is None:
+        return None
+    row, inverse = best
+    arcsec = _m.pi / 180.0 / 3600.0
+
+    def tr(v, uom):  # translation to metres
+        return 0.0 if v is None else float(v) * _uom_factor(uom or "9001")
+
+    def rot(v, uom):  # rotation to arc-seconds
+        if v is None:
+            return 0.0
+        return float(v) * _uom_factor(uom or "9104") / arcsec
+
+    def sc(v, uom):  # scale difference to ppm
+        if v is None:
+            return 0.0
+        return float(v) * _uom_factor(uom or "9202") * 1e6
+
+    (method, tx, ty, tz, t_uom, rx, ry, rz, r_uom, ds, s_uom,
+     dtx, dty, dtz, dt_uom, drx, dry, drz, dr_uom, dds, dsc_uom,
+     epoch, _acc) = row
+    conv = ("coordinate_frame" if "Coordinate Frame" in (method or "")
+            else "position_vector")
+    h = (f"+x={tr(tx, t_uom)!r} +y={tr(ty, t_uom)!r} +z={tr(tz, t_uom)!r} "
+         f"+rx={rot(rx, r_uom)!r} +ry={rot(ry, r_uom)!r} "
+         f"+rz={rot(rz, r_uom)!r} +s={sc(ds, s_uom)!r} "
+         f"+convention={conv}")
+    if epoch is not None:
+        # rate uoms (1027 mm/yr, 1032 mas/yr, 1030 ppb/yr) convert to
+        # per-SECOND via conv_factor; helmert wants per-year — multiply
+        # back by the EPSG year (uom 1029, 31556925.445 s)
+        year = _uom_factor("1029")
+        h += (f" +dx={tr(dtx, dt_uom) * year!r}"
+              f" +dy={tr(dty, dt_uom) * year!r}"
+              f" +dz={tr(dtz, dt_uom) * year!r}"
+              f" +drx={rot(drx, dr_uom) * year!r}"
+              f" +dry={rot(dry, dr_uom) * year!r}"
+              f" +drz={rot(drz, dr_uom) * year!r}"
+              f" +ds={sc(dds, dsc_uom) * year!r}"
+              f" +t_epoch={float(epoch)!r}")
+
+    def ell(auth, code):
+        pairs = [p for p in (_geodetic_pairs(auth, code) or [])
+                 if p[0] in ("a", "rf", "b")]
+        return " ".join(f"+{k}={v}" for k, v in pairs)
+
+    steps = []
+    if sd[2] != "geocentric":
+        steps.append(f"+step +proj=cart {ell(s_auth, s_code)}")
+    steps.append(("+step +inv " if inverse else "+step ")
+                 + "+proj=helmert " + h)
+    if td[2] != "geocentric":
+        steps.append(f"+step +inv +proj=cart {ell(t_auth, t_code)}")
+    return create_operation("+proj=pipeline " + " ".join(steps))

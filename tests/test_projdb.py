@@ -122,11 +122,23 @@ def test_registry_sweep():
 
 
 def test_towgs84_conventions():
-    """Coordinate-frame rotations are negated to position-vector (ref
-    transform.cpp towgs84 semantics); 3-param stays 3-term."""
-    pairs = dict(projdb.resolve_epsg(4230))  # ED50: 9606/9607 family
+    """Candidates rank by usage-extent area first (the reference's
+    no-AOI createOperations ordering), coordinate-frame rotations are
+    negated to position-vector (ref transform.cpp towgs84 semantics),
+    and 3-param transforms stay 3-term."""
+    # ED50: the Europe-mean 3-param beats the more accurate regional
+    # 7-param sets on extent — the classic proj.4 init value
+    pairs = dict(projdb.resolve_epsg(4230))
+    assert pairs["towgs84"] == "-87,-98,-121"
+    # MGI: nationwide EPSG:1618 (577.326..., position-vector, kept
+    # verbatim) beats Styria-only EPSG:1194 (testvarious #207)
+    pairs = dict(projdb.resolve_epsg(4312))
+    assert pairs["towgs84"] == "577.326,90.129,463.919,5.137,1.474,5.297,2.4232"
+    # HD1909 (EPSG:3819): only 9607 coordinate-frame candidates exist —
+    # raw rx=-4.115 arcsec must be emitted negated (position-vector)
+    pairs = dict(projdb.resolve_epsg(3819))
     tw = [float(v) for v in pairs["towgs84"].split(",")]
-    assert len(tw) == 7
+    assert len(tw) == 7 and tw[3] == 4.115
     pairs_3 = dict(projdb.resolve_epsg(4218))  # Bogota 1975
     assert len(pairs_3["towgs84"].split(",")) in (3, 7)
 
