@@ -621,6 +621,7 @@ def cmd_cs2cs(args) -> int:
     raw = list(args.projargs)
     if getattr(args, "db_route", False):
         return _cs2cs_db_route(args, raw)
+    named_lat_first: list = [None, None]
     if "+to" in raw or "to" in raw:
         split = raw.index("+to" if "+to" in raw else "to")
         raw_src, raw_dst = raw[:split], raw[split + 1:]
@@ -636,16 +637,28 @@ def cmd_cs2cs(args) -> int:
         if len(crs_pos) != 2:
             print("cs2cs: missing source/target CRS", file=sys.stderr)
             return 2
-        # bare frame names ('ITRF2000', 'ITRF1993') resolve by
-        # registry name search (createFromUserInput's name leg)
+        # bare frame/datum names resolve by registry name search
+        # (createFromUserInput's name leg); names in the classic datum
+        # table ('NAD27', 'NAD83') expand to their grid/towgs84 datum
+        # definition — the reference's createOperations picks the same
+        # grid chain — while keeping the authority CRS's axis order
+        named_lat_first = [None, None]
         for i, tok in enumerate(crs_pos):
             if ":" not in tok:
-                from .state.projdb import resolve_crs_name
+                from .core.datums import DATUM_TABLE
+                from .state.projdb import (crs_is_lat_first,
+                                           resolve_crs_name)
 
                 ac = resolve_crs_name(tok)
                 if ac is not None:
+                    named_lat_first[i] = crs_is_lat_first(*ac)
+                if tok in DATUM_TABLE:
+                    crs_pos[i] = f"+proj=latlong +datum={tok}"
+                elif ac is not None:
                     crs_pos[i] = f"{ac[0]}:{ac[1]}"
-        raw_src, raw_dst = [crs_pos[0]], [crs_pos[1]]
+        raw_src, raw_dst = crs_pos[0].split(), crs_pos[1].split()
+        if args.inverse:
+            named_lat_first.reverse()
         if files:
             import itertools
 
@@ -717,8 +730,10 @@ def cmd_cs2cs(args) -> int:
         dst.fwd(coo)
         return coo
 
-    src_lf = _tok_lat_first(raw_src or [])
-    dst_lf = _tok_lat_first(raw_dst or [])
+    src_lf = (named_lat_first[0] if named_lat_first[0] is not None
+              else _tok_lat_first(raw_src or []))
+    dst_lf = (named_lat_first[1] if named_lat_first[1] is not None
+              else _tok_lat_first(raw_dst or []))
     return _run_cs2cs_filter(args, text_transform, ang_in, ang_out,
                              lat_first=dst_lf, src_lat_first=src_lf,
                              preserve_z=not (_crs_is_3d(src)

@@ -217,7 +217,8 @@ def _cs2cs_emulation_setup(op: Operation) -> None:
     geoidgrids = params.str_("geoidgrids")
     if geoidgrids:
         q = init_operation(
-            Params.parse(f"break_cs2cs_recursion proj=vgridshift grids={geoidgrids}"),
+            Params([("break_cs2cs_recursion", None),
+                    ("proj", "vgridshift"), ("grids", geoidgrids)]),
             cs2cs_emulation=False,
         )
         op.vgridshift = _skip_prep_fin(q)
@@ -225,7 +226,8 @@ def _cs2cs_emulation_setup(op: Operation) -> None:
     nadgrids = params.str_("nadgrids")
     if nadgrids:
         q = init_operation(
-            Params.parse(f"break_cs2cs_recursion proj=hgridshift grids={nadgrids}"),
+            Params([("break_cs2cs_recursion", None),
+                    ("proj", "hgridshift"), ("grids", nadgrids)]),
             cs2cs_emulation=False,
         )
         op.hgridshift = _skip_prep_fin(q)

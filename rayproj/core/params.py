@@ -25,7 +25,7 @@ class Params:
     @classmethod
     def parse(cls, projstring: str) -> "Params":
         pairs: list[tuple[str, str | None]] = []
-        for tok in projstring.replace("\t", " ").split():
+        for tok in cls._tokenize(projstring):
             tok = tok.lstrip("+")
             if not tok:
                 continue
@@ -35,6 +35,44 @@ class Params:
             else:
                 pairs.append((tok, None))
         return cls(pairs)
+
+    @staticmethod
+    def _tokenize(projstring: str) -> list[str]:
+        """Whitespace split honoring the reference's quoted values
+        (internal.cpp pj_shrink/pj_trim_argc): a ``"`` right after
+        ``=`` opens a string in which spaces are literal and ``\"\"``
+        is an escaped quote; the enclosing quotes are stripped from
+        the stored value (``+nadgrids="./dir "" x/f"`` →
+        ``./dir " x/f``)."""
+        s = projstring.replace("\t", " ")
+        toks: list[str] = []
+        cur: list[str] = []
+        in_string = False
+        i, n = 0, len(s)
+        while i < n:
+            c = s[i]
+            if in_string:
+                if c == '"' and i + 1 < n and s[i + 1] == '"':
+                    cur.append('"')
+                    i += 2
+                    continue
+                if c == '"':
+                    in_string = False
+                    i += 1
+                    continue
+                cur.append(c)
+            elif c == '"' and cur and cur[-1] == "=":
+                in_string = True
+            elif c.isspace():
+                if cur:
+                    toks.append("".join(cur))
+                    cur = []
+            else:
+                cur.append(c)
+            i += 1
+        if cur:
+            toks.append("".join(cur))
+        return toks
 
     def has(self, key: str) -> bool:
         return key in self._index

@@ -41,7 +41,10 @@ def add_search_path(path: str) -> None:
 
 
 def find_file(name: str) -> str | None:
-    if os.path.isabs(name) and os.path.exists(name):
+    # absolute paths and explicitly relative ("./x", or any name that
+    # resolves against the cwd) are used directly, like the reference's
+    # file manager trying the literal name before PROJ_LIB
+    if os.path.exists(name):
         return name
     for d in search_paths():
         cand = os.path.join(d, name)

@@ -64,6 +64,11 @@ def _parse_script(path):
                 if mm:
                     items.append(("file", mm.group(2),
                                   " ".join(shlex.split(mm.group(1))) + "\n"))
+            elif stripped.startswith("mkdir "):
+                items.append(("mkdir", shlex.split(stripped)[1]))
+            elif stripped.startswith("cp "):
+                parts = shlex.split(stripped)
+                items.append(("cp", parts[1], parts[2]))
             elif stripped.startswith("rm ") and "${OUT}" not in stripped:
                 items.append(("rm", stripped.split()[-1]))
             elif "$EXE" in ln:
@@ -85,8 +90,46 @@ def _parse_script(path):
     return items
 
 
-def _run_corpus(script, sub, tmp_path):
-    items = _parse_script(os.path.join(CLI_DIR, script))
+def _drop_segment(items, exp_lines, header):
+    """Remove a corpus segment (its ### banner, header echo, run and
+    golden lines) from both streams — used for blocks whose required
+    grid file isn't shipped in the reference's data/tests."""
+    out_items = []
+    i = 0
+    while i < len(items):
+        it = items[i]
+        if it[0] == "echo" and it[1] == header:
+            if out_items and out_items[-1][0] == "echo" \
+                    and set(out_items[-1][1]) == {"#"}:
+                out_items.pop()
+            i += 1
+            while i < len(items) and items[i][0] == "run":
+                i += 1
+            continue
+        out_items.append(it)
+        i += 1
+    out_exp = []
+    i = 0
+    while i < len(exp_lines):
+        if exp_lines[i] == header:
+            if out_exp and set(out_exp[-1]) == {"#"}:
+                out_exp.pop()
+            i += 1
+            while i < len(exp_lines) and set(exp_lines[i]) != {"#"}:
+                i += 1
+            continue
+        out_exp.append(exp_lines[i])
+        i += 1
+    return out_items, out_exp
+
+
+# segments whose grid file the reference does not ship in data/tests
+UNSHIPPED = {
+    "testdatumfile": ["WGS84 -> WGS84+EGM96"],
+}
+
+
+def _run_corpus(items, sub, tmp_path):
     out_all = []
     cwd = os.getcwd()
     os.chdir(tmp_path)
@@ -97,6 +140,16 @@ def _run_corpus(script, sub, tmp_path):
             elif it[0] == "file":
                 with open(it[1], "w") as f:
                     f.write(it[2])
+            elif it[0] == "mkdir":
+                os.makedirs(it[1], exist_ok=True)
+            elif it[0] == "cp":
+                import shutil
+
+                src = it[1]
+                if not os.path.exists(src):
+                    src = os.path.join(DATA_DIR, "tests",
+                                       os.path.basename(src))
+                shutil.copy(src, it[2])
             elif it[0] == "rm":
                 try:
                     os.unlink(it[1])
@@ -136,8 +189,7 @@ def _tok_close(a, b, tol):
     return True
 
 
-def _compare(actual, dist, tol=0.005):
-    exp = open(os.path.join(CLI_DIR, dist)).read().splitlines()
+def _compare(actual, exp, tol=0.005):
     act = actual.splitlines()
     exact = tolok = 0
     bad = []
@@ -154,7 +206,7 @@ def _compare(actual, dist, tol=0.005):
 
 
 @pytest.fixture(autouse=True)
-def _ref_data_path(monkeypatch):
+def _ref_data_path(monkeypatch, request):
     """Pin the resource environment to the reference's data dir alone —
     exactly the PROJ_LIB the reference CI gives these scripts. Other
     tests register extra search paths (e.g. test_altops adds
@@ -163,7 +215,13 @@ def _ref_data_path(monkeypatch):
     module-global path list and init cache."""
     from rayproj.core import resources
 
-    monkeypatch.setenv("RAYPROJ_DATA", DATA_DIR)
+    # testdatumfile is the only corpus the reference CI runs with the
+    # test grids visible; the others run with bare PROJ_LIB=data (the
+    # grids would activate NAD27 shifts the golden outputs exclude)
+    with_grids = "testdatumfile" in request.node.name
+    monkeypatch.setenv(
+        "RAYPROJ_DATA",
+        (DATA_DIR + "/tests:" + DATA_DIR) if with_grids else DATA_DIR)
     saved_paths = list(resources._extra_paths)
     saved_cache = dict(resources._init_cache)
     resources._extra_paths.clear()
@@ -186,6 +244,10 @@ CORPORA = [
     ("test83", "proj", "pj_out83.dist", 142, 83),
     ("testvarious", "cs2cs", "tv_out.dist", 440, 47),
     ("testcct", "cct", "testcct_out.dist", 3, 0),
+    # datum grid files through the CLI: NTv1/CTable2/NTv2 chains,
+    # quoted grid paths with spaces, MD subgrid preference, on-edge
+    # epsilon points, named NAD27/NAD83 datum resolution
+    ("testdatumfile", "cs2cs", "td_out.dist", 23, 6),
 ]
 
 
@@ -193,8 +255,12 @@ CORPORA = [
                          [pytest.param(*c, id=c[0]) for c in CORPORA])
 def test_reference_cli_corpus(script, sub, dist, min_exact, max_tol,
                               tmp_path):
-    actual = _run_corpus(script, sub, tmp_path)
-    exact, tolok, bad = _compare(actual, dist)
+    items = _parse_script(os.path.join(CLI_DIR, script))
+    exp = open(os.path.join(CLI_DIR, dist)).read().splitlines()
+    for header in UNSHIPPED.get(script, []):
+        items, exp = _drop_segment(items, exp, header)
+    actual = _run_corpus(items, sub, tmp_path)
+    exact, tolok, bad = _compare(actual, exp)
     msg = "\n".join(f"line {ln}\n  exp: {e!r}\n  got: {a!r}"
                     for ln, e, a in bad[:8])
     assert not bad, f"{len(bad)} out-of-tolerance lines:\n{msg}"
