@@ -249,6 +249,25 @@ def _towgs84(auth: str, crs_code: str) -> str | None:
     if row is not None:
         row = row[:-1]  # drop the ranking area column
     if row is None:
+        # no candidate for this CRS family: follow a longitude-rotation
+        # link (EPSG 9601, e.g. NTF Paris → NTF Greenwich) from a
+        # same-datum sibling and use the rotated family's towgs84 — the
+        # +pm token already expresses the rotation in +init semantics
+        datum = con.execute(
+            "SELECT datum_auth_name, datum_code FROM geodetic_crs "
+            "WHERE auth_name=? AND code=?", (auth, crs_code)).fetchone()
+        if datum:
+            link = con.execute(
+                "SELECT o.target_crs_auth_name, o.target_crs_code "
+                "FROM other_transformation o JOIN geodetic_crs g "
+                "  ON g.auth_name=o.source_crs_auth_name "
+                " AND g.code=o.source_crs_code "
+                "WHERE o.method_code='9601' AND o.deprecated=0 "
+                "  AND g.datum_auth_name=? AND g.datum_code=? LIMIT 1",
+                tuple(datum)).fetchone()
+            if link and (str(link[0]), str(link[1])) != (auth, crs_code):
+                return _towgs84(str(link[0]), str(link[1]))
+    if row is None:
         return None
     (method, tx, ty, tz, rx, ry, rz, ds, rot_uom, ds_uom, tr_uom) = row
     tx, ty, tz = (

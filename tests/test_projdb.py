@@ -301,7 +301,10 @@ def test_extension_methods_construct_and_roundtrip():
     kr.trans(FWD, ck)
     cmi = Coords(cm.x.copy(), cm.y.copy())
     mk.trans(INV, cmi)
-    assert abs(cmi.x[0] - lam[0]) < 1e-11 and abs(cmi.y[0] - phi[0]) < 1e-11
+    # roundtrip includes the embedded 7-param helmert fwd+inv, whose
+    # small-angle rotation matrix is not exactly orthogonal — ~1e-10
+    # rad (sub-mm) residual with the S-JTSK rotation magnitudes
+    assert abs(cmi.x[0] - lam[0]) < 1e-9 and abs(cmi.y[0] - phi[0]) < 1e-9
 
     for code in (5225, 5819, 5820):
         _op_for(code)
@@ -367,3 +370,15 @@ def test_hyperbolic_cassini_epsg_example():
 def test_west_orientated_and_aeqd_family_construct():
     for code in (2218, 2963, 3993, 3295, 6933):
         _op_for(code)
+
+
+def test_towgs84_longitude_rotation_hop():
+    """A CRS family with no direct WGS84 helmert follows the EPSG 9601
+    longitude-rotation link (NTF Paris -> NTF Greenwich) and inherits
+    the rotated family's shift — IGNF:LAMBE resolves the classic
+    -168,-60,320 with the Paris meridian expressed via +pm."""
+    from rayproj.core.resources import load_init
+
+    d = dict(load_init("IGNF:LAMBE"))
+    assert d["towgs84"] == "-168,-60,320"
+    assert abs(float(d["pm"]) - 2.33722917) < 1e-6
