@@ -37,6 +37,22 @@ from .core.op import FWD, INV, Coords
 _OFORM = re.compile(r"^[^%]*%[-+ 0#]*\d*(?:\.\d+)?[eEfgG][^%]*$")
 
 
+def _join_args(toks) -> str:
+    """Join argv tokens into one proj string, re-quoting values that
+    contain whitespace so Params' quote-aware tokenizer reassembles
+    them — the reference's pj_double_quote_string_param_if_needed
+    (internal.cpp:362, applied by proj_create_argv, 4D_api.cpp:829)."""
+    out = []
+    for t in toks:
+        if "=" in t and any(ch.isspace() for ch in t):
+            k, v = t.split("=", 1)
+            if not (v.startswith('"') and v.endswith('"')):
+                v = '"' + v.replace('"', '""') + '"'
+            t = k + "=" + v
+        out.append(t)
+    return " ".join(out)
+
+
 def _parse_filter_lines(stream, *, informat, reversein=False, tag="#",
                         read_zt=False):
     """Reference line scanner (src/apps/proj.cpp:57-105,
@@ -305,7 +321,7 @@ def _proj_vprocess(args, op) -> int:
 
 
 def cmd_proj(args) -> int:
-    op = create_operation(" ".join(args.projargs))
+    op = create_operation(_join_args(args.projargs))
     # the proj app's issue-#1782 hack (proj.cpp:489-496): General
     # Oblique Transformation with WHATEVER output is rebound to
     # PROJECTED so +to_meter/x_0 apply on output
@@ -689,8 +705,8 @@ def cmd_cs2cs(args) -> int:
         # shift on BOTH sides (pj_datum_transform PJD_UNKNOWN rule)
         src_toks = _strip_datum_tokens(src_toks)
         dst_toks = _strip_datum_tokens(dst_toks)
-    src = create_operation(" ".join(src_toks))
-    dst = create_operation(" ".join(dst_toks))
+    src = create_operation(_join_args(src_toks))
+    dst = create_operation(_join_args(dst_toks))
 
     def _rotated_longlat(op):
         # +proj=ob_tran +o_proj=longlat is a geographic CRS to the CRS
@@ -787,8 +803,8 @@ def _cs2cs_db_route(args, toks) -> int:
         print("cs2cs: missing +to separator", file=sys.stderr)
         return 2
     split = toks.index(sep)
-    s_crs = " ".join(toks[:split]).strip()
-    t_crs = " ".join(toks[split + 1:]).strip()
+    s_crs = _join_args(toks[:split]).strip()
+    t_crs = _join_args(toks[split + 1:]).strip()
     if args.inverse:
         s_crs, t_crs = t_crs, s_crs
     op = create_crs_to_crs(s_crs, t_crs)
@@ -857,7 +873,7 @@ def _frame_pair_op(raw_src, raw_dst):
 
 
 def cmd_cct(args) -> int:
-    op = create_operation(" ".join(args.projargs))
+    op = create_operation(_join_args(args.projargs))
     direction = INV if args.inverse else FWD
 
     def transform(coo: Coords) -> Coords:
@@ -1040,7 +1056,7 @@ def cmd_geod(args) -> int:
     from .core.params import Params
     from .mathx.geodesic import geod_direct, geod_inverse
 
-    par = Params.parse(" ".join(args.projargs) or "+ellps=WGS84")
+    par = Params.parse(_join_args(args.projargs) or "+ellps=WGS84")
     ell = resolve_ellipsoid(par)
     f = (ell.a - ell.b) / ell.a
     R = DEG_TO_RAD

@@ -44,7 +44,8 @@ class Params:
         is an escaped quote; the enclosing quotes are stripped from
         the stored value (``+nadgrids="./dir "" x/f"`` →
         ``./dir " x/f``)."""
-        s = projstring.replace("\t", " ")
+        s = projstring  # tabs split tokens via isspace, but only
+        # OUTSIDE quoted strings — quoted bytes are preserved verbatim
         toks: list[str] = []
         cur: list[str] = []
         in_string = False

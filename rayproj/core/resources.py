@@ -41,11 +41,13 @@ def add_search_path(path: str) -> None:
 
 
 def find_file(name: str) -> str | None:
-    # absolute paths and explicitly relative ("./x", or any name that
-    # resolves against the cwd) are used directly, like the reference's
-    # file manager trying the literal name before PROJ_LIB
-    if os.path.exists(name):
-        return name
+    # only absolute, home-relative or EXPLICITLY relative ("./", "../")
+    # names resolve against the filesystem directly — bare names go to
+    # the search paths (filemanager.cpp is_rel_or_absolute_filename),
+    # so a stray cwd file can't shadow a grid in the data dir
+    if (os.path.isabs(name) or name.startswith(("./", "../", "~"))) \
+            and os.path.isfile(os.path.expanduser(name)):
+        return os.path.expanduser(name)
     for d in search_paths():
         cand = os.path.join(d, name)
         if os.path.exists(cand):

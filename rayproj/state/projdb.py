@@ -215,7 +215,8 @@ def _geodetic_pairs(auth: str, code: str) -> list[tuple[str, str | None]] | None
     return pairs
 
 
-def _towgs84(auth: str, crs_code: str) -> str | None:
+def _towgs84(auth: str, crs_code: str,
+             _hop_visited: set | None = None) -> str | None:
     """Best non-deprecated helmert to WGS 84 (4326), position-vector
     convention (coordinate-frame rotations negated), arcsec/ppm units —
     the classic +towgs84 contract (ref transform.cpp datum hub)."""
@@ -249,24 +250,35 @@ def _towgs84(auth: str, crs_code: str) -> str | None:
     if row is not None:
         row = row[:-1]  # drop the ranking area column
     if row is None:
-        # no candidate for this CRS family: follow a longitude-rotation
-        # link (EPSG 9601, e.g. NTF Paris → NTF Greenwich) from a
-        # same-datum sibling and use the rotated family's towgs84 — the
-        # +pm token already expresses the rotation in +init semantics
+        # no candidate for this CRS family: follow longitude-rotation
+        # links (EPSG 9601, e.g. NTF Paris → NTF Greenwich) from
+        # same-datum siblings and use the first rotated family that
+        # itself has a towgs84 — the +pm token already expresses the
+        # rotation in +init semantics. Links are EPSG-first/code
+        # ordered and a visited set guards against 9601 cycles.
+        if _hop_visited is None:
+            _hop_visited = set()
+        _hop_visited.add((auth, crs_code))
         datum = con.execute(
             "SELECT datum_auth_name, datum_code FROM geodetic_crs "
             "WHERE auth_name=? AND code=?", (auth, crs_code)).fetchone()
         if datum:
-            link = con.execute(
+            links = con.execute(
                 "SELECT o.target_crs_auth_name, o.target_crs_code "
                 "FROM other_transformation o JOIN geodetic_crs g "
                 "  ON g.auth_name=o.source_crs_auth_name "
                 " AND g.code=o.source_crs_code "
                 "WHERE o.method_code='9601' AND o.deprecated=0 "
-                "  AND g.datum_auth_name=? AND g.datum_code=? LIMIT 1",
-                tuple(datum)).fetchone()
-            if link and (str(link[0]), str(link[1])) != (auth, crs_code):
-                return _towgs84(str(link[0]), str(link[1]))
+                "  AND g.datum_auth_name=? AND g.datum_code=? "
+                "ORDER BY (o.auth_name != 'EPSG'), o.code",
+                tuple(datum)).fetchall()
+            for link in links:
+                tgt = (str(link[0]), str(link[1]))
+                if tgt in _hop_visited:
+                    continue
+                tw = _towgs84(tgt[0], tgt[1], _hop_visited)
+                if tw is not None:
+                    return tw
     if row is None:
         return None
     (method, tx, ty, tz, rx, ry, rz, ds, rot_uom, ds_uom, tr_uom) = row

@@ -65,9 +65,9 @@ def _parse_script(path):
                     items.append(("file", mm.group(2),
                                   " ".join(shlex.split(mm.group(1))) + "\n"))
             elif stripped.startswith("mkdir "):
-                items.append(("mkdir", shlex.split(stripped)[1]))
+                items.append(("mkdir", shlex.split(sub(stripped))[1]))
             elif stripped.startswith("cp "):
-                parts = shlex.split(stripped)
+                parts = shlex.split(sub(stripped))
                 items.append(("cp", parts[1], parts[2]))
             elif stripped.startswith("rm ") and "${OUT}" not in stripped:
                 items.append(("rm", stripped.split()[-1]))

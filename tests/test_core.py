@@ -158,3 +158,23 @@ def test_prefix_parsers_and_rtodms():
         txt = rtodms(float(x), "E", "W", 7)
         back, _ = dmstor_prefix(txt)
         assert back == pytest.approx(float(x), abs=1e-9)
+
+
+def test_params_quoted_values_and_joining():
+    """Quote-aware proj-string tokenizing (pj_shrink/pj_trim_argc) and
+    the CLI's argv re-quoting (pj_double_quote_string_param_if_needed):
+    grid paths with spaces/tabs survive both layers."""
+    from rayproj.cli import _join_args
+    from rayproj.core.params import Params
+
+    p = Params.parse('+nadgrids="./dir with "" space/f" +ellps=clrk66')
+    assert p.str_("nadgrids") == './dir with " space/f'
+    assert p.str_("ellps") == "clrk66"
+    # tab preserved inside quotes, splits outside
+    p = Params.parse('+a="x\ty"\t+b=1')
+    assert p.str_("a") == "x\ty" and p.str_("b") == "1"
+    # argv tokens whose value has whitespace are re-quoted on join and
+    # round-trip through parse
+    joined = _join_args(["+proj=latlong", "+nadgrids=./a b/c", "+x=1"])
+    p = Params.parse(joined)
+    assert p.str_("nadgrids") == "./a b/c" and p.str_("x") == "1"
