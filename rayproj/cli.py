@@ -980,7 +980,7 @@ def cmd_cct(args) -> int:
     return 0
 
 
-def _geod_line_mode(par, a: float, f: float, digits: int) -> int:
+def _geod_line_mode(par, a: float, f: float, args) -> int:
     """geod line/arc mode (src/apps/geod.cpp do_geod/do_arc +
     geod_set.cpp:53-74): the line is fixed by +lat_1/+lon_1 and either
     +lat_2/+lon_2 (solved by the inverse problem) or +A/+S (forward);
@@ -992,7 +992,7 @@ def _geod_line_mode(par, a: float, f: float, digits: int) -> int:
 
     from .mathx.geodesic import geod_direct, geod_inverse
 
-    d = digits
+    oform, fract, fixedw = _filter_opts(args)
     lat1 = par.rad("lat_1")
     lon1 = par.rad("lon_1")
     if par.str_("lat_2") is not None:
@@ -1014,7 +1014,14 @@ def _geod_line_mode(par, a: float, f: float, digits: int) -> int:
         return 1
 
     def show(phi, lam):
-        print(f"{phi * RAD_TO_DEG:.{d}f}\t{lam * RAD_TO_DEG:.{d}f}")
+        # printLL (geod.cpp:27-35): DMS via rtodms unless -f/-d set a
+        # printf format; latitude first
+        if oform:
+            print((oform % (phi * RAD_TO_DEG)) + "\t"
+                  + (oform % (lam * RAD_TO_DEG)))
+        else:
+            print(rtodms(phi, "N", "S", fract, fixedw) + "\t"
+                  + rtodms(lam, "E", "W", fract, fixedw))
 
     n_alpha = par.int_("n_A")
     if n_alpha > 0:  # arc mode: rotate the azimuth del_A per step
@@ -1061,8 +1068,7 @@ def cmd_geod(args) -> int:
     f = (ell.a - ell.b) / ell.a
     R = DEG_TO_RAD
     if par.str_("lat_1") is not None:
-        return _geod_line_mode(par, ell.a, f,
-                               args.digits if args.digits is not None else 6)
+        return _geod_line_mode(par, ell.a, f, args)
     if args.parquet:
         # bulk inverse problem over a parquet table:
         # (lat1, lon1, lat2, lon2) degrees → azi1, azi2 (deg), dist_m
