@@ -1012,8 +1012,11 @@ def _unit_factor(node: WKTNode, default: float = 1.0) -> float:
 def _ellps_tokens(ell: WKTNode) -> list[str]:
     from .ellps import ELLPS_TABLE
 
-    name = ell.args[0] if isinstance(ell.args[0], str) else "unknown"
+    name = (ell.args[0] if ell.args and isinstance(ell.args[0], str)
+            else "unknown")
     nums = [a for a in ell.args if isinstance(a, float)]
+    if not nums:
+        raise ValueError("WKT: ELLIPSOID node carries no axis value")
     a, rf = nums[0], nums[1] if len(nums) > 1 else 0.0
     a *= _unit_factor(ell)  # ELLIPSOID axis may carry a LENGTHUNIT
     # prefer a named +ellps= when the numbers match the built-in table
@@ -1107,6 +1110,8 @@ def _proj_tokens(crs: WKTNode) -> list[str]:
     pname, remap = _METHOD_PROJ[mname]
     toks = [f"+proj={pname}"]
     for p in params:
+        if not p.args or not isinstance(p.args[0], str):
+            continue  # malformed PARAMETER node: no name to map
         wname = p.args[0]
         key = _WKT_PARAM_KEYS.get(wname)
         if key is None:

@@ -391,3 +391,37 @@ def test_wkt_emitters_roundtrip_random_params(
         # 1e-10 deg, rf at 1e-9)
         np.testing.assert_allclose(c2.x, c0.x, rtol=0, atol=1e-3)
         np.testing.assert_allclose(c2.y, c0.y, rtol=0, atol=1e-3)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    lon=st.floats(min_value=-179.9, max_value=179.9),
+    lat=st.floats(min_value=-84.0, max_value=84.0),
+)
+def test_cli_text_roundtrip_random(lon, lat):
+    """proj text-filter round trip at full precision: fwd through the
+    CLI text path, then -I -f %.12f back — the text layer (dmstor,
+    printf emit, trailing handling) must not lose the coordinate."""
+    import io
+    import sys
+
+    from rayproj import cli
+
+    def run(argv, text):
+        old_in, old_out = sys.stdin, sys.stdout
+        sys.stdin, sys.stdout = io.StringIO(text), io.StringIO()
+        try:
+            cli.main(argv)
+            return sys.stdout.getvalue()
+        finally:
+            sys.stdin, sys.stdout = old_in, old_out
+
+    out = run(["proj", "-f", "%.6f", "+proj=merc", "+ellps=WGS84"],
+              f"{lon!r} {lat!r}\n")
+    x, y = map(float, out.split())
+    back = run(["proj", "-I", "-f", "%.12f", "+proj=merc",
+                "+ellps=WGS84"], f"{x!r} {y!r}\n")
+    lon2, lat2 = map(float, back.split())
+    # 1e-6 m easting quantization ≈ 1e-11 deg
+    assert abs(lon2 - lon) < 1e-10
+    assert abs(lat2 - lat) < 1e-10
