@@ -443,3 +443,37 @@ def test_tmzoned_antimeridian_wrap():
     op.trans(FWD, c)
     zones = np.floor(c.x / 1e6).astype(int)
     assert list(zones) == [1, 1, 60]
+
+
+def test_cli_parquet_mode(tmp_path):
+    """--parquet runs the same operation as a Ray Data map_batches
+    pipeline over a parquet table — values equal the text path, error
+    lanes ride in trans_err."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(7)
+    lon = rng.uniform(6, 18, 200)
+    lat = rng.uniform(-80, 84, 200)
+    src = tmp_path / "in.parquet"
+    dst = tmp_path / "out"
+    pq.write_table(pa.table({"lon": lon, "lat": lat}), src)
+    rc = cli.main(["proj", "--parquet", str(src), str(dst),
+                   "+proj=utm", "+zone=33"])
+    assert rc == 0
+    out = pq.read_table(dst)
+    from rayproj.core.factory import create_operation
+    from rayproj.core.op import FWD, Coords
+
+    op = create_operation("+proj=utm +zone=33")
+    c = Coords(np.radians(lon), np.radians(lat))
+    op.trans(FWD, c)
+    got = out.to_pandas().sort_values("lon")
+    import pandas as pd
+
+    ref = pd.DataFrame({"lon": lon, "x": c.x, "y": c.y}).sort_values("lon")
+    np.testing.assert_allclose(got["x"].to_numpy(), ref["x"].to_numpy(),
+                               atol=1e-9)
+    np.testing.assert_allclose(got["y"].to_numpy(), ref["y"].to_numpy(),
+                               atol=1e-9)
+    assert (got["trans_err"] == 0).all()
