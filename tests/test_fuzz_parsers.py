@@ -13,6 +13,8 @@ allowed-exception set standing in for "returns NULL with an errno".
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
@@ -28,7 +30,8 @@ from rayproj.core.wkt import from_projjson, from_wkt, to_wkt1, to_wkt2
 ALLOWED = (ProjError, ValueError, KeyError, NotImplementedError, OSError)
 
 FUZZ = settings(
-    max_examples=150,
+    # CI default 150; deep-fuzz sessions raise via FUZZ_EXAMPLES=N.
+    max_examples=int(os.environ.get("FUZZ_EXAMPLES", "150")),
     deadline=None,  # this host time-shares noisily; wall-time asserts lie
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
 )
