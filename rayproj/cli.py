@@ -986,8 +986,8 @@ def _geod_line_mode(par, a: float, f: float, args) -> int:
     +lat_2/+lon_2 (solved by the inverse problem) or +A/+S (forward);
     +n_S=N prints N+1 points along it (endpoints included), +del_S=d
     picks N = round(S/d), +n_A/+del_A sweeps the azimuth instead
-    (arc mode). Coordinates print as decimal degrees (the -f path of
-    the reference; DMS formatting is cosmetic)."""
+    (arc mode). Coordinates print as DMS via rtodms (printLL,
+    geod.cpp:27-35) unless -f/-d select a printf format."""
     import numpy as np
 
     from .mathx.geodesic import geod_direct, geod_inverse
@@ -1002,7 +1002,9 @@ def _geod_line_mode(par, a: float, f: float, args) -> int:
             a, f, np.array([lat1]), np.array([lon1]),
             np.array([lat2]), np.array([lon2]))
         S, al12 = float(s12[0]), float(al12[0])
-    elif par.float_("S"):
+    elif par.str_("S") is not None:
+        # presence test (geod_set.cpp pj_param tS), not truthiness: an
+        # explicit +S=0 is a degenerate but valid distance
         S = par.float_("S")
         al12 = par.rad("A")
         la2, lo2, _ = geod_direct(

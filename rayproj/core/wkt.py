@@ -1012,8 +1012,6 @@ def _unit_factor(node: WKTNode, default: float = 1.0) -> float:
 def _ellps_tokens(ell: WKTNode) -> list[str]:
     from .ellps import ELLPS_TABLE
 
-    name = (ell.args[0] if ell.args and isinstance(ell.args[0], str)
-            else "unknown")
     nums = [a for a in ell.args if isinstance(a, float)]
     if not nums:
         raise ValueError("WKT: ELLIPSOID node carries no axis value")
@@ -1091,6 +1089,9 @@ def _proj_tokens(crs: WKTNode) -> list[str]:
     if method is None:
         raise ValueError("WKT: PROJCRS without METHOD/PROJECTION")
     mname = method.args[0] if method.args else ""
+    if not isinstance(mname, str):
+        raise ValueError(
+            f"WKT: METHOD/PROJECTION name is not a string: {mname!r}")
     if mname.startswith("PROJ-based operation method: "):
         # io.cpp's escape hatch: the proj-string is embedded verbatim
         return mname[len("PROJ-based operation method: "):].split()
@@ -1111,7 +1112,11 @@ def _proj_tokens(crs: WKTNode) -> list[str]:
     toks = [f"+proj={pname}"]
     for p in params:
         if not p.args or not isinstance(p.args[0], str):
-            continue  # malformed PARAMETER node: no name to map
+            # a PARAMETER whose name is missing/unquoted is corrupt WKT;
+            # silently dropping it would yield a plausible-but-wrong
+            # proj-string (e.g. a tmerc missing its +x_0 by 500 km)
+            raise ValueError(
+                f"WKT: PARAMETER node has no string name: {p.args!r}")
         wname = p.args[0]
         key = _WKT_PARAM_KEYS.get(wname)
         if key is None:

@@ -477,3 +477,16 @@ def test_cli_parquet_mode(tmp_path):
     np.testing.assert_allclose(got["y"].to_numpy(), ref["y"].to_numpy(),
                                atol=1e-9)
     assert (got["trans_err"] == 0).all()
+
+
+def test_geod_line_mode_zero_distance(capsys):
+    # +S=0 is present (geod_set.cpp tests presence, not truthiness):
+    # emit n_S+1 rows, all at the start point
+    rc = cli.main([
+        "geod", "+ellps=WGS84", "+lat_1=40", "+lon_1=-73", "+S=0",
+        "+A=90", "+n_S=4",
+    ])
+    assert rc == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert len(lines) == 5
+    assert all(ln == "40dN\t73dW" for ln in lines)

@@ -402,25 +402,15 @@ def test_cli_text_roundtrip_random(lon, lat):
     """proj text-filter round trip at full precision: fwd through the
     CLI text path, then -I -f %.12f back — the text layer (dmstor,
     printf emit, trailing handling) must not lose the coordinate."""
-    import io
-    import sys
+    from tests.test_cli import _run
 
-    from rayproj import cli
-
-    def run(argv, text):
-        old_in, old_out = sys.stdin, sys.stdout
-        sys.stdin, sys.stdout = io.StringIO(text), io.StringIO()
-        try:
-            cli.main(argv)
-            return sys.stdout.getvalue()
-        finally:
-            sys.stdin, sys.stdout = old_in, old_out
-
-    out = run(["proj", "-f", "%.6f", "+proj=merc", "+ellps=WGS84"],
-              f"{lon!r} {lat!r}\n")
+    rc, out = _run(["proj", "-f", "%.6f", "+proj=merc", "+ellps=WGS84"],
+                   f"{lon!r} {lat!r}\n")
+    assert rc == 0, out
     x, y = map(float, out.split())
-    back = run(["proj", "-I", "-f", "%.12f", "+proj=merc",
-                "+ellps=WGS84"], f"{x!r} {y!r}\n")
+    rc, back = _run(["proj", "-I", "-f", "%.12f", "+proj=merc",
+                     "+ellps=WGS84"], f"{x!r} {y!r}\n")
+    assert rc == 0, back
     lon2, lat2 = map(float, back.split())
     # 1e-6 m easting quantization ≈ 1e-11 deg
     assert abs(lon2 - lon) < 1e-10

@@ -514,3 +514,28 @@ def test_wkt1_extension_proj4_import_precedence():
     )
     assert "+proj=sinu" in from_wkt(w1)
     assert "+lon_0=10" in from_wkt(w1)
+
+
+def test_malformed_method_name_fails_cleanly():
+    from rayproj.core.wkt import from_wkt
+
+    # a METHOD whose name lost its quotes parses as a number; that must
+    # be a clean ValueError, not an internal AttributeError (the same
+    # contract the fuzz suite enforces for PARAMETER/ELLIPSOID)
+    w = ('PROJCRS["x",BASEGEOGCRS["g",DATUM["d",ELLIPSOID["WGS 84",'
+         '6378137,298.257223563]]],CONVERSION["c",METHOD[0,'
+         '"Transverse Mercator"]],CS[Cartesian,2]]')
+    with pytest.raises(ValueError, match="METHOD/PROJECTION name"):
+        from_wkt(w)
+
+
+def test_unquoted_parameter_name_raises_not_skips():
+    from rayproj.core.wkt import from_wkt
+
+    # PARAMETER[500000,...] (name unquoted -> float) must raise rather
+    # than be dropped: silently omitting +x_0 would shift results 500 km
+    w = ('PROJCRS["x",BASEGEOGCRS["g",DATUM["d",ELLIPSOID["WGS 84",'
+         '6378137,298.257223563]]],CONVERSION["c",METHOD['
+         '"Transverse Mercator"],PARAMETER[500000,16]],CS[Cartesian,2]]')
+    with pytest.raises(ValueError, match="PARAMETER node has no string"):
+        from_wkt(w)
