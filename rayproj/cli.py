@@ -472,6 +472,176 @@ def _print_db_candidates(s_crs: str, t_crs: str) -> None:
         print(f"  ... {len(ops) - 10} more")
 
 
+_PROJINFO_FMTS = ("PROJ", "WKT2_2015", "WKT2_2019", "WKT1_GDAL",
+                  "WKT1_ESRI", "PROJJSON")
+
+
+def _projinfo_formats(raw: str) -> list[str] | None:
+    """-o value -> ordered section list (src/apps/projinfo.cpp -o
+    parsing); None when the value belongs to the legacy proj-string
+    describe path only."""
+    names = [p.strip().upper().replace(":", "_").replace("-", "_")
+             for p in raw.split(",") if p.strip()]
+    out: list[str] = []
+    for n in names:
+        if n in ("DEFAULT",):
+            out += ["PROJ", "WKT2_2019"]
+        elif n == "ALL":
+            out += list(_PROJINFO_FMTS)
+        elif n == "PROJ":
+            out.append("PROJ")
+        elif n in ("WKT2", "WKT2_2019"):
+            out.append("WKT2_2019")
+        elif n == "WKT2_2015":
+            out.append("WKT2_2015")
+        elif n in ("WKT1", "WKT1_GDAL"):
+            out.append("WKT1_GDAL")
+        elif n == "WKT1_ESRI":
+            out.append("WKT1_ESRI")
+        elif n == "PROJJSON":
+            out.append("PROJJSON")
+        else:
+            return None
+    seen: set[str] = set()
+    return [f for f in out if not (f in seen or seen.add(f))]
+
+
+def _projinfo_db_describe(defn: str, args) -> bool:
+    """Reference-parity describe of a proj.db object (projinfo.cpp
+    outputObject:298-560): section per format with a leading blank line
+    between sections, WKT1 blocks also trailed by a blank, deprecation
+    warnings with replacement codes. Returns False when `defn` is not a
+    database object (caller falls back to the proj-string describe)."""
+    from .state import projdb
+
+    if not projdb.available():
+        return False
+    from .state import dbcrs
+
+    fmts = _projinfo_formats(args.output)
+    if fmts is None:
+        return False
+    quiet = getattr(args, "quiet", False)
+    single = getattr(args, "single_line", False)
+    kind = getattr(args, "kind", "crs")
+    m = re.match(r"([A-Za-z_]+):([0-9A-Za-z_]+)$", defn)
+
+    printed = False
+
+    def header(title: str) -> None:
+        nonlocal printed
+        if printed:
+            print()
+        printed = True
+        if not quiet:
+            print(title)
+
+    if kind == "ellipsoid":
+        found = dbcrs.find_ellipsoid(defn)
+        if found is None:
+            return False
+        if "PROJ" in fmts:
+            tok = dbcrs.ellipsoid_proj(*found)
+            if tok:
+                header("PROJ string:")
+                print(tok)
+        for f in fmts:
+            if f.startswith("WKT2"):
+                header(f"WKT2:{f[5:]} string:")
+                print(dbcrs.ellipsoid_wkt2(*found))
+        return True
+    if kind == "datum":
+        found = dbcrs.find_datum(defn)
+        if found is None:
+            return False
+        for f in fmts:
+            if f.startswith("WKT2"):
+                header(f"WKT2:{f[5:]} string:")
+                print(dbcrs.datum_wkt2(*found))
+        return True
+    if kind == "operation":
+        if m is None:
+            return False
+        try:
+            pipe = dbcrs.operation_proj_pipeline(
+                m.group(1).upper(), m.group(2), multiline=not single)
+        except dbcrs.NotFound:
+            return False
+        if "PROJ" in fmts:
+            header("PROJ string:")
+            print(pipe)
+        return True
+
+    # kind == crs
+    crs = None
+    if m is not None:
+        try:
+            crs = dbcrs.load_crs(m.group(1).upper(), m.group(2))
+        except dbcrs.NotFound:
+            return False
+    else:
+        # bare name: CRS first, then datum (the reference's
+        # createObjectsFromName cross-type search, projinfo.cpp:215)
+        try:
+            from .state.projdb import resolve_crs_name
+
+            named = resolve_crs_name(defn)
+        except Exception:
+            named = None
+        if named:
+            try:
+                crs = dbcrs.load_crs(named[0], named[1])
+            except dbcrs.NotFound:
+                crs = None
+        if crs is None:
+            found = dbcrs.find_datum(defn)
+            if found is not None:
+                for f in fmts:
+                    if f.startswith("WKT2"):
+                        header(f"WKT2:{f[5:]} string:")
+                        print(dbcrs.datum_wkt2(*found))
+                return True
+            return False
+
+    if crs.get("deprecated") and not quiet:
+        print("Warning: object is deprecated")
+        repl = dbcrs.deprecation_replacements(crs["auth"], crs["code"])
+        if repl:
+            print("Alternative non-deprecated CRS:")
+            for ra, rc_ in repl:
+                print(f"  {ra}:{rc_}")
+        print()
+
+    if getattr(args, "promote3d", False):
+        crs = dbcrs.promote_to_3d(crs)
+
+    for f in fmts:
+        try:
+            if f == "PROJ":
+                header("PROJ.4 string:")
+                print(dbcrs.to_proj4(crs))
+            elif f in ("WKT2_2015", "WKT2_2019"):
+                header(f"WKT2:{f[5:]} string:")
+                print(dbcrs.to_wkt2(crs, f[5:], single=single,
+                                    remark=crs.get("remark")))
+            elif f == "WKT1_GDAL":
+                header("WKT1:GDAL string:")
+                print(dbcrs.to_wkt1_gdal(crs))
+                print()
+            elif f == "WKT1_ESRI":
+                header("WKT1:ESRI string:")
+                print(dbcrs.to_wkt1_esri(crs))
+                print()
+            elif f == "PROJJSON":
+                import json as _json
+
+                header("PROJJSON:")
+                print(_json.dumps(dbcrs.to_projjson(crs), indent=2))
+        except dbcrs.NotFound as e:
+            print(f"Error when exporting to {f}: {e}", file=sys.stderr)
+    return True
+
+
 def cmd_projinfo(args) -> int:
     """CRS resolution at the proj-string level (src/apps/projinfo.cpp):
     expand EPSG codes / proj-strings, print the normalized parameter
@@ -529,6 +699,8 @@ def cmd_projinfo(args) -> int:
         _print_db_candidates(args.s_crs, args.t_crs)
         return 0
     for defn in args.crs:
+        if _projinfo_db_describe(defn, args):
+            continue
         describe(defn)
     return 0
 
@@ -1343,9 +1515,15 @@ def main(argv=None) -> int:
     pi = sub.add_parser("projinfo")
     pi.add_argument("-s", "--s-crs", default=None)
     pi.add_argument("-t", "--t-crs", default=None)
-    pi.add_argument("-o", "--output", default="proj",
-                    help="output format: proj (default), wkt2[:2019], "
-                         "wkt1[:gdal], wkt1:esri, or projjson")
+    pi.add_argument("-o", "--output", default="default",
+                    help="output format(s), comma separated: PROJ, "
+                         "WKT2_2015, WKT2_2019, WKT1_GDAL, WKT1_ESRI, "
+                         "PROJJSON, ALL (default: PROJ + WKT2:2019)")
+    pi.add_argument("-k", "--kind", default="crs",
+                    choices=["crs", "operation", "ellipsoid", "datum"])
+    pi.add_argument("-q", "--quiet", action="store_true")
+    pi.add_argument("--3d", dest="promote3d", action="store_true")
+    pi.add_argument("--single-line", action="store_true")
     pi.add_argument("crs", nargs="*")
     pi.set_defaults(fn=cmd_projinfo)
     argv = list(sys.argv[1:] if argv is None else argv)

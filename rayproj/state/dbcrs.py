@@ -1,0 +1,882 @@
+"""proj.db-driven CRS description + WKT/PROJJSON/PROJ.4 emission at
+reference byte-parity (the `projinfo EPSG:xxxx` describe surface).
+
+The emitters re-derive the reference's WKTFormatter conventions rather
+than translating them: node layout and the ID-suppression stack
+(src/iso19111/io.cpp:420-443 — a nested node's ID prints only when no
+ancestor carried one, METHOD/PARAMETER always print, BASEGEOGCRS's ID
+is emitted unconditionally per crs.cpp:3427-3450), axis naming
+(coordinatesystem.cpp:313-393: first letter lowercased, abbreviation
+parenthesized, Easting/E & Northing/N collapse to "(E)"/"(N)"),
+WKT1-GDAL datum-name morphing (datum.cpp:1202-1290), the
+ensemble-as-datum name remap (factory.cpp:1067-1071), the 9122→degree
+unit-name normalization (factory.cpp:1786), and the projinfo section
+plumbing (src/apps/projinfo.cpp:298-560: leading blank line between
+sections, WKT1 blocks with a trailing blank, deprecation warnings with
+replacement codes from the deprecation table).
+
+Numbers are formatted %.15g exactly like io.cpp's double writer;
+near-degree angular factors snap to pi/180 first (factory.cpp:1793).
+"""
+
+from __future__ import annotations
+
+import math
+
+from . import projdb
+
+_DEG = math.pi / 180.0
+
+
+def _g(v: float) -> str:
+    """%.15g with integer collapse — io.cpp's add(double)."""
+    if v == int(v) and abs(v) < 1e15:
+        return str(int(v))
+    return f"{v:.15g}"
+
+
+def _esri_g(v: float) -> str:
+    """ESRI dialect forces a decimal point (io.cpp useESRIDialect)."""
+    s = _g(v)
+    if "." not in s and "e" not in s and "E" not in s:
+        s += ".0"
+    return s
+
+
+def _db():
+    projdb.ensure_proj_db()
+    return projdb._db()
+
+
+def _one(sql: str, *args):
+    return _db().execute(sql, args).fetchone()
+
+
+def _all(sql: str, *args):
+    return _db().execute(sql, args).fetchall()
+
+
+# ---------------------------------------------------------------- loaders
+
+_ENSEMBLE_REMAP = {
+    # factory.cpp:1067-1071: ensembles surfaced as plain datums
+    "World Geodetic System 1984 ensemble": "World Geodetic System 1984",
+    "European Terrestrial Reference System 1989 ensemble":
+        "European Terrestrial Reference System 1989",
+}
+
+
+class NotFound(KeyError):
+    pass
+
+
+def _unit(auth: str, code: str) -> dict:
+    row = _one(
+        "SELECT name, conv_factor, type FROM unit_of_measure "
+        "WHERE auth_name=? AND code=?", auth, code)
+    if row is None:
+        raise NotFound(f"unit {auth}:{code}")
+    name, factor, kind = row
+    if name == "degree (supplier to define representation)":
+        name = "degree"
+    if factor is not None and abs(factor - _DEG) < 1e-10 * _DEG:
+        factor = _DEG
+    return {"auth": auth, "code": code, "name": name,
+            "factor": factor, "kind": kind}
+
+
+def _ellipsoid(auth: str, code: str) -> dict:
+    row = _one(
+        "SELECT name, semi_major_axis, uom_auth_name, uom_code, "
+        "inv_flattening, semi_minor_axis FROM ellipsoid "
+        "WHERE auth_name=? AND code=?", auth, code)
+    if row is None:
+        raise NotFound(f"ellipsoid {auth}:{code}")
+    name, a, ua, uc, rf, b = row
+    if rf is None:
+        rf = 0.0 if b == a else a / (a - b)
+    return {"auth": auth, "code": code, "name": name, "a": a, "rf": rf,
+            "unit": _unit(ua, uc)}
+
+
+def _prime_meridian(auth: str, code: str) -> dict:
+    row = _one(
+        "SELECT name, longitude, uom_auth_name, uom_code "
+        "FROM prime_meridian WHERE auth_name=? AND code=?", auth, code)
+    if row is None:
+        raise NotFound(f"prime meridian {auth}:{code}")
+    name, lon, ua, uc = row
+    return {"auth": auth, "code": code, "name": name,
+            "lon_deg": projdb._angle_deg(lon, uc)}
+
+
+def _datum(auth: str, code: str) -> dict:
+    row = _one(
+        "SELECT name, ellipsoid_auth_name, ellipsoid_code, "
+        "prime_meridian_auth_name, prime_meridian_code FROM geodetic_datum "
+        "WHERE auth_name=? AND code=?", auth, code)
+    if row is None:
+        raise NotFound(f"datum {auth}:{code}")
+    name, ea, ec, pa, pc = row
+    return {"auth": auth, "code": code,
+            "name": _ENSEMBLE_REMAP.get(name, name),
+            "ellipsoid": _ellipsoid(ea, ec),
+            "pm": _prime_meridian(pa, pc)}
+
+
+def _cs(auth: str, code: str) -> dict:
+    row = _one(
+        "SELECT type, dimension FROM coordinate_system "
+        "WHERE auth_name=? AND code=?", auth, code)
+    if row is None:
+        raise NotFound(f"coordinate system {auth}:{code}")
+    axes = [
+        {"name": r[0], "abbrev": r[1], "orientation": r[2],
+         "unit": _unit(r[3], r[4]), "order": r[5]}
+        for r in _all(
+            "SELECT name, abbrev, orientation, uom_auth_name, uom_code, "
+            "coordinate_system_order FROM axis "
+            "WHERE coordinate_system_auth_name=? AND coordinate_system_code=?"
+            " ORDER BY coordinate_system_order", auth, code)
+    ]
+    return {"type": row[0], "dim": row[1], "axes": axes}
+
+
+def _usages(table: str, auth: str, code: str) -> list[dict]:
+    out = []
+    for sa, sc, ea, ec in _all(
+            "SELECT scope_auth_name, scope_code, extent_auth_name, "
+            "extent_code FROM usage WHERE object_table_name=? AND "
+            "object_auth_name=? AND object_code=?", table, auth, code):
+        scope = _one("SELECT scope FROM scope WHERE auth_name=? AND code=?",
+                     sa, sc)
+        ext = _one(
+            "SELECT description, south_lat, north_lat, west_lon, east_lon "
+            "FROM extent WHERE auth_name=? AND code=?", ea, ec)
+        if scope is None or ext is None:
+            continue
+        out.append({"scope": scope[0], "area": ext[0],
+                    "bbox": (ext[1], ext[3], ext[2], ext[4])})
+    return out
+
+
+def _conversion(auth: str, code: str) -> dict:
+    row = _one(
+        "SELECT name, method_auth_name, method_code FROM conversion_table "
+        "WHERE auth_name=? AND code=?", auth, code)
+    if row is None:
+        raise NotFound(f"conversion {auth}:{code}")
+    name, ma, mc = row
+    method = _one(
+        "SELECT name FROM conversion_method WHERE auth_name=? AND code=?",
+        ma, mc)
+    params = []
+    prow = _one(
+        "SELECT " + ", ".join(
+            f"param{i}_auth_name, param{i}_code, param{i}_value, "
+            f"param{i}_uom_auth_name, param{i}_uom_code"
+            for i in range(1, 8)) +
+        " FROM conversion_table WHERE auth_name=? AND code=?", auth, code)
+    for i in range(7):
+        pa, pc, pv, ua, uc = prow[5 * i:5 * i + 5]
+        if pa is None or pv is None:
+            continue
+        pname = _one(
+            "SELECT name FROM conversion_param WHERE auth_name=? AND code=?",
+            pa, pc)
+        params.append({"auth": pa, "code": pc,
+                       "name": pname[0] if pname else f"param {pc}",
+                       "value": pv, "unit": _unit(ua, uc)})
+    return {"auth": auth, "code": code, "name": name,
+            "method_auth": ma, "method_code": mc,
+            "method_name": method[0] if method else f"method {mc}",
+            "params": params}
+
+
+def load_crs(auth: str, code: str) -> dict:
+    """CRS description dict: kind geographic/geocentric/projected."""
+    row = _one(
+        "SELECT name, type, coordinate_system_auth_name, "
+        "coordinate_system_code, datum_auth_name, datum_code, deprecated "
+        "FROM geodetic_crs WHERE auth_name=? AND code=?", auth, code)
+    if row is not None:
+        name, typ, ca, cc, da, dc, dep = row
+        return {"kind": "geocentric" if typ == "geocentric" else "geographic",
+                "geog_type": typ, "auth": auth, "code": code, "name": name,
+                "datum": _datum(da, dc), "cs": _cs(ca, cc),
+                "usages": _usages("geodetic_crs", auth, code),
+                "deprecated": bool(dep)}
+    row = _one(
+        "SELECT name, coordinate_system_auth_name, coordinate_system_code, "
+        "geodetic_crs_auth_name, geodetic_crs_code, conversion_auth_name, "
+        "conversion_code, deprecated FROM projected_crs "
+        "WHERE auth_name=? AND code=?", auth, code)
+    if row is not None:
+        name, ca, cc, ga, gc, va, vc, dep = row
+        return {"kind": "projected", "auth": auth, "code": code,
+                "name": name, "base": load_crs(ga, gc),
+                "conversion": _conversion(va, vc), "cs": _cs(ca, cc),
+                "usages": _usages("projected_crs", auth, code),
+                "deprecated": bool(dep)}
+    raise NotFound(f"crs {auth}:{code}")
+
+
+def deprecation_replacements(auth: str, code: str) -> list[tuple[str, str]]:
+    return [(r[0], r[1]) for r in _all(
+        "SELECT replacement_auth_name, replacement_code FROM deprecation "
+        "WHERE deprecated_auth_name=? AND deprecated_code=?", auth, code)]
+
+
+# ------------------------------------------------------------ WKT writer
+
+class N:
+    """A WKT node: keyword + parts (pre-rendered scalar strings or N)."""
+
+    def __init__(self, kw: str, *parts):
+        self.kw = kw
+        self.parts = [p for p in parts if p is not None]
+
+
+class Deeper:
+    """Siblings rendered one indent level deeper (the CS 'anonymous
+    indentation level' of coordinatesystem.cpp:316)."""
+
+    def __init__(self, nodes):
+        self.nodes = [n for n in nodes if n is not None]
+
+
+def q(s: str) -> str:
+    return '"' + s + '"'
+
+
+def render(node: N, indent: int = 0, single: bool = False) -> str:
+    out = [node.kw, "["]
+    first = True
+    for p in node.parts:
+        kids = p.nodes if isinstance(p, Deeper) else [p]
+        extra = 1 if isinstance(p, Deeper) else 0
+        for k in kids:
+            if not first:
+                out.append(",")
+            first = False
+            if isinstance(k, N):
+                if single:
+                    out.append(render(k, 0, True))
+                else:
+                    lvl = indent + 1 + extra
+                    out.append("\n" + "    " * lvl + render(k, lvl, False))
+            else:
+                out.append(str(k))
+    out.append("]")
+    return "".join(out)
+
+
+# ------------------------------------------------------------ WKT2 build
+
+def _unit_node(u: dict, *, with_id: bool) -> N:
+    kw = {"angle": "ANGLEUNIT", "length": "LENGTHUNIT",
+          "scale": "SCALEUNIT"}.get(u["kind"], "UNIT")
+    parts = [q(u["name"]), _g(u["factor"])]
+    if with_id:
+        parts.append(N("ID", q(u["auth"]), u["code"]))
+    return N(kw, *parts)
+
+
+def _axis_designation(name: str, abbrev: str, order: int) -> str:
+    # coordinatesystem.cpp:313-372
+    desig = name[:1].lower() + name[1:] if name else ""
+    if name in ("Latitude", "Longitude"):
+        return desig
+    if (order == 1 and name == "Easting" and abbrev == "E") or \
+            (order == 2 and name == "Northing" and abbrev == "N"):
+        return f"({abbrev})"
+    if abbrev:
+        desig = f"{desig} ({abbrev})" if desig else f"({abbrev})"
+    return desig
+
+
+def _axis_node(ax: dict, *, unit_id: bool) -> N:
+    return N("AXIS",
+             q(_axis_designation(ax["name"], ax["abbrev"], ax["order"])),
+             ax["orientation"],
+             N("ORDER", str(ax["order"])),
+             _unit_node(ax["unit"], with_id=unit_id))
+
+
+def _cs_nodes(cs: dict, *, unit_ids: bool) -> list:
+    nodes = [N("CS", cs["type"], str(cs["dim"]))]
+    nodes.append(Deeper([_axis_node(a, unit_id=unit_ids)
+                         for a in cs["axes"]]))
+    return nodes
+
+
+def _datum_node(d: dict) -> N:
+    ell = d["ellipsoid"]
+    return N("DATUM", q(d["name"]),
+             N("ELLIPSOID", q(ell["name"]), _g(ell["a"]), _g(ell["rf"]),
+               _unit_node(ell["unit"], with_id=False)))
+
+
+def _pm_node(d: dict) -> N:
+    pm = d["pm"]
+    return N("PRIMEM", q(pm["name"]), _g(pm["lon_deg"]),
+             _unit_node({"kind": "angle", "name": "degree",
+                         "factor": _DEG, "auth": "EPSG", "code": "9102"},
+                        with_id=False))
+
+
+def _usage_nodes(usages: list[dict], variant: str) -> list:
+    nodes = []
+    for u in usages:
+        s, w, n, e = u["bbox"]
+        scope = N("SCOPE", q(u["scope"]))
+        area = N("AREA", q(u["area"]))
+        bbox = N("BBOX", _g(s), _g(w), _g(n), _g(e))
+        if variant == "2019":
+            nodes.append(N("USAGE", scope, area, bbox))
+        else:
+            nodes.extend([scope, area, bbox])
+    return nodes
+
+
+def _id_node(auth: str, code: str) -> N:
+    c = code if str(code).isdigit() else q(str(code))
+    return N("ID", q(auth), c)
+
+
+def _geog_nodes(crs: dict) -> list:
+    return [_datum_node(crs["datum"]), _pm_node(crs["datum"])]
+
+
+def to_wkt2(crs: dict, variant: str = "2019", *, single: bool = False,
+            suppress_own_id: bool = False, remark: str | None = None) -> str:
+    """WKT2:2019 / WKT2:2015 for a db-loaded CRS dict."""
+    has_own_id = not suppress_own_id and "code" in crs
+    # unit IDs print only when no ancestor node carried an ID
+    # (io.cpp:436-438); with the CRS identified they are suppressed
+    unit_ids = not has_own_id
+    if crs["kind"] in ("geographic", "geocentric"):
+        kw = ("GEOGCRS" if crs["geog_type"].startswith("geographic")
+              else "GEODCRS") if variant == "2019" else "GEODCRS"
+        parts = [q(crs["name"])]
+        parts += _geog_nodes(crs)
+        parts += _cs_nodes(crs["cs"], unit_ids=unit_ids)
+        parts += _usage_nodes(crs["usages"], variant)
+        if remark:
+            parts.append(N("REMARK", q(remark)))
+        if has_own_id:
+            parts.append(_id_node(crs["auth"], crs["code"]))
+        return render(N(kw, *parts), single=single)
+    # projected
+    base = crs["base"]
+    base_kw = "BASEGEOGCRS" if variant == "2019" else "BASEGEODCRS"
+    base_parts = [q(base["name"])] + _geog_nodes(base)
+    if variant == "2019" and "code" in base:
+        # crs.cpp:3437-3440: base CRS id emitted unconditionally in 2019
+        base_parts.append(_id_node(base["auth"], base["code"]))
+    conv = crs["conversion"]
+    conv_parts = [q(conv["name"]),
+                  N("METHOD", q(conv["method_name"]),
+                    _id_node(conv["method_auth"], conv["method_code"]))]
+    for p in conv["params"]:
+        conv_parts.append(
+            N("PARAMETER", q(p["name"]), _g(p["value"]),
+              _unit_node(p["unit"], with_id=False),
+              _id_node(p["auth"], p["code"])))
+    if not has_own_id:
+        # conversion id surfaces only when the containing CRS lost its
+        # own id (e.g. promoteTo3D output) — io.cpp ancestor rule
+        conv_parts.append(_id_node(conv["auth"], conv["code"]))
+    parts = [q(crs["name"]), N(base_kw, *base_parts),
+             N("CONVERSION", *conv_parts)]
+    parts += _cs_nodes(crs["cs"], unit_ids=unit_ids)
+    parts += _usage_nodes(crs["usages"], variant)
+    if remark:
+        parts.append(N("REMARK", q(remark)))
+    if has_own_id:
+        parts.append(_id_node(crs["auth"], crs["code"]))
+    return render(N("PROJCRS" if variant == "2019" else "PROJCRS", *parts),
+                  single=single)
+
+
+# ------------------------------------------------------------ WKT1 build
+
+def _morph_esri(name: str) -> str:
+    return "".join(c if c.isalnum() else "_" for c in name)
+
+
+def _wkt1_datum_name(d: dict) -> str:
+    # datum.cpp:1246-1252: GDAL<3 importFromEPSG emulation
+    name = _morph_esri(d["name"])
+    if name == "World_Geodetic_System_1984":
+        name = "WGS_1984"
+    return name
+
+
+def to_wkt1_gdal(crs: dict) -> str:
+    if crs["kind"] != "geographic":
+        raise NotFound("WKT1:GDAL db emission implemented for geographic CRS")
+    d = crs["datum"]
+    ell = d["ellipsoid"]
+    axis_unit = crs["cs"]["axes"][0]["unit"]
+    node = N(
+        "GEOGCS", q(crs["name"]),
+        N("DATUM", q(_wkt1_datum_name(d)),
+          N("SPHEROID", q(ell["name"]), _g(ell["a"]), _g(ell["rf"]),
+            N("AUTHORITY", q(ell["auth"]), q(ell["code"]))),
+          N("AUTHORITY", q(d["auth"]), q(d["code"]))),
+        N("PRIMEM", q(d["pm"]["name"]), _g(d["pm"]["lon_deg"]),
+          N("AUTHORITY", q(d["pm"]["auth"]), q(d["pm"]["code"]))),
+        N("UNIT", q(axis_unit["name"]), _g(axis_unit["factor"]),
+          N("AUTHORITY", q(axis_unit["auth"]), q(axis_unit["code"]))),
+        N("AUTHORITY", q(crs["auth"]), q(crs["code"])))
+    return render(node)
+
+
+def _esri_alias(table: str, auth: str, code: str, fallback: str) -> str:
+    row = _one(
+        "SELECT alt_name FROM alias_name WHERE table_name=? AND auth_name=? "
+        "AND code=? AND source='ESRI'", table, auth, code)
+    return row[0] if row else _morph_esri(fallback)
+
+
+def to_wkt1_esri(crs: dict) -> str:
+    if crs["kind"] != "geographic":
+        raise NotFound("WKT1:ESRI db emission implemented for geographic CRS")
+    d = crs["datum"]
+    ell = d["ellipsoid"]
+    axis_unit = crs["cs"]["axes"][0]["unit"]
+    unit_name = {"degree": "Degree", "metre": "Meter"}.get(
+        axis_unit["name"], axis_unit["name"])
+    node = N(
+        "GEOGCS", q(_esri_alias("geodetic_crs", crs["auth"], crs["code"],
+                                "GCS_" + crs["name"])),
+        N("DATUM", q(_esri_alias("geodetic_datum", d["auth"], d["code"],
+                                 "D_" + d["name"])),
+          N("SPHEROID", q(_esri_alias("ellipsoid", ell["auth"], ell["code"],
+                                      ell["name"])),
+            _esri_g(ell["a"]), _esri_g(ell["rf"]))),
+        N("PRIMEM", q(d["pm"]["name"]), _esri_g(d["pm"]["lon_deg"])),
+        N("UNIT", q(unit_name), _g(axis_unit["factor"])))
+    return render(node, single=True)
+
+
+# ------------------------------------------------------------- PROJJSON
+
+_SCHEMA = "https://proj.org/schemas/v0.2/projjson.schema.json"
+
+
+def _jnum(v: float):
+    return int(v) if v == int(v) and abs(v) < 1e15 else v
+
+
+def _json_axes(cs: dict) -> dict:
+    axes = []
+    for a in cs["axes"]:
+        u = a["unit"]
+        axes.append({
+            "name": a["name"], "abbreviation": a["abbrev"],
+            "direction": a["orientation"],
+            "unit": u["name"] if u["name"] in ("degree", "metre") else {
+                "type": {"angle": "AngularUnit", "length": "LinearUnit",
+                         "scale": "Unit"}.get(u["kind"], "Unit"),
+                "name": u["name"],
+                "conversion_factor": _jnum(u["factor"]),
+            }})
+    return {"subtype": cs["type"], "axis": axes}
+
+
+def to_projjson(crs: dict) -> dict:
+    d = crs["datum"] if crs["kind"] != "projected" else None
+    out: dict = {"$schema": _SCHEMA}
+    if crs["kind"] == "geographic":
+        out["type"] = "GeographicCRS"
+    elif crs["kind"] == "geocentric":
+        out["type"] = "GeodeticCRS"
+    else:
+        out["type"] = "ProjectedCRS"
+    out["name"] = crs["name"]
+    if d is not None:
+        ell = d["ellipsoid"]
+        datum: dict = {"type": "GeodeticReferenceFrame", "name": d["name"],
+                       "ellipsoid": {"name": ell["name"],
+                                     "semi_major_axis": _jnum(ell["a"]),
+                                     "inverse_flattening": _jnum(ell["rf"])}}
+        if d["pm"]["name"] != "Greenwich":
+            datum["prime_meridian"] = {"name": d["pm"]["name"],
+                                       "longitude": _jnum(d["pm"]["lon_deg"])}
+        out["datum"] = datum
+    else:
+        base = dict(to_projjson(crs["base"]))
+        base.pop("$schema", None)
+        conv = crs["conversion"]
+        out["base_crs"] = base
+        out["conversion"] = {
+            "name": conv["name"],
+            "method": {"name": conv["method_name"],
+                       "id": {"authority": conv["method_auth"],
+                              "code": int(conv["method_code"])}},
+            "parameters": [
+                {"name": p["name"], "value": _jnum(p["value"]),
+                 "unit": p["unit"]["name"]
+                 if p["unit"]["name"] in ("degree", "metre", "unity")
+                 else {"type": "Unit", "name": p["unit"]["name"],
+                       "conversion_factor": _jnum(p["unit"]["factor"])},
+                 "id": {"authority": p["auth"], "code": int(p["code"])}}
+                for p in conv["params"]],
+        }
+    out["coordinate_system"] = _json_axes(crs["cs"])
+    if crs["usages"]:
+        u = crs["usages"][0]
+        s, w, n, e = u["bbox"]
+        out["scope"] = u["scope"]
+        out["area"] = u["area"]
+        out["bbox"] = {"south_latitude": _jnum(s), "west_longitude": _jnum(w),
+                       "north_latitude": _jnum(n), "east_longitude": _jnum(e)}
+    if "code" in crs:
+        out["id"] = {"authority": crs["auth"], "code": int(crs["code"])}
+    return out
+
+
+# ---------------------------------------------------------- PROJ.4 build
+
+# pj_ellps-style well-known (a, rf) -> +ellps name, from core ELLPS_TABLE
+def _named_ellps(a: float, rf: float) -> str | None:
+    from ..core.ellps import ELLPS_TABLE
+    for name, (size, shape) in ELLPS_TABLE.items():
+        if not size.startswith("a=") or not shape.startswith("rf="):
+            continue
+        if (abs(float(size[2:]) - a) < 1e-6 and
+                abs(float(shape[3:]) - rf) < 1e-9):
+            return name
+    return None
+
+
+_PM_NAMES = {
+    # pj_prime_meridians (src/datums.cpp): deg value -> +pm name
+    0.0: None,
+    -9.131906111111112: "lisbon",
+    2.337229166666667: "paris",
+    -74.08091666666667: "bogota",
+    -3.687938888888889: "madrid",
+    12.452333333333332: "rome",
+    7.439583333333333: "bern",
+    106.80771944444444: "jakarta",
+    -17.666666666666668: "ferro",
+    4.367975: "brussels",
+    18.05827777777778: "stockholm",
+    23.7163375: "athens",
+    10.722916666666666: "oslo",
+}
+
+
+def _pm_token(lon_deg: float) -> str | None:
+    if lon_deg == 0.0:
+        return None
+    for v, name in _PM_NAMES.items():
+        if name and abs(v - lon_deg) < 1e-9:
+            return f"+pm={name}"
+    return f"+pm={_g(lon_deg)}"
+
+
+def _towgs84_7(geog_auth: str, geog_code: str) -> str | None:
+    """createBoundCRSToWGS84IfPossible equivalent: the 7-param towgs84
+    when exactly one distinct non-deprecated helmert candidate exists
+    (crs.cpp picks none when candidates disagree, e.g. Monte Mario)."""
+    rows = _all(
+        "SELECT method_code, tx, ty, tz, rx, ry, rz, scale_difference, "
+        "rotation_uom_code, scale_difference_uom_code "
+        "FROM helmert_transformation_table "
+        "WHERE source_crs_auth_name=? AND source_crs_code=? "
+        "AND target_crs_auth_name='EPSG' AND target_crs_code='4326' "
+        "AND deprecated=0", geog_auth, geog_code)
+    arcsec_per_rad = 3600.0 * 180.0 / math.pi
+    sets = set()
+    for m, tx, ty, tz, rx, ry, rz, ds, ruom, suom in rows:
+        vals = [tx or 0.0, ty or 0.0, tz or 0.0]
+        for r in (rx, ry, rz):
+            r = r or 0.0
+            if r and ruom:  # to arc-seconds (towgs84 convention)
+                r = r * projdb._uom_factor(ruom) * arcsec_per_rad
+            vals.append(r)
+        ds = ds or 0.0
+        if ds and suom and suom != "9202":  # to parts-per-million
+            ds = ds * projdb._uom_factor(suom) * 1e6
+        vals.append(ds)
+        sets.add(tuple(round(v, 12) for v in vals))
+    if len(sets) != 1:
+        return None
+    vals = next(iter(sets))
+    return "+towgs84=" + ",".join(_g(v) for v in vals)
+
+
+def _geodetic_tokens(geog: dict) -> list[str]:
+    ell = geog["datum"]["ellipsoid"]
+    toks: list[str] = []
+    if geog["datum"]["code"] == "6326" and geog["datum"]["auth"] == "EPSG":
+        toks.append("+datum=WGS84")
+    else:
+        name = _named_ellps(ell["a"], ell["rf"])
+        if name:
+            toks.append(f"+ellps={name}")
+        else:
+            toks.append(f"+a={_g(ell['a'])}")
+            toks.append(f"+rf={_g(ell['rf'])}")
+        t = _towgs84_7(geog["auth"], geog["code"])
+        if t:
+            toks.append(t)
+    pm = _pm_token(geog["datum"]["pm"]["lon_deg"])
+    if pm:
+        toks.append(pm)
+    return toks
+
+
+def _conv_proj_tokens(conv: dict) -> list[str]:
+    """Conversion -> proj tokens with the reference's UTM collapse
+    (coordinateoperation.cpp Conversion::exportToPROJString)."""
+
+    def p(code: str, default=0.0) -> float:
+        for par in conv["params"]:
+            if par["code"] == code:
+                u = par["unit"]
+                if u["kind"] == "angle":
+                    return projdb._angle_deg(par["value"], u["code"])
+                if u["kind"] == "length":
+                    return par["value"] * (u["factor"] or 1.0)
+                return par["value"]
+        return default
+
+    if conv["method_code"] == "9807":
+        lat0, lon0 = p("8801"), p("8802")
+        k0, x0, y0 = p("8805", 1.0), p("8806"), p("8807")
+        if (lat0 == 0 and k0 == 0.9996 and x0 == 500000 and
+                y0 in (0.0, 10000000.0) and (lon0 + 183.0) % 6.0 == 0.0):
+            zone = int((lon0 + 183.0) / 6.0)
+            toks = [f"+proj=utm +zone={zone}"]
+            if y0 == 10000000.0:
+                toks.append("+south")
+            return " ".join(toks).split()
+        toks = ["+proj=tmerc"]
+        toks += [f"+lat_0={_g(lat0)}", f"+lon_0={_g(lon0)}",
+                 f"+k={_g(k0)}", f"+x_0={_g(x0)}", f"+y_0={_g(y0)}"]
+        return toks
+    # generic: reuse projdb's conversion mapping (resolve-time tokens)
+    pairs = projdb._conversion_pairs(
+        conv["auth"], conv["code"], [])
+    return [f"+{k}={v}" if v is not None else f"+{k}" for k, v in pairs]
+
+
+def to_proj4(crs: dict) -> str:
+    if crs["kind"] == "geographic":
+        toks = ["+proj=longlat"] + _geodetic_tokens(crs)
+    elif crs["kind"] == "geocentric":
+        toks = ["+proj=geocent"] + _geodetic_tokens(crs)
+    else:
+        toks = _conv_proj_tokens(crs["conversion"])
+        toks += _geodetic_tokens(crs["base"])
+        unit = crs["cs"]["axes"][0]["unit"]
+        short = _one(
+            "SELECT proj_short_name FROM unit_of_measure "
+            "WHERE auth_name=? AND code=?", unit["auth"], unit["code"])
+        toks.append(f"+units={short[0]}" if short and short[0]
+                    else f"+to_meter={_g(unit['factor'])}")
+    toks += ["+no_defs", "+type=crs"]
+    return " ".join(toks)
+
+
+# ------------------------------------------------------- 3D promotion
+
+def promote_to_3d(crs: dict) -> dict:
+    """crs.cpp promoteTo3D: geographic gains the matching 3D CRS's
+    identity; projected keeps its conversion, gains an ellipsoidal
+    height axis and a REMARK, and loses its own id."""
+    import copy
+    out = copy.deepcopy(crs)
+    if crs["kind"] == "geographic":
+        row = _one(
+            "SELECT code, name, coordinate_system_code FROM geodetic_crs "
+            "WHERE auth_name=? AND datum_code=? AND type='geographic 3D' "
+            "AND deprecated=0", crs["auth"], crs["datum"]["code"])
+        if row:
+            out["code"], out["name"] = row[0], row[1]
+            out["cs"] = _cs(crs["auth"], row[2])
+            out["geog_type"] = "geographic 3D"
+        return out
+    if crs["kind"] == "projected":
+        out["base"] = promote_to_3d(crs["base"])
+        metre = _unit("EPSG", "9001")
+        out["cs"] = dict(out["cs"])
+        out["cs"]["dim"] = 3
+        out["cs"]["axes"] = list(out["cs"]["axes"]) + [{
+            "name": "Ellipsoidal height", "abbrev": "h",
+            "orientation": "up", "unit": metre, "order": 3}]
+        out["remark"] = f"Promoted to 3D from {crs['auth']}:{crs['code']}"
+        out.pop("code")  # promoted object is no longer the EPSG object
+        out["usages"] = []  # promoteTo3D builds a fresh object: no domains
+        return out
+    return out
+
+
+# ----------------------------------------------------- object lookups
+
+def _norm_name(s: str) -> str:
+    return "".join(c for c in s.lower() if c.isalnum())
+
+
+def find_ellipsoid(token: str) -> tuple[str, str] | None:
+    m = _split_authcode(token)
+    if m:
+        row = _one("SELECT auth_name, code FROM ellipsoid "
+                   "WHERE auth_name=? AND code=?", *m)
+        return (row[0], row[1]) if row else None
+    want = _norm_name(token)
+    for a, c, n in _all("SELECT auth_name, code, name FROM ellipsoid "
+                        "WHERE deprecated=0"):
+        if _norm_name(n) == want:
+            return (a, c)
+    for t, a, c, alt in _all(
+            "SELECT table_name, auth_name, code, alt_name FROM alias_name "
+            "WHERE table_name='ellipsoid'"):
+        if _norm_name(alt) == want:
+            return (a, c)
+    return None
+
+
+def find_datum(token: str) -> tuple[str, str] | None:
+    m = _split_authcode(token)
+    if m:
+        row = _one("SELECT auth_name, code FROM geodetic_datum "
+                   "WHERE auth_name=? AND code=?", *m)
+        return (row[0], row[1]) if row else None
+    want = _norm_name(token)
+    for a, c, n in _all("SELECT auth_name, code, name FROM geodetic_datum "
+                        "WHERE deprecated=0"):
+        if _norm_name(n) == want or _norm_name(
+                _ENSEMBLE_REMAP.get(n, n)) == want:
+            return (a, c)
+    for t, a, c, alt in _all(
+            "SELECT table_name, auth_name, code, alt_name FROM alias_name "
+            "WHERE table_name='geodetic_datum'"):
+        if _norm_name(alt) == want:
+            return (a, c)
+    return None
+
+
+def _split_authcode(token: str):
+    if ":" in token:
+        a, _, c = token.partition(":")
+        if a and c and not c.startswith("/"):
+            return (a.upper(), c)
+    return None
+
+
+def ellipsoid_wkt2(auth: str, code: str) -> str:
+    e = _ellipsoid(auth, code)
+    return render(N("ELLIPSOID", q(e["name"]), _g(e["a"]), _g(e["rf"]),
+                    _unit_node(e["unit"], with_id=False),
+                    _id_node(auth, code)))
+
+
+def ellipsoid_proj(auth: str, code: str) -> str | None:
+    e = _ellipsoid(auth, code)
+    name = _named_ellps(e["a"], e["rf"])
+    return f"+ellps={name}" if name else None
+
+
+def datum_wkt2(auth: str, code: str) -> str:
+    d = _datum(auth, code)
+    parts = [q(d["name"]),
+             N("ELLIPSOID", q(d["ellipsoid"]["name"]), _g(d["ellipsoid"]["a"]),
+               _g(d["ellipsoid"]["rf"]),
+               _unit_node(d["ellipsoid"]["unit"], with_id=False))]
+    if d["pm"]["name"] != "Greenwich":
+        parts.append(_pm_node(d))
+    parts.append(_id_node(auth, code))
+    return render(N("DATUM", *parts))
+
+
+# ------------------------------------------- operation PROJ pipelines
+
+def operation_proj_pipeline(auth: str, code: str,
+                            multiline: bool = True) -> str:
+    """-k operation <code> -o PROJ: the canonical geog→geog helmert
+    pipeline (axisswap/unitconvert wrap, push/pop v_3 for 2D ends,
+    cart→helmert→inv cart), matching projinfo's multiline PROJ export
+    (src/apps/projinfo.cpp:336-359, PROJStringFormatter multiline)."""
+    sel = ("SELECT source_crs_auth_name, source_crs_code, "
+           "target_crs_auth_name, target_crs_code, method_code, "
+           "tx, ty, tz, rx, ry, rz, scale_difference, "
+           "rotation_uom_auth_name, rotation_uom_code, "
+           "scale_difference_uom_auth_name, scale_difference_uom_code "
+           "FROM helmert_transformation_table WHERE auth_name=? AND code=?")
+    row = _one(sel, auth, code)
+    if row is None:
+        # concatenated operation: flatten the helmert steps, eliding
+        # null ones (the PROJStringFormatter optimization that turns
+        # e.g. CH1903+ -> CHTRF95 -> WGS84 into a single helmert)
+        ends = _one(
+            "SELECT source_crs_auth_name, source_crs_code, "
+            "target_crs_auth_name, target_crs_code "
+            "FROM concatenated_operation WHERE auth_name=? AND code=?",
+            auth, code)
+        steps = _all(
+            "SELECT step_auth_name, step_code FROM "
+            "concatenated_operation_step WHERE operation_auth_name=? AND "
+            "operation_code=? ORDER BY step_number", auth, code)
+        if ends is None or not steps:
+            raise NotFound(f"operation {auth}:{code}")
+        live = []
+        for pa, pc in steps:
+            srow = _one(sel, pa, pc)
+            if srow is None:
+                raise NotFound(f"operation step {pa}:{pc}")
+            if any(v for v in srow[5:12]):
+                live.append(srow)
+        if len(live) != 1:
+            raise NotFound(
+                f"operation {auth}:{code}: non-trivial concatenation")
+        row = ends + live[0][4:]
+    (sa, sc, ta, tc, method, tx, ty, tz, rx, ry, rz, ds,
+     rua, ruc, sua, suc) = row
+    src, tgt = load_crs(sa, sc), load_crs(ta, tc)
+
+    def ellps_tok(g: dict) -> str:
+        e = g["datum"]["ellipsoid"]
+        name = _named_ellps(e["a"], e["rf"])
+        return (f"+ellps={name}" if name
+                else f"+a={_g(e['a'])} +rf={_g(e['rf'])}")
+
+    hel = [f"+x={_g(tx or 0.0)}", f"+y={_g(ty or 0.0)}",
+           f"+z={_g(tz or 0.0)}"]
+    if any(v for v in (rx, ry, rz, ds)):
+        arc = projdb._uom_factor(ruc) if ruc else 1.0
+        for k, v in (("rx", rx), ("ry", ry), ("rz", rz)):
+            hel.append(f"+{k}={_g((v or 0.0) * arc)}")
+        hel.append(f"+s={_g(ds or 0.0)}")
+        if method in ("9607", "1038"):  # coordinate frame rotation
+            hel.append("+convention=coordinate_frame")
+        else:
+            hel.append("+convention=position_vector")
+    steps = []
+    if _lat_first(src):
+        steps.append("+proj=axisswap +order=2,1")
+    steps.append("+proj=unitconvert +xy_in=deg +xy_out=rad")
+    two_d = src["geog_type"] == "geographic 2D"
+    if two_d:
+        steps.append("+proj=push +v_3")
+    steps.append(f"+proj=cart {ellps_tok(src)}")
+    steps.append("+proj=helmert " + " ".join(hel))
+    steps.append(f"+inv +proj=cart {ellps_tok(tgt)}")
+    if two_d:
+        steps.append("+proj=pop +v_3")
+    steps.append("+proj=unitconvert +xy_in=rad +xy_out=deg")
+    if _lat_first(tgt):
+        steps.append("+proj=axisswap +order=2,1")
+    if multiline:
+        return "+proj=pipeline\n" + "\n".join(f"  +step {s}" for s in steps)
+    return "+proj=pipeline " + " ".join(f"+step {s}" for s in steps)
+
+
+def _lat_first(geog: dict) -> bool:
+    axes = geog["cs"]["axes"]
+    return bool(axes) and axes[0]["orientation"] == "north"

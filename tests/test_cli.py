@@ -169,11 +169,14 @@ def test_proj_factors_tmerc():
 
 
 def test_projinfo_epsg_resolution(capsys):
+    # db-backed describe: reference-parity PROJ.4 + WKT2:2019 sections
     rc = cli.main(["projinfo", "EPSG:32633"])
     out = capsys.readouterr().out
     assert rc == 0
-    assert "+proj=utm" in out and "+zone=33" in out
-    assert "a=6378137" in out
+    assert "PROJ.4 string:" in out
+    assert "+proj=utm +zone=33 +datum=WGS84 +units=m +no_defs +type=crs" in out
+    assert 'PROJCRS["WGS 84 / UTM zone 33N"' in out
+    assert 'ID["EPSG",32633]]' in out
 
 
 def test_formulaic_epsg_utm_families():

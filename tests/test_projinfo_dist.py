@@ -1,0 +1,83 @@
+"""Byte-parity replay of the reference's testprojinfo corpus —
+describe subset.
+
+The reference's test/cli/testprojinfo script drives projinfo over EPSG
+codes and object names and compares against testprojinfo_out.dist. The
+operation-SEARCH sections (-s/-t createOperations ranking) are engine-
+format here by design; every describe-style section (single CRS /
+ellipsoid / datum / operation lookups, all -o formats, --3d promotion,
+deprecation warnings) is replayed below and must match byte-for-byte.
+
+Reference: test/cli/testprojinfo:28-200, testprojinfo_out.dist.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import sys
+
+import pytest
+
+from rayproj import cli
+from rayproj.state import projdb
+
+pytestmark = pytest.mark.skipif(
+    not projdb.available(), reason="EPSG sql scripts not available")
+
+DIST = "/root/reference/test/cli/testprojinfo_out.dist"
+
+
+def _run(argv: list[str]) -> str:
+    old_out = sys.stdout
+    sys.stdout = io.StringIO()
+    try:
+        rc = cli.main(["projinfo"] + argv)
+        out = sys.stdout.getvalue()
+    finally:
+        sys.stdout = old_out
+    assert rc == 0
+    return out
+
+
+def _section(title: str) -> str:
+    """Expected bytes between the echoed `title` line and the blank
+    line the driver script writes before the next section."""
+    txt = open(DIST).read()
+    m = re.search(re.escape(title) + r"\n(.*?)\n\nTesting ", txt, re.S)
+    if m is None:  # last section
+        m = re.search(re.escape(title) + r"\n(.*?)\n$", txt, re.S)
+    assert m is not None, title
+    return m.group(1)
+
+
+DESCRIBE_CASES = [
+    ("Testing projinfo EPSG:4326", ["EPSG:4326"]),
+    ("Testing projinfo -o WKT1_GDAL EPSG:4326",
+     ["-o", "WKT1_GDAL", "EPSG:4326"]),
+    ("Testing projinfo -o WKT2_2015 EPSG:4326",
+     ["-o", "WKT2_2015", "EPSG:4326"]),
+    ("Testing projinfo -o WKT2_2019 EPSG:4326",
+     ["-o", "WKT2_2019", "EPSG:4326"]),
+    ("Testing projinfo -o ALL EPSG:4326", ["-o", "ALL", "EPSG:4326"]),
+    ("Testing deprecated CRS: projinfo EPSG:26591", ["EPSG:26591"]),
+    ("Testing CRS with towgs84: projinfo -o PROJ EPSG:25832",
+     ["-o", "PROJ", "EPSG:25832"]),
+    ("Testing EPSG:32631 --3d", ["EPSG:32631", "--3d"]),
+    ("Testing -k ellipsoid WGS84", ["-k", "ellipsoid", "WGS84"]),
+    ("Testing -k ellipsoid EPSG:7030", ["-k", "ellipsoid", "EPSG:7030"]),
+    ("Testing -k datum WGS84", ["-k", "datum", "WGS84"]),
+    ("Testing -k datum EPSG:6326", ["-k", "datum", "EPSG:6326"]),
+    ("Testing -k operation EPSG:8457 -o PROJ -q",
+     ["-k", "operation", "EPSG:8457", "-o", "PROJ", "-q"]),
+    ("Testing D_WGS_1984", ["D_WGS_1984"]),
+    ("Testing -k datum D_WGS_1984", ["-k", "datum", "D_WGS_1984"]),
+]
+
+
+@pytest.mark.parametrize("title,argv",
+                         DESCRIBE_CASES, ids=[t for t, _ in DESCRIBE_CASES])
+def test_projinfo_describe_byte_parity(title, argv):
+    got = _run(argv).rstrip("\n")
+    exp = _section(title).rstrip("\n")
+    assert got == exp, f"\n--- expected ---\n{exp}\n--- got ---\n{got}"
