@@ -642,6 +642,60 @@ def _projinfo_db_describe(defn: str, args) -> bool:
     return True
 
 
+def _projinfo_db_pair(args) -> bool:
+    """Reference-parity candidate listing for the canonical same-datum
+    geog→projected pair (projinfo.cpp outputOperations: the single
+    candidate is the target's deriving conversion). Other pairs keep
+    the engine-format candidate listing."""
+    from .state import projdb
+
+    if not projdb.available():
+        return False
+    from .state import dbcrs
+
+    fmts = _projinfo_formats(args.output)
+    if fmts is None:
+        return False
+    pat = r"([A-Za-z_]+):([0-9A-Za-z_]+)$"
+    ms, mt = re.match(pat, args.s_crs), re.match(pat, args.t_crs)
+    if ms is None or mt is None:
+        return False
+    try:
+        s_crs = dbcrs.load_crs(ms.group(1).upper(), ms.group(2))
+        t_crs = dbcrs.load_crs(mt.group(1).upper(), mt.group(2))
+    except dbcrs.NotFound:
+        return False
+    conv = dbcrs.same_datum_conversion_op(s_crs, t_crs)
+    if conv is None:
+        return False
+    single = getattr(args, "single_line", False)
+    quiet = getattr(args, "quiet", False)
+    if not quiet:
+        print("Candidate operations found: 1")
+        print("-------------------------------------")
+        print("Operation No. 1:")
+        print()
+        area = dbcrs.conversion_area(conv)
+        print(f"{conv['auth']}:{conv['code']}, {conv['name']}, 0 m"
+              + (f", {area}" if area else ""))
+        print()
+    printed = False
+    if "PROJ" in fmts:
+        if not quiet:
+            print("PROJ string:")
+        print(dbcrs.conversion_pipeline(s_crs, t_crs, single=single))
+        printed = True
+    for f in fmts:
+        if f in ("WKT2_2015", "WKT2_2019"):
+            if printed:
+                print()
+            if not quiet:
+                print(f"WKT2:{f[5:]} string:")
+            print(dbcrs.conversion_wkt2(conv, single=single))
+            printed = True
+    return True
+
+
 def cmd_projinfo(args) -> int:
     """CRS resolution at the proj-string level (src/apps/projinfo.cpp):
     expand EPSG codes / proj-strings, print the normalized parameter
@@ -688,6 +742,8 @@ def cmd_projinfo(args) -> int:
         print(f"operation:  {op.name} (angular_out={bool(op.angular_output(FWD))})")
 
     if args.s_crs and args.t_crs:
+        if _projinfo_db_pair(args):
+            return 0
         print("== source ==")
         describe(args.s_crs)
         print("== target ==")

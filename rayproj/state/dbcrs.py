@@ -375,18 +375,9 @@ def to_wkt2(crs: dict, variant: str = "2019", *, single: bool = False,
         # crs.cpp:3437-3440: base CRS id emitted unconditionally in 2019
         base_parts.append(_id_node(base["auth"], base["code"]))
     conv = crs["conversion"]
-    conv_parts = [q(conv["name"]),
-                  N("METHOD", q(conv["method_name"]),
-                    _id_node(conv["method_auth"], conv["method_code"]))]
-    for p in conv["params"]:
-        conv_parts.append(
-            N("PARAMETER", q(p["name"]), _g(p["value"]),
-              _unit_node(p["unit"], with_id=False),
-              _id_node(p["auth"], p["code"])))
-    if not has_own_id:
-        # conversion id surfaces only when the containing CRS lost its
-        # own id (e.g. promoteTo3D output) — io.cpp ancestor rule
-        conv_parts.append(_id_node(conv["auth"], conv["code"]))
+    # conversion id surfaces only when the containing CRS lost its
+    # own id (e.g. promoteTo3D output) — io.cpp ancestor rule
+    conv_parts = _conversion_parts(conv, with_own_id=not has_own_id)
     parts = [q(crs["name"]), N(base_kw, *base_parts),
              N("CONVERSION", *conv_parts)]
     parts += _cs_nodes(crs["cs"], unit_ids=unit_ids)
@@ -397,6 +388,64 @@ def to_wkt2(crs: dict, variant: str = "2019", *, single: bool = False,
         parts.append(_id_node(crs["auth"], crs["code"]))
     return render(N("PROJCRS" if variant == "2019" else "PROJCRS", *parts),
                   single=single)
+
+
+def _conversion_parts(conv: dict, *, with_own_id: bool) -> list:
+    parts = [q(conv["name"]),
+             N("METHOD", q(conv["method_name"]),
+               _id_node(conv["method_auth"], conv["method_code"]))]
+    for p in conv["params"]:
+        parts.append(
+            N("PARAMETER", q(p["name"]), _g(p["value"]),
+              _unit_node(p["unit"], with_id=False),
+              _id_node(p["auth"], p["code"])))
+    if with_own_id:
+        parts.append(_id_node(conv["auth"], conv["code"]))
+    return parts
+
+
+def conversion_wkt2(conv: dict, *, single: bool = False) -> str:
+    """Top-level CONVERSION WKT2 (candidate-operation display)."""
+    return render(N("CONVERSION", *_conversion_parts(conv, with_own_id=True)),
+                  single=single)
+
+
+def conversion_area(conv: dict) -> str | None:
+    us = _usages("conversion", conv["auth"], conv["code"])
+    return us[0]["area"] if us else None
+
+
+def same_datum_conversion_op(s_crs: dict, t_crs: dict) -> dict | None:
+    """The geog→projected same-base case: the single candidate
+    operation IS the target's deriving conversion (the reference's
+    createOperations short-circuit for sourceCRS == target's baseCRS)."""
+    if s_crs["kind"] != "geographic" or t_crs["kind"] != "projected":
+        return None
+    base = t_crs["base"]
+    if (base.get("auth"), base.get("code")) != \
+            (s_crs.get("auth"), s_crs.get("code")):
+        return None
+    return t_crs["conversion"]
+
+
+def conversion_pipeline(s_crs: dict, t_crs: dict, *,
+                        single: bool = False) -> str:
+    """PROJ pipeline for the same-datum geog→projected candidate:
+    axis normalization + unitconvert + the conversion with the base
+    ellipsoid token (projinfo.cpp PROJ string of a Conversion)."""
+    conv = t_crs["conversion"]
+    steps = []
+    if _lat_first(s_crs):
+        steps.append("+proj=axisswap +order=2,1")
+    steps.append("+proj=unitconvert +xy_in=deg +xy_out=rad")
+    ell = s_crs["datum"]["ellipsoid"]
+    name = _named_ellps(ell["a"], ell["rf"])
+    ell_tok = (f"+ellps={name}" if name
+               else f"+a={_g(ell['a'])} +rf={_g(ell['rf'])}")
+    steps.append(" ".join(_conv_proj_tokens(conv)) + " " + ell_tok)
+    if single:
+        return "+proj=pipeline " + " ".join(f"+step {s}" for s in steps)
+    return "+proj=pipeline\n" + "\n".join(f"  +step {s}" for s in steps)
 
 
 # ------------------------------------------------------------ WKT1 build

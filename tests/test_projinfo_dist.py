@@ -60,6 +60,8 @@ DESCRIBE_CASES = [
     ("Testing projinfo -o WKT2_2019 EPSG:4326",
      ["-o", "WKT2_2019", "EPSG:4326"]),
     ("Testing projinfo -o ALL EPSG:4326", ["-o", "ALL", "EPSG:4326"]),
+    ("Testing projinfo -s EPSG:4326 -t EPSG:32631 --single-line",
+     ["-s", "EPSG:4326", "-t", "EPSG:32631", "--single-line"]),
     ("Testing deprecated CRS: projinfo EPSG:26591", ["EPSG:26591"]),
     ("Testing CRS with towgs84: projinfo -o PROJ EPSG:25832",
      ["-o", "PROJ", "EPSG:25832"]),
