@@ -218,6 +218,32 @@ def load_crs(auth: str, code: str) -> dict:
                 "conversion": _conversion(va, vc), "cs": _cs(ca, cc),
                 "usages": _usages("projected_crs", auth, code),
                 "deprecated": bool(dep)}
+    row = _one(
+        "SELECT name, coordinate_system_auth_name, coordinate_system_code, "
+        "datum_auth_name, datum_code, deprecated FROM vertical_crs "
+        "WHERE auth_name=? AND code=?", auth, code)
+    if row is not None:
+        name, ca, cc, da, dc, dep = row
+        vd = _one(
+            "SELECT name, frame_reference_epoch FROM vertical_datum "
+            "WHERE auth_name=? AND code=?", da, dc)
+        return {"kind": "vertical", "auth": auth, "code": code,
+                "name": name, "cs": _cs(ca, cc),
+                "vdatum": {"auth": da, "code": dc, "name": vd[0],
+                           "frame_epoch": vd[1]},
+                "usages": _usages("vertical_crs", auth, code),
+                "deprecated": bool(dep)}
+    row = _one(
+        "SELECT name, horiz_crs_auth_name, horiz_crs_code, "
+        "vertical_crs_auth_name, vertical_crs_code, deprecated "
+        "FROM compound_crs WHERE auth_name=? AND code=?", auth, code)
+    if row is not None:
+        name, ha, hc, va, vc, dep = row
+        return {"kind": "compound", "auth": auth, "code": code,
+                "name": name,
+                "components": [load_crs(ha, hc), load_crs(va, vc)],
+                "usages": _usages("compound_crs", auth, code),
+                "deprecated": bool(dep)}
     raise NotFound(f"crs {auth}:{code}")
 
 
@@ -295,17 +321,19 @@ def _axis_designation(name: str, abbrev: str, order: int) -> str:
     return desig
 
 
-def _axis_node(ax: dict, *, unit_id: bool) -> N:
+def _axis_node(ax: dict, *, unit_id: bool, with_order: bool = True) -> N:
+    # ORDER emitted only for multi-axis CS (coordinatesystem.cpp:380)
     return N("AXIS",
              q(_axis_designation(ax["name"], ax["abbrev"], ax["order"])),
              ax["orientation"],
-             N("ORDER", str(ax["order"])),
+             N("ORDER", str(ax["order"])) if with_order else None,
              _unit_node(ax["unit"], with_id=unit_id))
 
 
 def _cs_nodes(cs: dict, *, unit_ids: bool) -> list:
     nodes = [N("CS", cs["type"], str(cs["dim"]))]
-    nodes.append(Deeper([_axis_node(a, unit_id=unit_ids)
+    multi = len(cs["axes"]) > 1
+    nodes.append(Deeper([_axis_node(a, unit_id=unit_ids, with_order=multi)
                          for a in cs["axes"]]))
     return nodes
 
@@ -348,25 +376,39 @@ def _geog_nodes(crs: dict) -> list:
     return [_datum_node(crs["datum"]), _pm_node(crs["datum"])]
 
 
-def to_wkt2(crs: dict, variant: str = "2019", *, single: bool = False,
-            suppress_own_id: bool = False, remark: str | None = None) -> str:
-    """WKT2:2019 / WKT2:2015 for a db-loaded CRS dict."""
-    has_own_id = not suppress_own_id and "code" in crs
-    # unit IDs print only when no ancestor node carried an ID
-    # (io.cpp:436-438); with the CRS identified they are suppressed
-    unit_ids = not has_own_id
+def _crs_node(crs: dict, variant: str, *, own_id: bool,
+              ancestor_has_id: bool, remark: str | None = None) -> N:
+    # a node's own ID prints only when no ancestor carried one
+    # (io.cpp:436-438 stackHasId rule)
+    has_own_id = own_id and "code" in crs and not ancestor_has_id
+    unit_ids = not has_own_id and not ancestor_has_id
+    tail: list = _usage_nodes(crs["usages"], variant)
+    if remark:
+        tail.append(N("REMARK", q(remark)))
+    if has_own_id:
+        tail.append(_id_node(crs["auth"], crs["code"]))
     if crs["kind"] in ("geographic", "geocentric"):
         kw = ("GEOGCRS" if crs["geog_type"].startswith("geographic")
               else "GEODCRS") if variant == "2019" else "GEODCRS"
         parts = [q(crs["name"])]
         parts += _geog_nodes(crs)
         parts += _cs_nodes(crs["cs"], unit_ids=unit_ids)
-        parts += _usage_nodes(crs["usages"], variant)
-        if remark:
-            parts.append(N("REMARK", q(remark)))
-        if has_own_id:
-            parts.append(_id_node(crs["auth"], crs["code"]))
-        return render(N(kw, *parts), single=single)
+        return N(kw, *(parts + tail))
+    if crs["kind"] == "vertical":
+        parts = [q(crs["name"])]
+        vd = crs["vdatum"]
+        if variant == "2019" and vd["frame_epoch"] is not None:
+            parts.append(N("DYNAMIC", N("FRAMEEPOCH", _g(vd["frame_epoch"]))))
+        parts.append(N("VDATUM", q(vd["name"])))
+        parts += _cs_nodes(crs["cs"], unit_ids=unit_ids)
+        return N("VERTCRS", *(parts + tail))
+    if crs["kind"] == "compound":
+        parts = [q(crs["name"])]
+        for comp in crs["components"]:
+            parts.append(_crs_node(comp, variant, own_id=True,
+                                   ancestor_has_id=has_own_id
+                                   or ancestor_has_id))
+        return N("COMPOUNDCRS", *(parts + tail))
     # projected
     base = crs["base"]
     base_kw = "BASEGEOGCRS" if variant == "2019" else "BASEGEODCRS"
@@ -377,16 +419,19 @@ def to_wkt2(crs: dict, variant: str = "2019", *, single: bool = False,
     conv = crs["conversion"]
     # conversion id surfaces only when the containing CRS lost its
     # own id (e.g. promoteTo3D output) — io.cpp ancestor rule
-    conv_parts = _conversion_parts(conv, with_own_id=not has_own_id)
+    conv_parts = _conversion_parts(
+        conv, with_own_id=not has_own_id and not ancestor_has_id)
     parts = [q(crs["name"]), N(base_kw, *base_parts),
              N("CONVERSION", *conv_parts)]
     parts += _cs_nodes(crs["cs"], unit_ids=unit_ids)
-    parts += _usage_nodes(crs["usages"], variant)
-    if remark:
-        parts.append(N("REMARK", q(remark)))
-    if has_own_id:
-        parts.append(_id_node(crs["auth"], crs["code"]))
-    return render(N("PROJCRS" if variant == "2019" else "PROJCRS", *parts),
+    return N("PROJCRS", *(parts + tail))
+
+
+def to_wkt2(crs: dict, variant: str = "2019", *, single: bool = False,
+            suppress_own_id: bool = False, remark: str | None = None) -> str:
+    """WKT2:2019 / WKT2:2015 for a db-loaded CRS dict."""
+    return render(_crs_node(crs, variant, own_id=not suppress_own_id,
+                            ancestor_has_id=False, remark=remark),
                   single=single)
 
 
@@ -536,8 +581,27 @@ def _json_axes(cs: dict) -> dict:
 
 
 def to_projjson(crs: dict) -> dict:
-    d = crs["datum"] if crs["kind"] != "projected" else None
     out: dict = {"$schema": _SCHEMA}
+    if crs["kind"] == "vertical":
+        out["type"] = "VerticalCRS"
+        out["name"] = crs["name"]
+        out["datum"] = {"type": "VerticalReferenceFrame",
+                        "name": crs["vdatum"]["name"]}
+        out["coordinate_system"] = _json_axes(crs["cs"])
+        _projjson_tail(out, crs)
+        return out
+    if crs["kind"] == "compound":
+        out["type"] = "CompoundCRS"
+        out["name"] = crs["name"]
+        comps = []
+        for c in crs["components"]:
+            j = dict(to_projjson(c))
+            j.pop("$schema", None)
+            comps.append(j)
+        out["components"] = comps
+        _projjson_tail(out, crs)
+        return out
+    d = crs["datum"] if crs["kind"] != "projected" else None
     if crs["kind"] == "geographic":
         out["type"] = "GeographicCRS"
     elif crs["kind"] == "geocentric":
@@ -575,6 +639,11 @@ def to_projjson(crs: dict) -> dict:
                 for p in conv["params"]],
         }
     out["coordinate_system"] = _json_axes(crs["cs"])
+    _projjson_tail(out, crs)
+    return out
+
+
+def _projjson_tail(out: dict, crs: dict) -> None:
     if crs["usages"]:
         u = crs["usages"][0]
         s, w, n, e = u["bbox"]
@@ -584,7 +653,6 @@ def to_projjson(crs: dict) -> dict:
                        "north_latitude": _jnum(n), "east_longitude": _jnum(e)}
     if "code" in crs:
         out["id"] = {"authority": crs["auth"], "code": int(crs["code"])}
-    return out
 
 
 # ---------------------------------------------------------- PROJ.4 build
@@ -716,6 +784,9 @@ def _conv_proj_tokens(conv: dict) -> list[str]:
 
 
 def to_proj4(crs: dict) -> str:
+    if crs["kind"] in ("vertical", "compound"):
+        raise NotFound(f"PROJ string export of a {crs['kind']} CRS "
+                       "requires geoid-grid resolution")
     if crs["kind"] == "geographic":
         toks = ["+proj=longlat"] + _geodetic_tokens(crs)
     elif crs["kind"] == "geocentric":

@@ -83,3 +83,41 @@ def test_projinfo_describe_byte_parity(title, argv):
     got = _run(argv).rstrip("\n")
     exp = _section(title).rstrip("\n")
     assert got == exp, f"\n--- expected ---\n{exp}\n--- got ---\n{got}"
+
+
+def test_vertical_crs_wkt2_matches_embedded_golden():
+    """EPSG:5613 VERTCRS: the corpus embeds its exact WKT2 inside the
+    RH2000→SWEREF99 COORDINATEOPERATION (testprojinfo_out.dist:936-944);
+    dedented, our standalone emit must reproduce it byte-for-byte (the
+    standalone form adds USAGE/ID, which operations suppress)."""
+    from rayproj.state import dbcrs
+
+    got = dbcrs.to_wkt2(dbcrs.load_crs("EPSG", "5613"), "2019")
+    golden = (
+        'VERTCRS["RH2000 height",\n'
+        "    DYNAMIC[\n"
+        "        FRAMEEPOCH[2000]],\n"
+        '    VDATUM["Rikets hojdsystem 2000"],\n'
+        "    CS[vertical,1],\n"
+        '        AXIS["gravity-related height (H)",up,\n'
+        '            LENGTHUNIT["metre",1]],'
+    )
+    assert got.startswith(golden)
+    assert got.endswith('ID["EPSG",5613]]')
+
+
+def test_compound_crs_describe():
+    from rayproj.state import dbcrs
+
+    c = dbcrs.load_crs("EPSG", "3901")
+    w = dbcrs.to_wkt2(c, "2019")
+    assert w.startswith(
+        'COMPOUNDCRS["KKJ / Finland Uniform Coordinate System + N60 height"')
+    # component IDs suppressed under the identified top (io.cpp rule)
+    assert 'ID["EPSG",2393]' not in w
+    assert w.rstrip().endswith('ID["EPSG",3901]]')
+    # nested BASEGEOGCRS id still prints (crs.cpp:3437 special case)
+    assert 'ID["EPSG",4123]' in w
+    j = dbcrs.to_projjson(c)
+    assert j["type"] == "CompoundCRS" and len(j["components"]) == 2
+    assert j["components"][1]["type"] == "VerticalCRS"
