@@ -656,20 +656,32 @@ def _projinfo_db_pair(args) -> bool:
     fmts = _projinfo_formats(args.output)
     if fmts is None:
         return False
-    pat = r"([A-Za-z_]+):([0-9A-Za-z_]+)$"
-    ms, mt = re.match(pat, args.s_crs), re.match(pat, args.t_crs)
-    if ms is None or mt is None:
-        return False
-    try:
-        s_crs = dbcrs.load_crs(ms.group(1).upper(), ms.group(2))
-        t_crs = dbcrs.load_crs(mt.group(1).upper(), mt.group(2))
-    except dbcrs.NotFound:
-        return False
-    conv = dbcrs.same_datum_conversion_op(s_crs, t_crs)
-    if conv is None:
-        return False
     single = getattr(args, "single_line", False)
     quiet = getattr(args, "quiet", False)
+    pat = r"([A-Za-z_]+):([0-9A-Za-z_]+)$"
+    ms, mt = re.match(pat, args.s_crs), re.match(pat, args.t_crs)
+    conv = None
+    if ms is not None and mt is not None:
+        try:
+            s_crs = dbcrs.load_crs(ms.group(1).upper(), ms.group(2))
+            t_crs = dbcrs.load_crs(mt.group(1).upper(), mt.group(2))
+        except dbcrs.NotFound:
+            return False
+        conv = dbcrs.same_datum_conversion_op(s_crs, t_crs)
+    if conv is None:
+        # stored PROJ-authority pipeline ops (defmodel/tinshift chains);
+        # quiet mode only — the non-quiet candidate block needs the
+        # full createOperations ranking the engine lists its own way
+        if quiet and "PROJ" in fmts:
+            try:
+                pipe = dbcrs.crs_pair_pipeline(args.s_crs, args.t_crs,
+                                               single=single)
+            except Exception:
+                pipe = None
+            if pipe is not None:
+                print(pipe)
+                return True
+        return False
     if not quiet:
         print("Candidate operations found: 1")
         print("-------------------------------------")
@@ -1580,6 +1592,14 @@ def main(argv=None) -> int:
     pi.add_argument("-q", "--quiet", action="store_true")
     pi.add_argument("--3d", dest="promote3d", action="store_true")
     pi.add_argument("--single-line", action="store_true")
+    # accepted for reference-CLI compatibility; candidate filtering
+    # beyond the canonical cases keeps the engine-format listing
+    pi.add_argument("--grid-check", default=None)
+    pi.add_argument("--spatial-test", default=None)
+    pi.add_argument("--summary", action="store_true")
+    pi.add_argument("--hide-ballpark", action="store_true")
+    pi.add_argument("--bbox", default=None)
+    pi.add_argument("--area", default=None)
     pi.add_argument("crs", nargs="*")
     pi.set_defaults(fn=cmd_projinfo)
     argv = list(sys.argv[1:] if argv is None else argv)

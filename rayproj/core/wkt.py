@@ -1277,16 +1277,24 @@ def _pj_geog_tokens(crs: dict) -> list[str]:
 
 def _pj_proj_tokens(crs: dict) -> list[str]:
     conv = crs.get("conversion")
-    if conv is None:
+    if not isinstance(conv, dict):
         raise ValueError("PROJJSON: ProjectedCRS without conversion")
-    mname = (conv.get("method") or {}).get("name", "")
+    method = conv.get("method")
+    mname = (method.get("name", "") if isinstance(method, dict) else "")
+    if not isinstance(mname, str):
+        raise ValueError(f"PROJJSON: method name is not a string: {mname!r}")
     if mname.startswith("PROJ-based operation method: "):
         return mname[len("PROJ-based operation method: "):].split()
     if mname not in _METHOD_PROJ:
         raise ValueError(f"PROJJSON: unsupported projection method {mname!r}")
     pname, remap = _METHOD_PROJ[mname]
     toks = [f"+proj={pname}"]
-    for p in conv.get("parameters", []):
+    params = conv.get("parameters", [])
+    if not isinstance(params, list):
+        raise ValueError("PROJJSON: conversion parameters is not a list")
+    for p in params:
+        if not isinstance(p, dict):
+            raise ValueError(f"PROJJSON: parameter is not an object: {p!r}")
         key = _WKT_PARAM_KEYS.get(p.get("name"))
         if key is None:
             continue

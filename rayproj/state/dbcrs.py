@@ -29,10 +29,14 @@ _DEG = math.pi / 180.0
 
 
 def _g(v: float) -> str:
-    """%.15g with integer collapse — io.cpp's add(double)."""
+    """%.15g with integer collapse — internal.cpp toString(double,15):
+    a result carrying a float-dirt '9999999999' run retries at %.14g."""
     if v == int(v) and abs(v) < 1e15:
         return str(int(v))
-    return f"{v:.15g}"
+    s = f"{v:.15g}"
+    if "9999999999" in s:
+        s = f"{v:.14g}"
+    return s
 
 
 def _esri_g(v: float) -> str:
@@ -1000,3 +1004,175 @@ def operation_proj_pipeline(auth: str, code: str,
 def _lat_first(geog: dict) -> bool:
     axes = geog["cs"]["axes"]
     return bool(axes) and axes[0]["orientation"] == "north"
+
+
+# ------------------------------------- stored PROJ-pipeline operations
+
+def _crs_codes_by_name(token: str) -> list[tuple[str, str]]:
+    m = _split_authcode(token)
+    if m:
+        return [m]
+    out = []
+    for table in ("geodetic_crs", "projected_crs", "vertical_crs",
+                  "compound_crs"):
+        out += [(r[0], r[1]) for r in _all(
+            f"SELECT auth_name, code FROM {table} "
+            "WHERE name=? AND deprecated=0", token)]
+    return out
+
+
+def _format_pipeline(steps: list[str], single: bool = False) -> str:
+    """PROJStringFormatter multiline layout: '  +step ' lines wrapped
+    at 80 columns with an 8-space continuation indent."""
+    if single:
+        return "+proj=pipeline " + " ".join(f"+step {s}" for s in steps)
+    lines = ["+proj=pipeline"]
+    for s in steps:
+        cur = "  +step"
+        for tok in s.split():
+            # io.cpp:7477-7484: wrap when curLine+token exceeds 80,
+            # NOT counting the joining space
+            if len(cur) + len(tok) > 80:
+                lines.append(cur)
+                cur = "        " + tok
+            else:
+                cur += " " + tok
+        lines.append(cur)
+    return "\n".join(lines)
+
+
+def _pipeline_steps(projstr: str) -> list[str]:
+    """Split a stored '+proj=pipeline +step ... +step ...' string."""
+    parts = projstr.split("+step")
+    return [p.strip() for p in parts[1:]]
+
+
+_NORMALIZE_OUT = ("+proj=axisswap +order=2,1",
+                  "+proj=unitconvert +xy_in=rad +xy_out=deg")
+
+
+def _helmert_15(row) -> list[str]:
+    """15-param time-dependent helmert tokens in the reference's order
+    and units (m / arcsec / ppm, rates per year, %.15g)."""
+    (tx, ty, tz, rx, ry, rz, ds, rtx, rty, rtz, rrx, rry, rrz, rds,
+     epoch, tuom, ruom, suom, rtuom, rruom, rsuom, method) = row
+    # Measure::convertToUnit (common.cpp:407): SI value divided by the
+    # TARGET unit's factor — targets are the reference's static.cpp
+    # constants (arc-second, ppm, and their per-year variants with the
+    # 31556925.445 s tropical year)
+    year = 31556925.445
+    arcsec = math.pi / 180.0 / 3600.0
+
+    def cv(v, uom, target):
+        si = (v or 0.0) * (projdb._uom_factor(uom) if uom else 1.0)
+        return si / target
+
+    toks = [f"+x={_g(cv(tx, tuom, 1.0))}", f"+y={_g(cv(ty, tuom, 1.0))}",
+            f"+z={_g(cv(tz, tuom, 1.0))}",
+            f"+rx={_g(cv(rx, ruom, arcsec))}",
+            f"+ry={_g(cv(ry, ruom, arcsec))}",
+            f"+rz={_g(cv(rz, ruom, arcsec))}",
+            f"+s={_g(cv(ds, suom, 1e-6))}",
+            f"+dx={_g(cv(rtx, rtuom, 1.0 / year))}",
+            f"+dy={_g(cv(rty, rtuom, 1.0 / year))}",
+            f"+dz={_g(cv(rtz, rtuom, 1.0 / year))}",
+            f"+drx={_g(cv(rrx, rruom, arcsec / year))}",
+            f"+dry={_g(cv(rry, rruom, arcsec / year))}",
+            f"+drz={_g(cv(rrz, rruom, arcsec / year))}",
+            f"+ds={_g(cv(rds, rsuom, 1e-6 / year))}",
+            f"+t_epoch={_g(epoch)}"]
+    conv = ("coordinate_frame" if method in ("1056", "1057")
+            else "position_vector")
+    toks.append(f"+convention={conv}")
+    return toks
+
+
+def _crs_name_of(auth: str, code: str) -> str | None:
+    for table in ("geodetic_crs", "projected_crs"):
+        r = _one(f"SELECT name FROM {table} WHERE auth_name=? AND code=?",
+                 auth, code)
+        if r:
+            return r[0]
+    return None
+
+
+def crs_pair_pipeline(s_token: str, t_token: str,
+                      single: bool = False) -> str | None:
+    """PROJ pipeline for CRS pairs joined by a stored PROJ-authority
+    operation: a verbatim '+proj=pipeline' other_transformation (e.g.
+    NZGD2000→ITRF96 defmodel, YKJ→ETRS35FIN tinshift), or a
+    concatenation of one with a time-dependent helmert leg (the
+    NZGD2000→ITRFxx family), composed the way the reference's
+    PROJStringFormatter optimizer does: the stored pipeline's output
+    normalization cancels against the helmert leg's input
+    normalization, cart/helmert/inv-cart splice in, and the final
+    unitconvert/axisswap re-emerge for the new target."""
+    s_codes, t_codes = _crs_codes_by_name(s_token), _crs_codes_by_name(t_token)
+    if not s_codes or not t_codes:
+        return None
+    s_in = ",".join(f"'{c}'" for _, c in s_codes)
+    t_in = ",".join(f"'{c}'" for _, c in t_codes)
+    row = _one(
+        "SELECT method_name FROM other_transformation "
+        "WHERE method_name LIKE '+proj=%' AND deprecated=0 "
+        f"AND source_crs_code IN ({s_in}) AND target_crs_code IN ({t_in})")
+    if row:
+        return _format_pipeline(_pipeline_steps(row[0]), single)
+    cop = _one(
+        "SELECT auth_name, code FROM concatenated_operation "
+        "WHERE deprecated=0 "
+        f"AND source_crs_code IN ({s_in}) AND target_crs_code IN ({t_in})")
+    if cop is None:
+        return None
+    steps_rows = _all(
+        "SELECT step_auth_name, step_code FROM concatenated_operation_step "
+        "WHERE operation_auth_name=? AND operation_code=? "
+        "ORDER BY step_number", *cop)
+    if len(steps_rows) != 2:
+        return None
+    head = _one(
+        "SELECT method_name, target_crs_auth_name, target_crs_code "
+        "FROM other_transformation WHERE auth_name=? AND code=? "
+        "AND method_name LIKE '+proj=%'", *steps_rows[0])
+    if head is None:
+        return None
+    hrow = _one(
+        "SELECT tx, ty, tz, rx, ry, rz, scale_difference, "
+        "rate_tx, rate_ty, rate_tz, rate_rx, rate_ry, rate_rz, "
+        "rate_scale_difference, epoch, translation_uom_code, "
+        "rotation_uom_code, scale_difference_uom_code, "
+        "rate_translation_uom_code, rate_rotation_uom_code, "
+        "rate_scale_difference_uom_code, method_code, "
+        "source_crs_auth_name, source_crs_code, "
+        "target_crs_auth_name, target_crs_code "
+        "FROM helmert_transformation_table WHERE auth_name=? AND code=?",
+        *steps_rows[1])
+    if hrow is None or hrow[14] is None:  # needs a reference epoch
+        return None
+    cur_name = _crs_name_of(head[1], head[2])
+    hel_src = _crs_name_of(hrow[22], hrow[23])
+    hel_tgt = _crs_name_of(hrow[24], hrow[25])
+    inverse = hel_tgt == cur_name  # traverse the op against its direction
+    if not inverse and hel_src != cur_name:
+        return None
+    src_geoc = load_crs(hrow[22], hrow[23])
+    ell = src_geoc["datum"]["ellipsoid"]
+    nm = _named_ellps(ell["a"], ell["rf"])
+    cart = f"+proj=cart +ellps={nm}" if nm else \
+        f"+proj=cart +a={_g(ell['a'])} +rf={_g(ell['rf'])}"
+    steps = _pipeline_steps(head[0])
+    while steps and steps[-1] in _NORMALIZE_OUT:
+        steps.pop()
+    hel = "+proj=helmert " + " ".join(_helmert_15(hrow[:22]))
+    steps.append(cart)
+    steps.append(("+inv " if inverse else "") + hel)
+    steps.append(f"+inv {cart}")
+    steps.append("+proj=unitconvert +xy_in=rad +xy_out=deg")
+    # final axis normalization for a lat-first geographic target
+    tgt = _one(
+        "SELECT target_crs_auth_name, target_crs_code "
+        "FROM concatenated_operation WHERE auth_name=? AND code=?", *cop)
+    t_crs = load_crs(tgt[0], tgt[1])
+    if t_crs["kind"] in ("geographic", "geocentric") and _lat_first(t_crs):
+        steps.append("+proj=axisswap +order=2,1")
+    return _format_pipeline(steps, single)

@@ -74,6 +74,23 @@ DESCRIBE_CASES = [
      ["-k", "operation", "EPSG:8457", "-o", "PROJ", "-q"]),
     ("Testing D_WGS_1984", ["D_WGS_1984"]),
     ("Testing -k datum D_WGS_1984", ["-k", "datum", "D_WGS_1984"]),
+    ("Testing -s NZGD2000 -t ITRF96 -o PROJ -q",
+     ["-s", "NZGD2000", "-t", "ITRF96", "-o", "PROJ", "-q"]),
+    ("Testing -s NZGD2000 -t ITRF97 -o PROJ -q",
+     ["-s", "NZGD2000", "-t", "ITRF97", "-o", "PROJ", "-q"]),
+    ("Testing -s NZGD2000 -t ITRF2000 -o PROJ -q",
+     ["-s", "NZGD2000", "-t", "ITRF2000", "-o", "PROJ", "-q"]),
+    ("Testing -s NZGD2000 -t ITRF2005 -o PROJ -q",
+     ["-s", "NZGD2000", "-t", "ITRF2005", "-o", "PROJ", "-q"]),
+    ("Testing -s NZGD2000 -t ITRF2008 -o PROJ -q",
+     ["-s", "NZGD2000", "-t", "ITRF2008", "-o", "PROJ", "-q"]),
+    ("Testing -s NZGD2000 -t ITRF2014 -o PROJ -q",
+     ["-s", "NZGD2000", "-t", "ITRF2014", "-o", "PROJ", "-q"]),
+    ('Testing -s "KKJ / Finland Uniform Coordinate System" -t "ETRS89 / '
+     'TM35FIN(E,N)" --grid-check none -o PROJ -q',
+     ["-s", "KKJ / Finland Uniform Coordinate System",
+      "-t", "ETRS89 / TM35FIN(E,N)", "--grid-check", "none",
+      "-o", "PROJ", "-q"]),
 ]
 
 
