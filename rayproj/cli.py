@@ -678,6 +678,12 @@ def _projinfo_db_pair(args) -> bool:
                                                single=single)
             except Exception:
                 pipe = None
+            if pipe is None:
+                try:
+                    pipe = dbcrs.compound_pair_pipeline(
+                        args.s_crs, args.t_crs, single=single)
+                except Exception:
+                    pipe = None
             if pipe is not None:
                 print(pipe)
                 return True

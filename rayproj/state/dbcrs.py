@@ -1176,3 +1176,214 @@ def crs_pair_pipeline(s_token: str, t_token: str,
     if t_crs["kind"] in ("geographic", "geocentric") and _lat_first(t_crs):
         steps.append("+proj=axisswap +order=2,1")
     return _format_pipeline(steps, single)
+
+
+# ----------------------------- compound / chained pipeline composer
+
+def _invert_steps(steps: list[str]) -> list[str]:
+    out = []
+    for s in reversed(steps):
+        out.append(s[5:] if s.startswith("+inv ") else "+inv " + s)
+    return out
+
+
+def _cancel_pairs(steps: list[str]) -> list[str]:
+    """The PROJStringFormatter optimization that deletes adjacent
+    fwd/inv pairs of the same step (io.cpp pipeline simplification)."""
+    changed = True
+    while changed:
+        changed = False
+        for i in range(len(steps) - 1):
+            a, b = steps[i], steps[i + 1]
+            if b == "+inv " + a or a == "+inv " + b:
+                del steps[i:i + 2]
+                changed = True
+                break
+    return steps
+
+
+def _conv_with_ellps(proj_crs: dict) -> str:
+    toks = _conv_proj_tokens(proj_crs["conversion"])
+    ell = proj_crs["base"]["datum"]["ellipsoid"]
+    nm = _named_ellps(ell["a"], ell["rf"])
+    toks.append(f"+ellps={nm}" if nm
+                else f"+a={_g(ell['a'])} +rf={_g(ell['rf'])}")
+    return " ".join(toks)
+
+
+def _axis_north_first(crs: dict) -> bool:
+    axes = crs["cs"]["axes"]
+    return bool(axes) and axes[0]["orientation"] == "north"
+
+
+_IN_NORM = ("+proj=axisswap +order=2,1",
+            "+proj=unitconvert +xy_in=deg +xy_out=rad")
+
+
+def _stored_pipeline_edges():
+    return [(r[0], r[1], r[2], r[3], _pipeline_steps(r[4])) for r in _all(
+        "SELECT source_crs_auth_name, source_crs_code, "
+        "target_crs_auth_name, target_crs_code, method_name "
+        "FROM other_transformation "
+        "WHERE method_name LIKE '+proj=%' AND deprecated=0")]
+
+
+def _bfs_edges(src: str, tgt: str) -> list[tuple[list[str], bool]] | None:
+    """Path of stored-pipeline edges src→tgt (codes); each entry is
+    (steps, forward)."""
+    edges = _stored_pipeline_edges()
+    from collections import deque
+
+    prev: dict[str, tuple[str, list[str], bool]] = {}
+    seen = {src}
+    q = deque([src])
+    while q:
+        cur = q.popleft()
+        if cur == tgt:
+            break
+        for sa, sc, ta, tc, steps in edges:
+            for nxt, fwd in ((tc, True) if sc == cur else (None, True),
+                             (sc, False) if tc == cur else (None, False)):
+                if nxt is not None and nxt not in seen:
+                    seen.add(nxt)
+                    prev[nxt] = (cur, steps, fwd)
+                    q.append(nxt)
+    if tgt not in seen:
+        return None
+    path = []
+    cur = tgt
+    while cur != src:
+        p, steps, fwd = prev[cur]
+        path.append((steps, fwd))
+        cur = p
+    return list(reversed(path))
+
+
+def _strip_edge_norm(steps: list[str]) -> list[str]:
+    steps = list(steps)
+    while steps and steps[0] in _IN_NORM:
+        steps.pop(0)
+    while steps and steps[-1] in _NORMALIZE_OUT:
+        steps.pop()
+    return steps
+
+
+def _h_identity(crs: dict) -> str:
+    """Code identifying the horizontal frame an edge can attach to:
+    the CRS itself or (projected) also usable via its base."""
+    return crs["code"]
+
+
+def compound_pair_pipeline(s_token: str, t_token: str,
+                           single: bool = False) -> str | None:
+    """Pipelines between `A + B`-style compounds (and the geographic
+    ends of stored chains): both ends normalize to geographic radians,
+    stored vertical edges splice in with their own projection wraps,
+    the horizontal edge wraps in its endpoints' conversions, and the
+    PROJStringFormatter cancellation removes adjacent fwd/inv pairs —
+    reproducing e.g. 'KKJ + N43 height' → 'ETRS89 + N2000 height'."""
+
+    def split(token: str):
+        parts = [p.strip() for p in token.split(" + ")]
+        crss = []
+        for p in parts:
+            codes = _crs_codes_by_name(p)
+            if not codes:
+                return None
+            crss.append(load_crs(*codes[0]))
+        horiz = [c for c in crss if c["kind"] in ("geographic", "projected")]
+        vert = [c for c in crss if c["kind"] == "vertical"]
+        if len(horiz) != 1 or len(vert) > 1:
+            return None
+        return horiz[0], (vert[0] if vert else None)
+
+    s = split(s_token)
+    t = split(t_token)
+    if s is None or t is None:
+        return None
+    (h_s, v_s), (h_t, v_t) = s, t
+
+    # vertical leg
+    v_steps: list[str] = []
+    v_forward = True
+    if (v_s is None) != (v_t is None):
+        return None
+    if v_s is not None and v_s["code"] != v_t["code"]:
+        path = _bfs_edges(v_s["code"], v_t["code"])
+        if path is None:
+            return None
+        v_forward = path[0][1]
+        for steps, fwd in path:
+            v_steps += steps if fwd else _invert_steps(steps)
+    elif v_s is None and h_s["code"] == h_t["code"]:
+        return None  # nothing to do
+
+    # horizontal leg
+    h_steps: list[str] = []
+    if h_s["code"] != h_t["code"]:
+        def anchors(crs):
+            out = {crs["code"]: None}
+            if crs["kind"] == "geographic":
+                for a, c in _all(
+                        "SELECT auth_name, code FROM projected_crs "
+                        "WHERE geodetic_crs_code=? AND deprecated=0",
+                        crs["code"]):
+                    out[c] = (a, c)
+            return out
+
+        s_anchor, t_anchor = anchors(h_s), anchors(h_t)
+        found = None
+        for sa, sc, ta, tc, steps in _stored_pipeline_edges():
+            if sc in s_anchor and tc in t_anchor:
+                found = (sc, tc, steps, True)
+                break
+            if tc in s_anchor and sc in t_anchor:
+                found = (tc, sc, steps, False)
+                break
+        if found is None:
+            return None
+        e_in, e_out, steps, fwd = found
+        # always wrap the edge in its own projected endpoints'
+        # conversions (the working frame is geographic radians; IN/OUT
+        # reconstruct the user's frame and _cancel_pairs removes the
+        # redundant fwd/inv conversions — how the reference's optimizer
+        # yields 'axisswap + three tinshifts' for the all-projected case)
+        if not fwd:
+            e_in, e_out = e_out, e_in
+        wrapped: list[str] = []
+        ein_crs = load_crs("EPSG", e_in)
+        if ein_crs["kind"] == "projected":
+            wrapped.append(_conv_with_ellps(ein_crs))
+        wrapped += _strip_edge_norm(steps)
+        eout_crs = load_crs("EPSG", e_out)
+        if eout_crs["kind"] == "projected":
+            wrapped.append("+inv " + _conv_with_ellps(eout_crs))
+        h_steps += wrapped if fwd else _invert_steps(wrapped)
+
+    # source → geographic radians
+    steps: list[str] = []
+    if _axis_north_first(h_s):
+        steps.append("+proj=axisswap +order=2,1")
+    if h_s["kind"] == "geographic":
+        steps.append("+proj=unitconvert +xy_in=deg +xy_out=rad")
+    else:
+        steps.append("+inv " + _conv_with_ellps(h_s))
+
+    # vertical interpolates in its defining (source-side) frame when
+    # traversed forward; after the horizontal hop when inverted
+    steps += (v_steps + h_steps) if v_forward else (h_steps + v_steps)
+
+    # geographic radians → target
+    if h_t["kind"] == "geographic":
+        steps.append("+proj=unitconvert +xy_in=rad +xy_out=deg")
+        if _axis_north_first(h_t):
+            steps.append("+proj=axisswap +order=2,1")
+    else:
+        steps.append(_conv_with_ellps(h_t))
+        if _axis_north_first(h_t):
+            steps.append("+proj=axisswap +order=2,1")
+
+    steps = _cancel_pairs(steps)
+    if not steps:
+        return None
+    return _format_pipeline(steps, single)

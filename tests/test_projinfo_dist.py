@@ -91,6 +91,31 @@ DESCRIBE_CASES = [
      ["-s", "KKJ / Finland Uniform Coordinate System",
       "-t", "ETRS89 / TM35FIN(E,N)", "--grid-check", "none",
       "-o", "PROJ", "-q"]),
+    ("Testing -s KKJ -t ETRS89 -o PROJ --grid-check none -q",
+     ["-s", "KKJ", "-t", "ETRS89", "-o", "PROJ",
+      "--grid-check", "none", "-q"]),
+    ('Testing -s "KKJ + N43 height" -t "KKJ + N60 height" '
+     "--grid-check none -o PROJ -q",
+     ["-s", "KKJ + N43 height", "-t", "KKJ + N60 height",
+      "--grid-check", "none", "-o", "PROJ", "-q"]),
+    ('Testing -s "KKJ + N60 height" -t "KKJ + N2000 height" '
+     "--grid-check none -o PROJ -q",
+     ["-s", "KKJ + N60 height", "-t", "KKJ + N2000 height",
+      "--grid-check", "none", "-o", "PROJ", "-q"]),
+    ('Testing -s "KKJ + N43 height" -t "ETRS89 + N2000 height" '
+     "--grid-check none -o PROJ -q",
+     ["-s", "KKJ + N43 height", "-t", "ETRS89 + N2000 height",
+      "--grid-check", "none", "-o", "PROJ", "-q"]),
+    ('Testing -s "KKJ / Finland Uniform Coordinate System + N43 height" '
+     '-t "ETRS89 / TM35FIN(E,N) + N2000 height" --grid-check none -o PROJ -q',
+     ["-s", "KKJ / Finland Uniform Coordinate System + N43 height",
+      "-t", "ETRS89 / TM35FIN(E,N) + N2000 height",
+      "--grid-check", "none", "-o", "PROJ", "-q"]),
+    ('Testing -s "ETRS89 / TM35FIN(E,N) + N2000 height" -t "KKJ / Finland '
+     'Uniform Coordinate System + N43 height" --grid-check none -o PROJ -q',
+     ["-s", "ETRS89 / TM35FIN(E,N) + N2000 height",
+      "-t", "KKJ / Finland Uniform Coordinate System + N43 height",
+      "--grid-check", "none", "-o", "PROJ", "-q"]),
 ]
 
 
