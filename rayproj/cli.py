@@ -684,6 +684,8 @@ def _projinfo_db_pair(args) -> bool:
                         args.s_crs, args.t_crs, single=single)
                 except Exception:
                     pipe = None
+            if pipe is None:
+                pipe = _geoidgrids_pipeline(args.s_crs, args.t_crs, single)
             if pipe is not None:
                 print(pipe)
                 return True
@@ -712,6 +714,35 @@ def _projinfo_db_pair(args) -> bool:
             print(dbcrs.conversion_wkt2(conv, single=single))
             printed = True
     return True
+
+
+def _geoidgrids_pipeline(s_crs: str, t_crs: str,
+                         single: bool) -> str | None:
+    """BoundCRS-with-geoidgrids → its geographic hub: the vertical leg
+    is exactly the +geoidgrids vgridshift (projinfo.cpp via
+    createBoundVerticalCRS; no registry ranking involved)."""
+    m = re.search(r"\+geoidgrids=(\S+)", s_crs)
+    if m is None or "+proj=longlat" not in s_crs:
+        return None
+    mt = re.match(r"EPSG:(\d+)$", t_crs)
+    if mt is None:
+        return None
+    from .state import dbcrs, projdb
+
+    if not projdb.available():
+        return None
+    try:
+        tgt = dbcrs.load_crs("EPSG", mt.group(1))
+    except Exception:
+        return None
+    if tgt["kind"] != "geographic":
+        return None
+    steps = ["+proj=unitconvert +xy_in=deg +xy_out=rad",
+             f"+proj=vgridshift +grids={m.group(1)} +multiplier=1",
+             "+proj=unitconvert +xy_in=rad +xy_out=deg"]
+    if tgt["cs"]["axes"][0]["orientation"] == "north":
+        steps.append("+proj=axisswap +order=2,1")
+    return dbcrs._format_pipeline(steps, single)
 
 
 def cmd_projinfo(args) -> int:

@@ -74,6 +74,10 @@ DESCRIBE_CASES = [
      ["-k", "operation", "EPSG:8457", "-o", "PROJ", "-q"]),
     ("Testing D_WGS_1984", ["D_WGS_1984"]),
     ("Testing -k datum D_WGS_1984", ["-k", "datum", "D_WGS_1984"]),
+    ("Testing -s +proj=longlat +datum=WGS84 +geoidgrids=@foo.gtx "
+     "+type=crs -t EPSG:4326 -o PROJ -q",
+     ["-s", "+proj=longlat +datum=WGS84 +geoidgrids=@foo.gtx +type=crs",
+      "-t", "EPSG:4326", "-o", "PROJ", "-q"]),
     ("Testing -s NZGD2000 -t ITRF96 -o PROJ -q",
      ["-s", "NZGD2000", "-t", "ITRF96", "-o", "PROJ", "-q"]),
     ("Testing -s NZGD2000 -t ITRF97 -o PROJ -q",
