@@ -540,15 +540,24 @@ def _projinfo_db_describe(defn: str, args) -> bool:
         found = dbcrs.find_ellipsoid(defn)
         if found is None:
             return False
-        if "PROJ" in fmts:
-            tok = dbcrs.ellipsoid_proj(*found)
-            if tok:
-                header("PROJ string:")
-                print(tok)
         for f in fmts:
-            if f.startswith("WKT2"):
+            if f == "PROJ":
+                tok = dbcrs.ellipsoid_proj(*found)
+                if tok:
+                    header("PROJ string:")
+                    print(tok)
+            elif f.startswith("WKT2"):
                 header(f"WKT2:{f[5:]} string:")
                 print(dbcrs.ellipsoid_wkt2(*found))
+            elif f == "PROJJSON":
+                import json as _json
+
+                header("PROJJSON:")
+                print(_json.dumps(dbcrs.ellipsoid_projjson(*found),
+                                  indent=2))
+            elif f.startswith("WKT1"):
+                print(f"Error when exporting to {f}: ellipsoid has no "
+                      "standalone WKT1 form", file=sys.stderr)
         return True
     if kind == "datum":
         found = dbcrs.find_datum(defn)
@@ -558,6 +567,13 @@ def _projinfo_db_describe(defn: str, args) -> bool:
             if f.startswith("WKT2"):
                 header(f"WKT2:{f[5:]} string:")
                 print(dbcrs.datum_wkt2(*found))
+            elif f == "PROJJSON":
+                import json as _json
+
+                header("PROJJSON:")
+                print(_json.dumps(dbcrs.datum_projjson(*found), indent=2))
+            # PROJ/WKT1: a datum is not proj-string exportable (the
+            # reference silently skips its PROJ section too)
         return True
     if kind == "operation":
         if m is None:
@@ -567,9 +583,13 @@ def _projinfo_db_describe(defn: str, args) -> bool:
                 m.group(1).upper(), m.group(2), multiline=not single)
         except dbcrs.NotFound:
             return False
-        if "PROJ" in fmts:
-            header("PROJ string:")
-            print(pipe)
+        for f in fmts:
+            if f == "PROJ":
+                header("PROJ string:")
+                print(pipe)
+            elif f.startswith("WKT2"):
+                print(f"Error when exporting to {f}: operation WKT "
+                      "emission not implemented", file=sys.stderr)
         return True
 
     # kind == crs

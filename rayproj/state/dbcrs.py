@@ -110,7 +110,14 @@ def _prime_meridian(auth: str, code: str) -> dict:
     if row is None:
         raise NotFound(f"prime meridian {auth}:{code}")
     name, lon, ua, uc = row
+    if uc == "9110":
+        # sexagesimal DMS is not WKT-expressible: normalize to degree
+        # (how the reference renders e.g. Rome's PM)
+        value, unit = projdb._angle_deg(lon, uc), _unit("EPSG", "9102")
+    else:
+        value, unit = lon, _unit(ua, uc)
     return {"auth": auth, "code": code, "name": name,
+            "value": value, "unit": unit,
             "lon_deg": projdb._angle_deg(lon, uc)}
 
 
@@ -351,10 +358,8 @@ def _datum_node(d: dict) -> N:
 
 def _pm_node(d: dict) -> N:
     pm = d["pm"]
-    return N("PRIMEM", q(pm["name"]), _g(pm["lon_deg"]),
-             _unit_node({"kind": "angle", "name": "degree",
-                         "factor": _DEG, "auth": "EPSG", "code": "9102"},
-                        with_id=False))
+    return N("PRIMEM", q(pm["name"]), _g(pm["value"]),
+             _unit_node(pm["unit"], with_id=False))
 
 
 def _usage_nodes(usages: list[dict], variant: str) -> list:
@@ -620,8 +625,16 @@ def to_projjson(crs: dict) -> dict:
                                      "semi_major_axis": _jnum(ell["a"]),
                                      "inverse_flattening": _jnum(ell["rf"])}}
         if d["pm"]["name"] != "Greenwich":
-            datum["prime_meridian"] = {"name": d["pm"]["name"],
-                                       "longitude": _jnum(d["pm"]["lon_deg"])}
+            pm = d["pm"]
+            if pm["unit"]["name"] == "degree":
+                lon = _jnum(pm["value"])
+            else:  # non-degree PM: {value, unit} object (reference JSON)
+                lon = {"value": _jnum(pm["value"]),
+                       "unit": {"type": "AngularUnit",
+                                "name": pm["unit"]["name"],
+                                "conversion_factor":
+                                    _jnum(pm["unit"]["factor"])}}
+            datum["prime_meridian"] = {"name": pm["name"], "longitude": lon}
         out["datum"] = datum
     else:
         base = dict(to_projjson(crs["base"]))
@@ -706,17 +719,24 @@ def _towgs84_7(geog_auth: str, geog_code: str) -> str | None:
     (crs.cpp picks none when candidates disagree, e.g. Monte Mario)."""
     rows = _all(
         "SELECT method_code, tx, ty, tz, rx, ry, rz, scale_difference, "
-        "rotation_uom_code, scale_difference_uom_code "
+        "rotation_uom_code, scale_difference_uom_code, px "
         "FROM helmert_transformation_table "
         "WHERE source_crs_auth_name=? AND source_crs_code=? "
         "AND target_crs_auth_name='EPSG' AND target_crs_code='4326' "
         "AND deprecated=0", geog_auth, geog_code)
+    # Coordinate Frame rotation methods: +towgs84 is position-vector,
+    # so rotation signs invert (getTOWGS84Parameters invertRotSigns,
+    # coordinateoperation.cpp:6706)
+    _CF_METHODS = {"1032", "1038", "9607"}
     arcsec_per_rad = 3600.0 * 180.0 / math.pi
     sets = set()
-    for m, tx, ty, tz, rx, ry, rz, ds, ruom, suom in rows:
+    for m, tx, ty, tz, rx, ry, rz, ds, ruom, suom, px in rows:
+        if px is not None:
+            continue  # Molodensky-Badekas: not expressible as towgs84
+        rot_sign = -1.0 if m in _CF_METHODS else 1.0
         vals = [tx or 0.0, ty or 0.0, tz or 0.0]
         for r in (rx, ry, rz):
-            r = r or 0.0
+            r = (r or 0.0) * rot_sign
             if r and ruom:  # to arc-seconds (towgs84 convention)
                 r = r * projdb._uom_factor(ruom) * arcsec_per_rad
             vals.append(r)
@@ -817,14 +837,27 @@ def promote_to_3d(crs: dict) -> dict:
     import copy
     out = copy.deepcopy(crs)
     if crs["kind"] == "geographic":
+        if crs.get("geog_type") == "geographic 3D":
+            return out
         row = _one(
-            "SELECT code, name, coordinate_system_code FROM geodetic_crs "
+            "SELECT code FROM geodetic_crs "
             "WHERE auth_name=? AND datum_code=? AND type='geographic 3D' "
             "AND deprecated=0", crs["auth"], crs["datum"]["code"])
         if row:
-            out["code"], out["name"] = row[0], row[1]
-            out["cs"] = _cs(crs["auth"], row[2])
-            out["geog_type"] = "geographic 3D"
+            # the DB 3D counterpart IS the promoted object — its own
+            # name/usages/id, not the 2D CRS's (crs.cpp:991-1020)
+            return load_crs(crs["auth"], row[0])
+        # no counterpart: synthesize per crs.cpp promoteTo3D — add the
+        # ellipsoidal height axis, REMARK, and drop the 2D identity
+        out["cs"] = dict(out["cs"])
+        out["cs"]["dim"] = 3
+        out["cs"]["axes"] = list(out["cs"]["axes"]) + [{
+            "name": "Ellipsoidal height", "abbrev": "h",
+            "orientation": "up", "unit": _unit("EPSG", "9001"), "order": 3}]
+        out["geog_type"] = "geographic 3D"
+        out["remark"] = f"Promoted to 3D from {crs['auth']}:{crs['code']}"
+        out.pop("code")
+        out["usages"] = []
         return out
     if crs["kind"] == "projected":
         out["base"] = promote_to_3d(crs["base"])
@@ -1110,18 +1143,22 @@ def crs_pair_pipeline(s_token: str, t_token: str,
     s_codes, t_codes = _crs_codes_by_name(s_token), _crs_codes_by_name(t_token)
     if not s_codes or not t_codes:
         return None
-    s_in = ",".join(f"'{c}'" for _, c in s_codes)
-    t_in = ",".join(f"'{c}'" for _, c in t_codes)
-    row = _one(
-        "SELECT method_name FROM other_transformation "
-        "WHERE method_name LIKE '+proj=%' AND deprecated=0 "
-        f"AND source_crs_code IN ({s_in}) AND target_crs_code IN ({t_in})")
+    s_set, t_set = set(s_codes), set(t_codes)
+    row = next(
+        (r for r in _all(
+            "SELECT source_crs_auth_name, source_crs_code, "
+            "target_crs_auth_name, target_crs_code, method_name "
+            "FROM other_transformation "
+            "WHERE method_name LIKE '+proj=%' AND deprecated=0")
+         if (r[0], r[1]) in s_set and (r[2], r[3]) in t_set), None)
     if row:
-        return _format_pipeline(_pipeline_steps(row[0]), single)
-    cop = _one(
-        "SELECT auth_name, code FROM concatenated_operation "
-        "WHERE deprecated=0 "
-        f"AND source_crs_code IN ({s_in}) AND target_crs_code IN ({t_in})")
+        return _format_pipeline(_pipeline_steps(row[4]), single)
+    cop = next(
+        (r[:2] for r in _all(
+            "SELECT auth_name, code, source_crs_auth_name, "
+            "source_crs_code, target_crs_auth_name, target_crs_code "
+            "FROM concatenated_operation WHERE deprecated=0")
+         if (r[2], r[3]) in s_set and (r[4], r[5]) in t_set), None)
     if cop is None:
         return None
     steps_rows = _all(
@@ -1211,10 +1248,9 @@ def _conv_with_ellps(proj_crs: dict) -> str:
     return " ".join(toks)
 
 
-def _axis_north_first(crs: dict) -> bool:
-    axes = crs["cs"]["axes"]
-    return bool(axes) and axes[0]["orientation"] == "north"
-
+# axes[0] north-first == _lat_first (defined with the helmert
+# pipeline emitter above); reused here for projected CRS too
+_axis_north_first = _lat_first
 
 _IN_NORM = ("+proj=axisswap +order=2,1",
             "+proj=unitconvert +xy_in=deg +xy_out=rad")
@@ -1228,10 +1264,12 @@ def _stored_pipeline_edges():
         "WHERE method_name LIKE '+proj=%' AND deprecated=0")]
 
 
-def _bfs_edges(src: str, tgt: str) -> list[tuple[list[str], bool]] | None:
+def _bfs_edges(src: str, tgt: str,
+               edges=None) -> list[tuple[list[str], bool]] | None:
     """Path of stored-pipeline edges src→tgt (codes); each entry is
     (steps, forward)."""
-    edges = _stored_pipeline_edges()
+    if edges is None:
+        edges = _stored_pipeline_edges()
     from collections import deque
 
     prev: dict[str, tuple[str, list[str], bool]] = {}
@@ -1303,13 +1341,15 @@ def compound_pair_pipeline(s_token: str, t_token: str,
         return None
     (h_s, v_s), (h_t, v_t) = s, t
 
+    edges = _stored_pipeline_edges()  # one table scan for both legs
+
     # vertical leg
     v_steps: list[str] = []
     v_forward = True
     if (v_s is None) != (v_t is None):
         return None
     if v_s is not None and v_s["code"] != v_t["code"]:
-        path = _bfs_edges(v_s["code"], v_t["code"])
+        path = _bfs_edges(v_s["code"], v_t["code"], edges)
         if path is None:
             return None
         v_forward = path[0][1]
@@ -1322,23 +1362,22 @@ def compound_pair_pipeline(s_token: str, t_token: str,
     h_steps: list[str] = []
     if h_s["code"] != h_t["code"]:
         def anchors(crs):
-            out = {crs["code"]: None}
+            out = {(crs["auth"], crs["code"])}
             if crs["kind"] == "geographic":
-                for a, c in _all(
-                        "SELECT auth_name, code FROM projected_crs "
-                        "WHERE geodetic_crs_code=? AND deprecated=0",
-                        crs["code"]):
-                    out[c] = (a, c)
+                out.update((a, c) for a, c in _all(
+                    "SELECT auth_name, code FROM projected_crs "
+                    "WHERE geodetic_crs_auth_name=? AND geodetic_crs_code=? "
+                    "AND deprecated=0", crs["auth"], crs["code"]))
             return out
 
         s_anchor, t_anchor = anchors(h_s), anchors(h_t)
         found = None
-        for sa, sc, ta, tc, steps in _stored_pipeline_edges():
-            if sc in s_anchor and tc in t_anchor:
-                found = (sc, tc, steps, True)
+        for sa, sc, ta, tc, steps in edges:
+            if (sa, sc) in s_anchor and (ta, tc) in t_anchor:
+                found = ((sa, sc), (ta, tc), steps, True)
                 break
-            if tc in s_anchor and sc in t_anchor:
-                found = (tc, sc, steps, False)
+            if (ta, tc) in s_anchor and (sa, sc) in t_anchor:
+                found = ((sa, sc), (ta, tc), steps, False)
                 break
         if found is None:
             return None
@@ -1348,14 +1387,12 @@ def compound_pair_pipeline(s_token: str, t_token: str,
         # reconstruct the user's frame and _cancel_pairs removes the
         # redundant fwd/inv conversions — how the reference's optimizer
         # yields 'axisswap + three tinshifts' for the all-projected case)
-        if not fwd:
-            e_in, e_out = e_out, e_in
         wrapped: list[str] = []
-        ein_crs = load_crs("EPSG", e_in)
+        ein_crs = load_crs(*e_in)
         if ein_crs["kind"] == "projected":
             wrapped.append(_conv_with_ellps(ein_crs))
         wrapped += _strip_edge_norm(steps)
-        eout_crs = load_crs("EPSG", e_out)
+        eout_crs = load_crs(*e_out)
         if eout_crs["kind"] == "projected":
             wrapped.append("+inv " + _conv_with_ellps(eout_crs))
         h_steps += wrapped if fwd else _invert_steps(wrapped)
@@ -1387,3 +1424,26 @@ def compound_pair_pipeline(s_token: str, t_token: str,
     if not steps:
         return None
     return _format_pipeline(steps, single)
+
+
+def ellipsoid_projjson(auth: str, code: str) -> dict:
+    e = _ellipsoid(auth, code)
+    return {"$schema": _SCHEMA, "type": "Ellipsoid", "name": e["name"],
+            "semi_major_axis": _jnum(e["a"]),
+            "inverse_flattening": _jnum(e["rf"]),
+            "id": {"authority": auth, "code": int(code)}}
+
+
+def datum_projjson(auth: str, code: str) -> dict:
+    d = _datum(auth, code)
+    ell = d["ellipsoid"]
+    out = {"$schema": _SCHEMA, "type": "GeodeticReferenceFrame",
+           "name": d["name"],
+           "ellipsoid": {"name": ell["name"],
+                         "semi_major_axis": _jnum(ell["a"]),
+                         "inverse_flattening": _jnum(ell["rf"])}}
+    if d["pm"]["name"] != "Greenwich":
+        out["prime_meridian"] = {"name": d["pm"]["name"],
+                                 "longitude": _jnum(d["pm"]["lon_deg"])}
+    out["id"] = {"authority": auth, "code": int(code)}
+    return out
