@@ -167,3 +167,39 @@ def test_compound_crs_describe():
     j = dbcrs.to_projjson(c)
     assert j["type"] == "CompoundCRS" and len(j["components"]) == 2
     assert j["components"][1]["type"] == "VerticalCRS"
+
+
+def test_towgs84_coordinate_frame_sign_flip():
+    """EPSG:4673 (CHI1979→WGS84 is a single Coordinate Frame rotation):
+    +towgs84 is position-vector, so rotation signs flip
+    (coordinateoperation.cpp getTOWGS84Parameters invertRotSigns)."""
+    from rayproj.state import dbcrs
+
+    t = dbcrs._towgs84_7("EPSG", "4673")
+    assert t == "+towgs84=174.05,-25.49,112.57,0,0,0.554,0.2263"
+
+
+def test_promote_to_3d_uses_db_counterpart_identity():
+    from rayproj.state import dbcrs
+
+    p = dbcrs.promote_to_3d(dbcrs.load_crs("EPSG", "4326"))
+    assert p["code"] == "4979" and p["cs"]["dim"] == 3
+    # the 3D object's OWN usage, not 4326's
+    assert p["usages"][0]["scope"].startswith("Geodesy. Navigation")
+
+
+def test_promote_to_3d_synthesizes_without_counterpart():
+    from rayproj.state import dbcrs
+
+    p = dbcrs.promote_to_3d(dbcrs.load_crs("EPSG", "4277"))  # OSGB36
+    assert "code" not in p and p["cs"]["dim"] == 3
+    assert p["remark"] == "Promoted to 3D from EPSG:4277"
+    assert p["cs"]["axes"][2]["name"] == "Ellipsoidal height"
+
+
+def test_prime_meridian_keeps_native_unit():
+    from rayproj.state import dbcrs
+
+    w = dbcrs.to_wkt2(dbcrs.load_crs("EPSG", "4807"), "2019")  # NTF (Paris)
+    assert 'PRIMEM["Paris",2.5969213,' in w
+    assert 'ANGLEUNIT["grad",' in w
