@@ -709,6 +709,27 @@ def _projinfo_db_pair(args) -> bool:
             if pipe is not None:
                 print(pipe)
                 return True
+        # vertical grid-shift candidate listing (NGF/NAVD88-style)
+        try:
+            cands = dbcrs.vgrid_candidates(args.s_crs, args.t_crs)
+        except Exception:
+            cands = None
+        if cands is not None and "PROJ" in fmts:
+            if not quiet:
+                print(f"Candidate operations found: {len(cands)}")
+            for i, c in enumerate(cands):
+                if not quiet:
+                    if i:
+                        print()
+                    print("-------------------------------------")
+                    print(f"Operation No. {i + 1}:")
+                    print()
+                    area = f", {c['area']}" if c["area"] else ""
+                    print(f"{c['id']}, {c['name']}, {c['accuracy']}{area}")
+                    print()
+                    print("PROJ string:")
+                print(dbcrs._format_pipeline(c["steps"], single))
+            return True
         return False
     if not quiet:
         print("Candidate operations found: 1")

@@ -1447,3 +1447,93 @@ def datum_projjson(auth: str, code: str) -> dict:
                                  "longitude": _jnum(d["pm"]["lon_deg"])}
     out["id"] = {"authority": auth, "code": int(code)}
     return out
+
+
+# --------------------------------- vertical grid-shift candidates
+
+def vgrid_candidates(s_token: str, t_token: str) -> list[dict] | None:
+    """Candidate operations for a vertical↔geographic-3D pair (or a
+    compound whose vertical component pairs with the geographic 3D
+    side): non-deprecated, non-superseded grid_transformation rows with
+    a PROJ-usable grid alternative, accuracy-sorted — the reference's
+    createOperations output for e.g. NGF-IGN69→RGF93 and
+    NAD83(2011)+NAVD88→NAD83(2011). Each entry carries the display id
+    ('INVERSE(DERIVED_FROM(EPSG)):8885' / 'unknown id' for
+    compound-synthesized), name, accuracy text, area and pipeline."""
+
+    def resolve(token: str):
+        m = _split_authcode(token)
+        codes = [m] if m else _crs_codes_by_name(token)
+        if not codes:
+            return None
+        try:
+            return load_crs(*codes[0])
+        except NotFound:
+            return None
+
+    s, t = resolve(s_token), resolve(t_token)
+    if s is None or t is None:
+        return None
+    synthesized = False  # compound sources lose the op identity
+    if s["kind"] == "compound":
+        vert = next((c for c in s["components"] if c["kind"] == "vertical"),
+                    None)
+        if vert is None:
+            return None
+        s = vert
+        synthesized = True
+    if s["kind"] == "vertical" and t["kind"] == "geographic":
+        vert, geog, inverse = s, t, True
+    elif s["kind"] == "geographic" and t["kind"] == "vertical":
+        vert, geog, inverse = t, s, False
+    else:
+        return None
+
+    superseded = {(r[0], r[1]) for r in _all(
+        "SELECT superseded_auth_name, superseded_code FROM supersession "
+        "WHERE superseded_table_name='grid_transformation'")}
+    out = []
+    for auth, code, name, acc, grid in _all(
+            "SELECT auth_name, code, name, accuracy, grid_name "
+            "FROM grid_transformation WHERE deprecated=0 "
+            "AND source_crs_auth_name=? AND source_crs_code=? "
+            "AND target_crs_auth_name=? AND target_crs_code=?",
+            geog["auth"], geog["code"], vert["auth"], vert["code"]):
+        if (auth, code) in superseded:
+            continue
+        alt = _one(
+            "SELECT proj_grid_name FROM grid_alternatives "
+            "WHERE original_grid_name=? OR old_proj_grid_name=?",
+            grid, grid)
+        if alt is None:
+            if grid.endswith(".tif"):
+                alt = (grid,)
+            else:
+                continue  # no PROJ-usable grid: op not constructible
+        derived = alt[0] != grid
+        if synthesized:
+            id_str = "unknown id"
+        else:
+            id_str = f"DERIVED_FROM({auth})" if derived else auth
+            id_str = (f"INVERSE({id_str})" if inverse else id_str) \
+                + f":{code}"
+        us = _usages("grid_transformation", auth, code)
+        steps = ["+proj=axisswap +order=2,1",
+                 "+proj=unitconvert +xy_in=deg +xy_out=rad",
+                 ("" if inverse else "+inv ")
+                 + f"+proj=vgridshift +grids={alt[0]} +multiplier=1",
+                 "+proj=unitconvert +xy_in=rad +xy_out=deg",
+                 "+proj=axisswap +order=2,1"]
+        out.append({
+            "id": id_str,
+            "name": ("Inverse of " if inverse else "") + name,
+            "accuracy": f"{_g(acc)} m" if acc is not None
+            else "unknown accuracy",
+            "area": us[0]["area"] if us else None,
+            "accuracy_val": acc if acc is not None else 1e9,
+            "steps": steps,
+        })
+    if not out:
+        return None
+    out.sort(key=lambda o: o["accuracy_val"])
+    return out

@@ -74,6 +74,13 @@ DESCRIBE_CASES = [
      ["-k", "operation", "EPSG:8457", "-o", "PROJ", "-q"]),
     ("Testing D_WGS_1984", ["D_WGS_1984"]),
     ("Testing -k datum D_WGS_1984", ["-k", "datum", "D_WGS_1984"]),
+    ("Testing NGF IGN69 height to RGF93: projinfo -s EPSG:5720 "
+     "-t EPSG:4965 -o PROJ",
+     ["-s", "EPSG:5720", "-t", "EPSG:4965", "-o", "PROJ"]),
+    ("Testing NAD83(2011) + NAVD88 height -> NAD83(2011) : projinfo "
+     "-s EPSG:6349 -t EPSG:6319 --spatial-test intersects -o PROJ",
+     ["-s", "EPSG:6349", "-t", "EPSG:6319",
+      "--spatial-test", "intersects", "-o", "PROJ"]),
     ("Testing -s +proj=longlat +datum=WGS84 +geoidgrids=@foo.gtx "
      "+type=crs -t EPSG:4326 -o PROJ -q",
      ["-s", "+proj=longlat +datum=WGS84 +geoidgrids=@foo.gtx +type=crs",
