@@ -1464,12 +1464,19 @@ def vgrid_candidates(s_token: str, t_token: str) -> list[dict] | None:
     def resolve(token: str):
         m = _split_authcode(token)
         codes = [m] if m else _crs_codes_by_name(token)
-        if not codes:
-            return None
-        try:
-            return load_crs(*codes[0])
-        except NotFound:
-            return None
+        loaded = []
+        for ac in codes:
+            try:
+                loaded.append(load_crs(*ac))
+            except NotFound:
+                continue
+        # a bare name like 'GDA2020' covers geocentric + geographic
+        # siblings: the geographic one is the vgridshift anchor
+        for kind in ("geographic", "vertical", "compound", "projected"):
+            for crs in loaded:
+                if crs["kind"] == kind:
+                    return crs
+        return loaded[0] if loaded else None
 
     s, t = resolve(s_token), resolve(t_token)
     if s is None or t is None:
@@ -1489,16 +1496,29 @@ def vgrid_candidates(s_token: str, t_token: str) -> list[dict] | None:
     else:
         return None
 
+    # hide superseded ops only when the replacement covers the same
+    # source/target pair (supersession.same_source_target_crs) — the
+    # reference keeps e.g. GDA94→AHD (49) although GDA2020→AHD (1)
+    # nominally supersedes it
     superseded = {(r[0], r[1]) for r in _all(
         "SELECT superseded_auth_name, superseded_code FROM supersession "
-        "WHERE superseded_table_name='grid_transformation'")}
+        "WHERE superseded_table_name='grid_transformation' "
+        "AND same_source_target_crs=1")}
+    # the geographic side matches through the datum family: a 2D name
+    # like 'GDA94' pairs with ops written against its 3D sibling
+    geog_codes = {(geog["auth"], geog["code"])}
+    geog_codes.update((a, c) for a, c in _all(
+        "SELECT auth_name, code FROM geodetic_crs WHERE datum_auth_name=? "
+        "AND datum_code=? AND type LIKE 'geographic%' AND deprecated=0",
+        geog["datum"]["auth"], geog["datum"]["code"]))
     out = []
-    for auth, code, name, acc, grid in _all(
-            "SELECT auth_name, code, name, accuracy, grid_name "
-            "FROM grid_transformation WHERE deprecated=0 "
-            "AND source_crs_auth_name=? AND source_crs_code=? "
-            "AND target_crs_auth_name=? AND target_crs_code=?",
-            geog["auth"], geog["code"], vert["auth"], vert["code"]):
+    rows = [r for ga, gc in sorted(geog_codes) for r in _all(
+        "SELECT auth_name, code, name, accuracy, grid_name "
+        "FROM grid_transformation WHERE deprecated=0 "
+        "AND source_crs_auth_name=? AND source_crs_code=? "
+        "AND target_crs_auth_name=? AND target_crs_code=?",
+        ga, gc, vert["auth"], vert["code"])]
+    for auth, code, name, acc, grid in rows:
         if (auth, code) in superseded:
             continue
         alt = _one(

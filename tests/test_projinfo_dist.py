@@ -74,6 +74,14 @@ DESCRIBE_CASES = [
      ["-k", "operation", "EPSG:8457", "-o", "PROJ", "-q"]),
     ("Testing D_WGS_1984", ["D_WGS_1984"]),
     ("Testing -k datum D_WGS_1984", ["-k", "datum", "D_WGS_1984"]),
+    ('Testing -s "GDA94" -t "AHD height" --grid-check none -o PROJ '
+     "--spatial-test intersects",
+     ["-s", "GDA94", "-t", "AHD height", "--grid-check", "none",
+      "-o", "PROJ", "--spatial-test", "intersects"]),
+    ('Testing -s "GDA2020" -t "AHD height" --grid-check none -o PROJ '
+     "--spatial-test intersects",
+     ["-s", "GDA2020", "-t", "AHD height", "--grid-check", "none",
+      "-o", "PROJ", "--spatial-test", "intersects"]),
     ("Testing NGF IGN69 height to RGF93: projinfo -s EPSG:5720 "
      "-t EPSG:4965 -o PROJ",
      ["-s", "EPSG:5720", "-t", "EPSG:4965", "-o", "PROJ"]),
