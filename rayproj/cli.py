@@ -709,6 +709,41 @@ def _projinfo_db_pair(args) -> bool:
             if pipe is not None:
                 print(pipe)
                 return True
+        # AOI-restricted candidate summary (--bbox / --area + --summary)
+        aoi = None
+        if getattr(args, "area", None):
+            res = dbcrs.area_lookup(args.area)
+            if res[0] == "err":
+                print(res[1])
+                return True
+            if res[0] == "none":
+                print("No area of use matching provided name")
+                return True
+            if res[0] == "several":
+                print("Several candidates area of use matching "
+                      "provided name :")
+                for ea, ec, desc in res[1]:
+                    print(f"  {ea}:{ec} : {desc}")
+                return True
+            aoi = res[1]
+        elif getattr(args, "bbox", None):
+            try:
+                w, s_, e, n = [float(v) for v in args.bbox.split(",")]
+                aoi = (s_, w, n, e)
+            except ValueError:
+                aoi = None
+        if aoi is not None and getattr(args, "summary", False):
+            res = dbcrs.pair_candidates_summary(args.s_crs, args.t_crs, aoi)
+            if res is not None:
+                shown, inter = res
+                print(f"Candidate operations found: {len(shown)}")
+                if inter > len(shown):
+                    print("Note: using '--spatial-test intersects' would "
+                          f"bring more results ({inter})")
+                for c in shown:
+                    area = f", {c['area']}" if c["area"] else ""
+                    print(f"{c['id']}, {c['name']}, {c['accuracy']}{area}")
+                return True
         # vertical grid-shift candidate listing (NGF/NAVD88-style)
         try:
             cands = dbcrs.vgrid_candidates(args.s_crs, args.t_crs)

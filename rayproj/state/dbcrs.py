@@ -1547,7 +1547,7 @@ def vgrid_candidates(s_token: str, t_token: str) -> list[dict] | None:
         out.append({
             "id": id_str,
             "name": ("Inverse of " if inverse else "") + name,
-            "accuracy": f"{_g(acc)} m" if acc is not None
+            "accuracy": f"{acc!s} m" if acc is not None
             else "unknown accuracy",
             "area": us[0]["area"] if us else None,
             "accuracy_val": acc if acc is not None else 1e9,
@@ -1557,3 +1557,113 @@ def vgrid_candidates(s_token: str, t_token: str) -> list[dict] | None:
         return None
     out.sort(key=lambda o: o["accuracy_val"])
     return out
+
+
+# ------------------------------------ AOI-filtered candidate summaries
+
+def area_lookup(token: str):
+    """--area resolution (projinfo.cpp): AUTH:CODE → extent bbox, else
+    exact name match, else approximate listing. Returns one of
+    ('ok', (s, w, n, e)), ('several', [(auth, code, description)...]),
+    ('none',), ('err', message)."""
+    m = _split_authcode(token)
+    if m:
+        row = _one(
+            "SELECT south_lat, west_lon, north_lat, east_lon FROM extent "
+            "WHERE auth_name=? AND code=?", m[0], m[1])
+        if row is None:
+            return ("err", "Area of use retrieval failed: extent not found")
+        return ("ok", row)
+    rows = _all(
+        "SELECT south_lat, west_lon, north_lat, east_lon FROM extent "
+        "WHERE name=? AND deprecated=0", token)
+    if len(rows) == 1:
+        return ("ok", rows[0])
+    approx = _all(
+        "SELECT auth_name, code, description FROM extent "
+        "WHERE name LIKE ? AND deprecated=0 ORDER BY CAST(code AS INTEGER)",
+        token + "%")
+    if not approx:
+        return ("none",)
+    return ("several", approx)
+
+
+def _op_usable(table: str, grid: str | None) -> bool:
+    if table != "grid" or grid is None:
+        return True
+    if grid.endswith(".tif"):
+        return True
+    return _one(
+        "SELECT 1 FROM grid_alternatives WHERE original_grid_name=? "
+        "OR old_proj_grid_name=?", grid, grid) is not None
+
+
+def pair_candidates_summary(s_token: str, t_token: str,
+                            bbox) -> tuple[list[dict], int] | None:
+    """AOI-filtered candidate summary for a geodetic pair: rows from
+    the helmert/grid/other transformation tables, non-deprecated,
+    non-superseded (same source/target), grids PROJ-usable, whose
+    extents CONTAIN the AOI (plus the would-be intersects count for
+    projinfo's Note line). bbox is (south, west, north, east)."""
+
+    def codes_of(token: str) -> set[tuple[str, str]]:
+        m = _split_authcode(token)
+        out = set([m] if m else _crs_codes_by_name(token))
+        return out
+
+    s_codes, t_codes = codes_of(s_token), codes_of(t_token)
+    if not s_codes or not t_codes:
+        return None
+    superseded = set()
+    for tbl in ("helmert_transformation", "grid_transformation",
+                "other_transformation"):
+        superseded |= {(tbl, r[0], r[1]) for r in _all(
+            "SELECT superseded_auth_name, superseded_code FROM supersession "
+            "WHERE superseded_table_name=? AND same_source_target_crs=1",
+            tbl)}
+    rows = _all(
+        "SELECT 'helmert', auth_name, code, name, accuracy, NULL, "
+        "source_crs_auth_name, source_crs_code, target_crs_auth_name, "
+        "target_crs_code FROM helmert_transformation_table "
+        "WHERE deprecated=0 "
+        "UNION ALL SELECT 'grid', auth_name, code, name, accuracy, "
+        "grid_name, source_crs_auth_name, source_crs_code, "
+        "target_crs_auth_name, target_crs_code FROM grid_transformation "
+        "WHERE deprecated=0 "
+        "UNION ALL SELECT 'other', auth_name, code, name, accuracy, NULL, "
+        "source_crs_auth_name, source_crs_code, target_crs_auth_name, "
+        "target_crs_code FROM other_transformation WHERE deprecated=0")
+    tblname = {"helmert": "helmert_transformation",
+               "grid": "grid_transformation",
+               "other": "other_transformation"}
+    aoi_s, aoi_w, aoi_n, aoi_e = bbox
+    shown, intersects = [], 0
+    for k, auth, code, name, acc, grid, sa, sc, ta, tc in rows:
+        fwd = (sa, sc) in s_codes and (ta, tc) in t_codes
+        rev = (sa, sc) in t_codes and (ta, tc) in s_codes
+        if not fwd and not rev:
+            continue
+        if (tblname[k], auth, code) in superseded:
+            continue
+        if not _op_usable(k, grid):
+            continue
+        us = _usages(tblname[k], auth, code)
+        if not us:
+            continue
+        es, ew, en, ee = us[0]["bbox"]
+        if ee < aoi_w or ew > aoi_e or en < aoi_s or es > aoi_n:
+            continue  # disjoint
+        intersects += 1
+        if not (ew <= aoi_w and es <= aoi_s and ee >= aoi_e and en >= aoi_n):
+            continue  # intersects but does not contain
+        id_str = (f"INVERSE({auth}):{code}" if rev else f"{auth}:{code}")
+        shown.append({
+            "id": id_str,
+            "name": ("Inverse of " if rev else "") + name,
+            "accuracy": f"{acc!s} m" if acc is not None
+            else "unknown accuracy",
+            "area": us[0]["area"],
+            "accuracy_val": acc if acc is not None else 1e9,
+        })
+    shown.sort(key=lambda o: (o["accuracy_val"], o["id"]))
+    return shown, intersects

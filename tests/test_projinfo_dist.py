@@ -74,6 +74,28 @@ DESCRIBE_CASES = [
      ["-k", "operation", "EPSG:8457", "-o", "PROJ", "-q"]),
     ("Testing D_WGS_1984", ["D_WGS_1984"]),
     ("Testing -k datum D_WGS_1984", ["-k", "datum", "D_WGS_1984"]),
+    ("Testing projinfo -s EPSG:4230 -t EPSG:4258 "
+     "--bbox 8,54.51,15.24,57.8 --summary",
+     ["-s", "EPSG:4230", "-t", "EPSG:4258",
+      "--bbox", "8,54.51,15.24,57.8", "--summary"]),
+    ("Testing projinfo -s EPSG:4230 -t EPSG:4258 --area EPSG:3237 --summary",
+     ["-s", "EPSG:4230", "-t", "EPSG:4258",
+      "--area", "EPSG:3237", "--summary"]),
+    ("Testing projinfo -s EPSG:4230 -t EPSG:4258 --area "
+     "'Denmark - onshore' --summary",
+     ["-s", "EPSG:4230", "-t", "EPSG:4258",
+      "--area", "Denmark - onshore", "--summary"]),
+    ("Testing projinfo -s EPSG:4230 -t EPSG:4258 --area "
+     "'Denmark -' --summary",
+     ["-s", "EPSG:4230", "-t", "EPSG:4258",
+      "--area", "Denmark -", "--summary"]),
+    ("Testing projinfo -s EPSG:4230 -t EPSG:4258 --area no_match --summary",
+     ["-s", "EPSG:4230", "-t", "EPSG:4258",
+      "--area", "no_match", "--summary"]),
+    ("Testing projinfo -s EPSG:4230 -t EPSG:4258 --area WRONG:CODE "
+     "--summary",
+     ["-s", "EPSG:4230", "-t", "EPSG:4258",
+      "--area", "WRONG:CODE", "--summary"]),
     ('Testing -s "GDA94" -t "AHD height" --grid-check none -o PROJ '
      "--spatial-test intersects",
      ["-s", "GDA94", "-t", "AHD height", "--grid-check", "none",
