@@ -765,6 +765,57 @@ def _projinfo_db_pair(args) -> bool:
                     print("PROJ string:")
                 print(dbcrs._format_pipeline(c["steps"], single))
             return True
+        # geodetic-pair candidate operations (NAD27→NAD83 pattern)
+        try:
+            res = dbcrs.geog_pair_candidates(
+                args.s_crs, args.t_crs,
+                spatial_test=getattr(args, "spatial_test", None)
+                or "contains",
+                hide_ballpark=getattr(args, "hide_ballpark", False))
+        except Exception:
+            res = None
+        if res is not None:
+            shown, inter, s_crs, t_crs = res
+            if not quiet:
+                print(f"Candidate operations found: {len(shown)}")
+                if inter > len(shown):
+                    print("Note: using '--spatial-test intersects' would "
+                          f"bring more results ({inter})")
+            if getattr(args, "summary", False):
+                for c in shown:
+                    print(dbcrs.candidate_display(c))
+                return True
+            for i, c in enumerate(shown):
+                if not quiet:
+                    if i:
+                        print()
+                    print("-------------------------------------")
+                    print(f"Operation No. {i + 1}:")
+                    print()
+                    print(dbcrs.candidate_display(c))
+                printed = False
+                if "PROJ" in fmts:
+                    if not quiet:
+                        print()
+                        print("PROJ string:")
+                    steps = dbcrs.candidate_proj_steps(c)
+                    if steps == ["+proj=noop"]:
+                        print("+proj=noop")
+                    elif steps is not None:
+                        print(dbcrs._format_pipeline(steps, single))
+                    else:
+                        print("Error when exporting to PROJ string: "
+                              "unsupported operation method",
+                              file=sys.stderr)
+                    printed = True
+                if "WKT2_2019" in fmts:
+                    if printed or not quiet:
+                        print()
+                    if not quiet:
+                        print("WKT2:2019 string:")
+                    print(dbcrs.candidate_wkt2(c, s_crs, t_crs,
+                                               single=single))
+            return True
         return False
     if not quiet:
         print("Candidate operations found: 1")

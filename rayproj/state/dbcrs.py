@@ -1667,3 +1667,287 @@ def pair_candidates_summary(s_token: str, t_token: str,
         })
     shown.sort(key=lambda o: (o["accuracy_val"], o["id"]))
     return shown, intersects
+
+
+# ------------------------------ geodetic-pair candidate operations
+
+def _lon_span(w: float, e: float) -> float:
+    return e - w if e >= w else e + 360.0 - w
+
+
+def _bbox_area(b) -> float:
+    # getPseudoArea (coordinateoperation.cpp:553): lon span × the
+    # integral of cos(lat) — high-latitude extents weigh less
+    s, w, n, e = b
+    return _lon_span(w, e) * (math.sin(math.radians(n))
+                              - math.sin(math.radians(s)))
+
+
+def _bbox_contains(outer, inner) -> bool:
+    os_, ow, on, oe = outer
+    is_, iw, in_, ie = inner
+    if not (os_ <= is_ and on >= in_):
+        return False
+    # circular longitude containment
+    ospan = _lon_span(ow, oe)
+    if ospan >= 360.0 - 1e-9:
+        return True  # full-circle outer (World) contains any interval
+    shift = (iw - ow) % 360.0
+    return shift + _lon_span(iw, ie) <= ospan + 1e-9
+
+
+def _bbox_intersects(a, b) -> bool:
+    as_, aw, an, ae = a
+    bs, bw, bn, be = b
+    if an < bs or bn < as_:
+        return False
+    sa, sb = _lon_span(aw, ae), _lon_span(bw, be)
+    shift = (bw - aw) % 360.0
+    return shift < sa + 1e-9 or shift + sb >= 360.0 - 1e-9
+
+
+def _bbox_intersection(a, b):
+    as_, aw, an, ae = a
+    bs, bw, bn, be = b
+    s, n = max(as_, bs), min(an, bn)
+    shift = (bw - aw) % 360.0
+    start = max(0.0, shift) if shift < _lon_span(aw, ae) else 0.0
+    end = min(_lon_span(aw, ae), shift + _lon_span(bw, be))
+    w = aw + start
+    e = aw + end
+    norm = lambda x: ((x + 180.0) % 360.0) - 180.0  # noqa: E731
+    return (s, norm(w), n, norm(e))
+
+
+# methods the reference cannot express as PROJ pipelines (PROJ 7.2):
+# NADCON5 grids and the time-specific Helmert family
+_UNSUPPORTED_GRID_METHODS = ("NADCON5",)
+_UNSUPPORTED_HELMERT_METHODS = {"1065", "1066"}
+
+
+def _crs_extent(crs: dict):
+    if crs.get("usages"):
+        s, w, n, e = crs["usages"][0]["bbox"]
+        return (s, w, n, e)
+    return (-90.0, -180.0, 90.0, 180.0)
+
+
+def geog_pair_candidates(s_token: str, t_token: str, *,
+                         spatial_test: str = "contains",
+                         hide_ballpark: bool = False):
+    """createOperations over a geodetic pair: direct transformation
+    rows from the helmert/grid/other tables (either direction),
+    EPSG/PROJ authorities, non-deprecated, non-superseded-same-pair,
+    plus the synthesized ballpark offset — AOI-filtered (the
+    source∩target extent when no explicit AOI) and ordered by the
+    reference's SortFunction (coordinateoperation.cpp:11313: PROJ
+    exportability, non-ballpark, grids-known, accuracy-known, area
+    desc, accuracy asc). Returns (shown, intersects_count,
+    s_crs, t_crs) or None."""
+
+    def resolve(token: str):
+        m = _split_authcode(token)
+        codes = [m] if m else _crs_codes_by_name(token)
+        for ac in codes:
+            try:
+                crs = load_crs(*ac)
+            except NotFound:
+                continue
+            if crs["kind"] in ("geographic", "geocentric"):
+                return crs
+        return None
+
+    s_crs, t_crs = resolve(s_token), resolve(t_token)
+    if s_crs is None or t_crs is None:
+        return None
+    if s_crs["kind"] != t_crs["kind"]:
+        return None
+    s_codes = {(s_crs["auth"], s_crs["code"])}
+    t_codes = {(t_crs["auth"], t_crs["code"])}
+    superseded = set()
+    for tbl in ("helmert_transformation", "grid_transformation",
+                "other_transformation"):
+        superseded |= {(tbl, r[0], r[1]) for r in _all(
+            "SELECT superseded_auth_name, superseded_code FROM supersession "
+            "WHERE superseded_table_name=? AND same_source_target_crs=1",
+            tbl)}
+    cands = []
+    rows = _all(
+        "SELECT 'grid', auth_name, code, name, accuracy, "
+        "source_crs_auth_name, source_crs_code, target_crs_auth_name, "
+        "target_crs_code, method_auth_name, method_code, method_name, "
+        "grid_param_name, grid_name, grid2_param_name, grid2_name, "
+        "operation_version, description FROM grid_transformation "
+        "WHERE deprecated=0 "
+        "UNION ALL SELECT 'helmert', auth_name, code, name, accuracy, "
+        "source_crs_auth_name, source_crs_code, target_crs_auth_name, "
+        "target_crs_code, method_auth_name, method_code, name, "
+        "NULL, NULL, NULL, NULL, operation_version, description "
+        "FROM helmert_transformation_table WHERE deprecated=0")
+    tblname = {"grid": "grid_transformation",
+               "helmert": "helmert_transformation"}
+    for (k, auth, code, name, acc, sa, sc, ta, tc, ma, mc, mname,
+         p1name, g1, p2name, g2, version, remark) in rows:
+        fwd = (sa, sc) in s_codes and (ta, tc) in t_codes
+        rev = (sa, sc) in t_codes and (ta, tc) in s_codes
+        if not fwd and not rev:
+            continue
+        if auth not in ("EPSG", "PROJ"):
+            continue  # authority preference for EPSG-pair lookups
+        if (tblname[k], auth, code) in superseded:
+            continue
+        us = _usages(tblname[k], auth, code)
+        if not us:
+            continue
+        derived = False
+        files = []
+        if k == "grid":
+            alt = _one(
+                "SELECT proj_grid_name FROM grid_alternatives "
+                "WHERE original_grid_name=? OR old_proj_grid_name=?", g1, g1)
+            if alt is not None and alt[0] != g1:
+                derived = True
+                files = [("Latitude and longitude difference file", alt[0])]
+            else:
+                files = [(p1name, g1)]
+                if g2 is not None:
+                    files.append((p2name, g2))
+        exportable = True
+        if k == "grid" and not derived and \
+                mname.startswith(_UNSUPPORTED_GRID_METHODS):
+            exportable = False
+        if k == "helmert" and mc in _UNSUPPORTED_HELMERT_METHODS:
+            exportable = False
+        cands.append({
+            "kind": k, "auth": auth, "code": code, "name": name,
+            "acc": acc, "reverse": rev, "derived": derived,
+            "method_name": "HORIZONTAL_SHIFT_GTIFF" if derived else mname,
+            "method_id": None if derived else (ma, mc),
+            "files": files, "version": None if derived else version,
+            "remark": None if derived else (remark or None),
+            "scope": us[0]["scope"], "area": us[0]["area"],
+            "bbox": us[0]["bbox"], "exportable": exportable,
+            "known": derived or k != "grid",
+            "approx": False,
+        })
+    # synthesized ballpark
+    geocentric = s_crs["kind"] == "geocentric"
+    bp_kind = ("Ballpark geocentric translation"
+               if geocentric else "Ballpark geographic offset")
+    cands.append({
+        "kind": "ballpark", "auth": None, "code": None,
+        "name": f"{bp_kind} from {s_crs['name']} to {t_crs['name']}",
+        "acc": None, "reverse": False, "derived": False,
+        "method_name": "Geocentric translations (geog2D domain)"
+        if geocentric else "Geographic2D offsets",
+        "method_id": ("EPSG", "9603") if geocentric else ("EPSG", "9619"),
+        "files": [], "version": None, "remark": None,
+        "scope": "unknown", "area": "World",
+        "bbox": (-90.0, -180.0, 90.0, 180.0),
+        "exportable": True, "known": True, "approx": True,
+    })
+    aoi = _bbox_intersection(_crs_extent(s_crs), _crs_extent(t_crs))
+    shown, intersects = [], 0
+    for c in cands:
+        if not _bbox_intersects(c["bbox"], aoi):
+            continue
+        intersects += 1
+        if spatial_test == "contains" and \
+                not _bbox_contains(c["bbox"], aoi):
+            continue
+        shown.append(c)
+    if hide_ballpark:
+        shown = [c for c in shown if not c["approx"]]
+        intersects -= 1
+    shown.sort(key=lambda c: (
+        not c["exportable"], c["approx"], not c["known"],
+        c["acc"] is None, -_bbox_area(c["bbox"]),
+        c["acc"] if c["acc"] is not None else 0.0))
+    return shown, intersects, s_crs, t_crs
+
+
+def candidate_display(c: dict) -> str:
+    if c["kind"] == "ballpark":
+        return (f"unknown id, {c['name']}, unknown accuracy, "
+                "World, has ballpark transformation")
+    prefix = f"DERIVED_FROM({c['auth']})" if c["derived"] else c["auth"]
+    if c["reverse"]:
+        prefix = f"INVERSE({prefix})"
+    name = ("Inverse of " if c["reverse"] else "") + c["name"]
+    acc = f"{c['acc']!s} m" if c["acc"] is not None else "unknown accuracy"
+    return f"{prefix}:{c['code']}, {name}, {acc}, {c['area']}"
+
+
+def candidate_proj_steps(c: dict) -> list[str] | None:
+    if c["kind"] == "ballpark":
+        return ["+proj=noop"]
+    if not c["exportable"]:
+        return None
+    if c["kind"] == "grid":
+        inv = "+inv " if c["reverse"] else ""
+        return ["+proj=axisswap +order=2,1",
+                "+proj=unitconvert +xy_in=deg +xy_out=rad",
+                f"{inv}+proj=hgridshift +grids={c['files'][0][1]}",
+                "+proj=unitconvert +xy_in=rad +xy_out=deg",
+                "+proj=axisswap +order=2,1"]
+    try:
+        pipe = operation_proj_pipeline(c["auth"], c["code"])
+    except NotFound:
+        return None
+    return _pipeline_steps(pipe)
+
+
+def candidate_wkt2(c: dict, s_crs: dict, t_crs: dict, *,
+                   single: bool = False) -> str:
+    """COORDINATEOPERATION WKT2 for a candidate: VERSION, full
+    source/target CRS (ids kept, usages suppressed inside operations),
+    METHOD/PARAMETERFILE or zero-offset PARAMETERs for ballpark,
+    OPERATIONACCURACY, USAGE, ID, REMARK."""
+    import copy
+
+    def crs_part(crs):
+        c2 = copy.deepcopy(crs)
+        c2["usages"] = []
+        return _crs_node(c2, "2019", own_id=True, ancestor_has_id=False)
+
+    name = ("Inverse of " if c["reverse"] else "") + c["name"]
+    parts = [q(name)]
+    if c["version"]:
+        parts.append(N("VERSION", q(c["version"])))
+    parts.append(N("SOURCECRS", crs_part(s_crs)))
+    parts.append(N("TARGETCRS", crs_part(t_crs)))
+    mparts = [q(c["method_name"])]
+    if c["method_id"] is not None:
+        ma, mc = c["method_id"]
+        if c["reverse"]:
+            mparts = [q("Inverse of " + c["method_name"])]
+            mparts.append(_id_node(f"INVERSE({ma})", mc))
+        else:
+            mparts.append(_id_node(ma, mc))
+    parts.append(N("METHOD", *mparts))
+    if c["kind"] == "ballpark":
+        deg = {"kind": "angle", "name": "degree", "factor": _DEG,
+               "auth": "EPSG", "code": "9102"}
+        parts.append(N("PARAMETER", q("Latitude offset"), "0",
+                       _unit_node(deg, with_id=False),
+                       _id_node("EPSG", "8601")))
+        parts.append(N("PARAMETER", q("Longitude offset"), "0",
+                       _unit_node(deg, with_id=False),
+                       _id_node("EPSG", "8602")))
+    for pname, fname in c["files"]:
+        parts.append(N("PARAMETERFILE", q(pname), q(fname)))
+    if c["acc"] is not None:
+        parts.append(N("OPERATIONACCURACY", str(c["acc"])))
+    s, w, n, e = c["bbox"]
+    parts.append(N("USAGE",
+                   N("SCOPE", q(c["scope"])),
+                   N("AREA", q(c["area"])),
+                   N("BBOX", _g(s), _g(w), _g(n), _g(e))))
+    if c["kind"] != "ballpark":
+        prefix = f"DERIVED_FROM({c['auth']})" if c["derived"] else c["auth"]
+        if c["reverse"]:
+            prefix = f"INVERSE({prefix})"
+        parts.append(_id_node(prefix, c["code"]))
+    if c["remark"]:
+        parts.append(N("REMARK", q(c["remark"])))
+    return render(N("COORDINATEOPERATION", *parts), single=single)

@@ -166,9 +166,12 @@ def test_candidate_operations_listing(capsys):
 
     from rayproj.cli import main
 
-    assert main(["projinfo", "-s", "EPSG:4267", "-t", "EPSG:4326"]) == 0
+    # the CLI now prints the reference-parity candidate block
+    assert main(["projinfo", "-s", "EPSG:4267", "-t", "EPSG:4326",
+                 "--spatial-test", "intersects", "--summary"]) == 0
     out = capsys.readouterr().out
-    assert "candidate operations" in out and "NTv2" in out
+    assert "Candidate operations found:" in out
+    assert "NAD27 to WGS 84" in out
 
 
 def test_routed_datum_operation():

@@ -74,6 +74,21 @@ DESCRIBE_CASES = [
      ["-k", "operation", "EPSG:8457", "-o", "PROJ", "-q"]),
     ("Testing D_WGS_1984", ["D_WGS_1984"]),
     ("Testing -k datum D_WGS_1984", ["-k", "datum", "D_WGS_1984"]),
+    ("Testing projinfo -s NAD27 -t NAD83", ["-s", "NAD27", "-t", "NAD83"]),
+    ("Testing projinfo -s NAD27 -t NAD83 --grid-check none "
+     "--spatial-test intersects --summary --hide-ballpark",
+     ["-s", "NAD27", "-t", "NAD83", "--grid-check", "none",
+      "--spatial-test", "intersects", "--summary", "--hide-ballpark"]),
+    ("Testing projinfo -s NAD27 -t NAD83 --grid-check none "
+     "--spatial-test intersects",
+     ["-s", "NAD27", "-t", "NAD83", "--grid-check", "none",
+      "--spatial-test", "intersects"]),
+    ("Testing -s EPSG:4936 -t EPSG:4978 --spatial-test intersects "
+     "--summary where WGS 84 to ETRS89 (2) uses a transformation method "
+     "not supported by PROJ currently (time-specific Helmert), and thus "
+     "must be sorted last",
+     ["-s", "EPSG:4936", "-t", "EPSG:4978",
+      "--spatial-test", "intersects", "--summary"]),
     ("Testing projinfo -s EPSG:4230 -t EPSG:4258 "
      "--bbox 8,54.51,15.24,57.8 --summary",
      ["-s", "EPSG:4230", "-t", "EPSG:4258",
