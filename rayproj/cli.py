@@ -732,18 +732,6 @@ def _projinfo_db_pair(args) -> bool:
                 aoi = (s_, w, n, e)
             except ValueError:
                 aoi = None
-        if aoi is not None and getattr(args, "summary", False):
-            res = dbcrs.pair_candidates_summary(args.s_crs, args.t_crs, aoi)
-            if res is not None:
-                shown, inter = res
-                print(f"Candidate operations found: {len(shown)}")
-                if inter > len(shown):
-                    print("Note: using '--spatial-test intersects' would "
-                          f"bring more results ({inter})")
-                for c in shown:
-                    area = f", {c['area']}" if c["area"] else ""
-                    print(f"{c['id']}, {c['name']}, {c['accuracy']}{area}")
-                return True
         # vertical grid-shift candidate listing (NGF/NAVD88-style)
         try:
             cands = dbcrs.vgrid_candidates(args.s_crs, args.t_crs)
@@ -771,7 +759,8 @@ def _projinfo_db_pair(args) -> bool:
                 args.s_crs, args.t_crs,
                 spatial_test=getattr(args, "spatial_test", None)
                 or "contains",
-                hide_ballpark=getattr(args, "hide_ballpark", False))
+                hide_ballpark=getattr(args, "hide_ballpark", False),
+                aoi=aoi)
         except Exception:
             res = None
         if res is not None:

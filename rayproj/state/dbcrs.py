@@ -1588,87 +1588,6 @@ def area_lookup(token: str):
     return ("several", approx)
 
 
-def _op_usable(table: str, grid: str | None) -> bool:
-    if table != "grid" or grid is None:
-        return True
-    if grid.endswith(".tif"):
-        return True
-    return _one(
-        "SELECT 1 FROM grid_alternatives WHERE original_grid_name=? "
-        "OR old_proj_grid_name=?", grid, grid) is not None
-
-
-def pair_candidates_summary(s_token: str, t_token: str,
-                            bbox) -> tuple[list[dict], int] | None:
-    """AOI-filtered candidate summary for a geodetic pair: rows from
-    the helmert/grid/other transformation tables, non-deprecated,
-    non-superseded (same source/target), grids PROJ-usable, whose
-    extents CONTAIN the AOI (plus the would-be intersects count for
-    projinfo's Note line). bbox is (south, west, north, east)."""
-
-    def codes_of(token: str) -> set[tuple[str, str]]:
-        m = _split_authcode(token)
-        out = set([m] if m else _crs_codes_by_name(token))
-        return out
-
-    s_codes, t_codes = codes_of(s_token), codes_of(t_token)
-    if not s_codes or not t_codes:
-        return None
-    superseded = set()
-    for tbl in ("helmert_transformation", "grid_transformation",
-                "other_transformation"):
-        superseded |= {(tbl, r[0], r[1]) for r in _all(
-            "SELECT superseded_auth_name, superseded_code FROM supersession "
-            "WHERE superseded_table_name=? AND same_source_target_crs=1",
-            tbl)}
-    rows = _all(
-        "SELECT 'helmert', auth_name, code, name, accuracy, NULL, "
-        "source_crs_auth_name, source_crs_code, target_crs_auth_name, "
-        "target_crs_code FROM helmert_transformation_table "
-        "WHERE deprecated=0 "
-        "UNION ALL SELECT 'grid', auth_name, code, name, accuracy, "
-        "grid_name, source_crs_auth_name, source_crs_code, "
-        "target_crs_auth_name, target_crs_code FROM grid_transformation "
-        "WHERE deprecated=0 "
-        "UNION ALL SELECT 'other', auth_name, code, name, accuracy, NULL, "
-        "source_crs_auth_name, source_crs_code, target_crs_auth_name, "
-        "target_crs_code FROM other_transformation WHERE deprecated=0")
-    tblname = {"helmert": "helmert_transformation",
-               "grid": "grid_transformation",
-               "other": "other_transformation"}
-    aoi_s, aoi_w, aoi_n, aoi_e = bbox
-    shown, intersects = [], 0
-    for k, auth, code, name, acc, grid, sa, sc, ta, tc in rows:
-        fwd = (sa, sc) in s_codes and (ta, tc) in t_codes
-        rev = (sa, sc) in t_codes and (ta, tc) in s_codes
-        if not fwd and not rev:
-            continue
-        if (tblname[k], auth, code) in superseded:
-            continue
-        if not _op_usable(k, grid):
-            continue
-        us = _usages(tblname[k], auth, code)
-        if not us:
-            continue
-        es, ew, en, ee = us[0]["bbox"]
-        if ee < aoi_w or ew > aoi_e or en < aoi_s or es > aoi_n:
-            continue  # disjoint
-        intersects += 1
-        if not (ew <= aoi_w and es <= aoi_s and ee >= aoi_e and en >= aoi_n):
-            continue  # intersects but does not contain
-        id_str = (f"INVERSE({auth}):{code}" if rev else f"{auth}:{code}")
-        shown.append({
-            "id": id_str,
-            "name": ("Inverse of " if rev else "") + name,
-            "accuracy": f"{acc!s} m" if acc is not None
-            else "unknown accuracy",
-            "area": us[0]["area"],
-            "accuracy_val": acc if acc is not None else 1e9,
-        })
-    shown.sort(key=lambda o: (o["accuracy_val"], o["id"]))
-    return shown, intersects
-
-
 # ------------------------------ geodetic-pair candidate operations
 
 def _lon_span(w: float, e: float) -> float:
@@ -1734,7 +1653,8 @@ def _crs_extent(crs: dict):
 
 def geog_pair_candidates(s_token: str, t_token: str, *,
                          spatial_test: str = "contains",
-                         hide_ballpark: bool = False):
+                         hide_ballpark: bool = False,
+                         aoi=None):
     """createOperations over a geodetic pair: direct transformation
     rows from the helmert/grid/other tables (either direction),
     EPSG/PROJ authorities, non-deprecated, non-superseded-same-pair,
@@ -1753,12 +1673,21 @@ def geog_pair_candidates(s_token: str, t_token: str, *,
                 crs = load_crs(*ac)
             except NotFound:
                 continue
-            if crs["kind"] in ("geographic", "geocentric"):
+            if crs["kind"] in ("geographic", "geocentric", "projected"):
                 return crs
         return None
 
     s_crs, t_crs = resolve(s_token), resolve(t_token)
     if s_crs is None or t_crs is None:
+        return None
+    # a projected source contributes an 'Inverse of <conversion>' leg
+    # and the candidates match against its base CRS (the reference's
+    # projected→geog decomposition; synthesized ops lose their id)
+    s_prefix = ""
+    if s_crs["kind"] == "projected":
+        s_prefix = f"Inverse of {s_crs['conversion']['name']} + "
+        s_crs = s_crs["base"]
+    if t_crs["kind"] == "projected":
         return None
     if s_crs["kind"] != t_crs["kind"]:
         return None
@@ -1846,7 +1775,32 @@ def geog_pair_candidates(s_token: str, t_token: str, *,
         "bbox": (-90.0, -180.0, 90.0, 180.0),
         "exportable": True, "known": True, "approx": True,
     })
-    aoi = _bbox_intersection(_crs_extent(s_crs), _crs_extent(t_crs))
+    for c in cands:
+        c["prefix"] = s_prefix if c["kind"] != "ballpark" else ""
+    ext1, ext2 = _crs_extent(s_crs), _crs_extent(t_crs)
+    explicit_aoi = aoi is not None
+
+    def sort_area(b) -> float:
+        # coordinateoperation.cpp:11725-11742: explicit AOI → op∩AOI;
+        # otherwise inclusion-exclusion over the two CRS extents
+        def inter_area(x, y):
+            if not _bbox_intersects(x, y):
+                return 0.0
+            return _bbox_area(_bbox_intersection(x, y))
+
+        if explicit_aoi:
+            return inter_area(b, aoi)
+        both = (inter_area(b, _bbox_intersection(ext1, ext2))
+                if _bbox_intersects(ext1, ext2) else 0.0)
+        return inter_area(b, ext1) + inter_area(b, ext2) - both
+
+    if aoi is None:
+        aoi = _bbox_intersection(ext1, ext2)
+    # the reference drops the ballpark when a concrete candidate fully
+    # covers the area of interest (createOperations ballpark fallback)
+    if any(c["kind"] != "ballpark" and _bbox_contains(c["bbox"], aoi)
+           for c in cands):
+        cands = [c for c in cands if c["kind"] != "ballpark"]
     shown, intersects = [], 0
     for c in cands:
         if not _bbox_intersects(c["bbox"], aoi):
@@ -1856,12 +1810,14 @@ def geog_pair_candidates(s_token: str, t_token: str, *,
                 not _bbox_contains(c["bbox"], aoi):
             continue
         shown.append(c)
-    if hide_ballpark:
+    if hide_ballpark and any(c["approx"] for c in shown):
         shown = [c for c in shown if not c["approx"]]
         intersects -= 1
+    # area slot per the reference's precompute: with an explicit AOI
+    # every containing candidate ties and accuracy decides
     shown.sort(key=lambda c: (
         not c["exportable"], c["approx"], not c["known"],
-        c["acc"] is None, -_bbox_area(c["bbox"]),
+        c["acc"] is None, -sort_area(c["bbox"]),
         c["acc"] if c["acc"] is not None else 0.0))
     return shown, intersects, s_crs, t_crs
 
@@ -1870,12 +1826,18 @@ def candidate_display(c: dict) -> str:
     if c["kind"] == "ballpark":
         return (f"unknown id, {c['name']}, unknown accuracy, "
                 "World, has ballpark transformation")
-    prefix = f"DERIVED_FROM({c['auth']})" if c["derived"] else c["auth"]
-    if c["reverse"]:
-        prefix = f"INVERSE({prefix})"
     name = ("Inverse of " if c["reverse"] else "") + c["name"]
+    if c.get("prefix"):
+        # composed operation: synthesized identity, double-formatted
+        # accuracy (the reference re-derives it from the members)
+        acc = (f"{_g(c['acc'])} m" if c["acc"] is not None
+               else "unknown accuracy")
+        return f"unknown id, {c['prefix']}{name}, {acc}, {c['area']}"
+    idp = f"DERIVED_FROM({c['auth']})" if c["derived"] else c["auth"]
+    if c["reverse"]:
+        idp = f"INVERSE({idp})"
     acc = f"{c['acc']!s} m" if c["acc"] is not None else "unknown accuracy"
-    return f"{prefix}:{c['code']}, {name}, {acc}, {c['area']}"
+    return f"{idp}:{c['code']}, {name}, {acc}, {c['area']}"
 
 
 def candidate_proj_steps(c: dict) -> list[str] | None:

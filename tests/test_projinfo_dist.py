@@ -111,6 +111,11 @@ DESCRIBE_CASES = [
      "--summary",
      ["-s", "EPSG:4230", "-t", "EPSG:4258",
       "--area", "WRONG:CODE", "--summary"]),
+    ("Testing -s EPSG:31467 -t ETRS89 --spatial-test intersects "
+     "--grid-check none --bbox 8,48,9,49 --summary. Should include both "
+     "DHDN to ETRS89 (8) and DHDN to ETRS89 (BWTA2017)",
+     ["-s", "EPSG:31467", "-t", "ETRS89", "--spatial-test", "intersects",
+      "--grid-check", "none", "--bbox", "8,48,9,49", "--summary"]),
     ('Testing -s "GDA94" -t "AHD height" --grid-check none -o PROJ '
      "--spatial-test intersects",
      ["-s", "GDA94", "-t", "AHD height", "--grid-check", "none",
