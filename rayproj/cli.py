@@ -737,9 +737,15 @@ def _projinfo_db_pair(args) -> bool:
             cands = dbcrs.vgrid_candidates(args.s_crs, args.t_crs)
         except Exception:
             cands = None
-        if cands is not None and "PROJ" in fmts:
+        if cands is not None and ("PROJ" in fmts
+                                  or getattr(args, "summary", False)):
             if not quiet:
                 print(f"Candidate operations found: {len(cands)}")
+            if getattr(args, "summary", False):
+                for c in cands:
+                    area = f", {c['area']}" if c["area"] else ""
+                    print(f"{c['id']}, {c['name']}, {c['accuracy']}{area}")
+                return True
             for i, c in enumerate(cands):
                 if not quiet:
                     if i:
@@ -751,7 +757,11 @@ def _projinfo_db_pair(args) -> bool:
                     print(f"{c['id']}, {c['name']}, {c['accuracy']}{area}")
                     print()
                     print("PROJ string:")
-                print(dbcrs._format_pipeline(c["steps"], single))
+                if c["steps"] is None:
+                    print("Error when exporting to PROJ string: no "
+                          "PROJ-usable grid", file=sys.stderr)
+                else:
+                    print(dbcrs._format_pipeline(c["steps"], single))
             return True
         # geodetic-pair candidate operations (NAD27→NAD83 pattern)
         try:

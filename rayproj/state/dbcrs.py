@@ -22,6 +22,7 @@ near-degree angular factors snap to pi/180 first (factory.cpp:1793).
 from __future__ import annotations
 
 import math
+import re
 
 from . import projdb
 
@@ -1462,6 +1463,19 @@ def vgrid_candidates(s_token: str, t_token: str) -> list[dict] | None:
     compound-synthesized), name, accuracy text, area and pipeline."""
 
     def resolve(token: str):
+        # 'EPSG:4326+3855' builds an ad-hoc compound (c_api
+        # createCRSFromCode '+' syntax)
+        mc = re.match(r"([A-Za-z_]+):([0-9A-Za-z_]+)\+([0-9A-Za-z_]+)$",
+                      token)
+        if mc:
+            try:
+                comps = [load_crs(mc.group(1).upper(), mc.group(2)),
+                         load_crs(mc.group(1).upper(), mc.group(3))]
+            except NotFound:
+                return None
+            return {"kind": "compound", "components": comps,
+                    "name": " + ".join(c["name"] for c in comps),
+                    "usages": []}
         m = _split_authcode(token)
         codes = [m] if m else _crs_codes_by_name(token)
         loaded = []
@@ -1481,7 +1495,15 @@ def vgrid_candidates(s_token: str, t_token: str) -> list[dict] | None:
     s, t = resolve(s_token), resolve(t_token)
     if s is None or t is None:
         return None
-    synthesized = False  # compound sources lose the op identity
+    synthesized = False  # compound/projected ends lose the op identity
+    prefix = ""
+    to_compound = False
+    if s["kind"] == "projected":
+        # e.g. 32631 → 4326+3855: the horizontal leg is the inverse
+        # conversion; the vertical candidates carry its name as prefix
+        prefix = f"Inverse of {s['conversion']['name']} + "
+        s = s["base"]
+        synthesized = True
     if s["kind"] == "compound":
         vert = next((c for c in s["components"] if c["kind"] == "vertical"),
                     None)
@@ -1489,6 +1511,14 @@ def vgrid_candidates(s_token: str, t_token: str) -> list[dict] | None:
             return None
         s = vert
         synthesized = True
+    if t["kind"] == "compound":
+        vert_t = next((c for c in t["components"]
+                       if c["kind"] == "vertical"), None)
+        if vert_t is None:
+            return None
+        t = vert_t
+        synthesized = True
+        to_compound = True
     if s["kind"] == "vertical" and t["kind"] == "geographic":
         vert, geog, inverse = s, t, True
     elif s["kind"] == "geographic" and t["kind"] == "vertical":
@@ -1525,12 +1555,9 @@ def vgrid_candidates(s_token: str, t_token: str) -> list[dict] | None:
             "SELECT proj_grid_name FROM grid_alternatives "
             "WHERE original_grid_name=? OR old_proj_grid_name=?",
             grid, grid)
-        if alt is None:
-            if grid.endswith(".tif"):
-                alt = (grid,)
-            else:
-                continue  # no PROJ-usable grid: op not constructible
-        derived = alt[0] != grid
+        known = alt is not None or grid.endswith(".tif")
+        gridname = alt[0] if alt is not None else grid
+        derived = gridname != grid
         if synthesized:
             id_str = "unknown id"
         else:
@@ -1541,21 +1568,42 @@ def vgrid_candidates(s_token: str, t_token: str) -> list[dict] | None:
         steps = ["+proj=axisswap +order=2,1",
                  "+proj=unitconvert +xy_in=deg +xy_out=rad",
                  ("" if inverse else "+inv ")
-                 + f"+proj=vgridshift +grids={alt[0]} +multiplier=1",
+                 + f"+proj=vgridshift +grids={gridname} +multiplier=1",
                  "+proj=unitconvert +xy_in=rad +xy_out=deg",
-                 "+proj=axisswap +order=2,1"]
+                 "+proj=axisswap +order=2,1"] if known else None
+        # identified ops display the db accuracy text; synthesized
+        # chains re-derive it as a double (1.0 -> '1')
+        acc_txt = (f"{_g(acc)} m" if synthesized else f"{acc!s} m") \
+            if acc is not None else "unknown accuracy"
         out.append({
             "id": id_str,
-            "name": ("Inverse of " if inverse else "") + name,
-            "accuracy": f"{acc!s} m" if acc is not None
-            else "unknown accuracy",
+            "name": prefix + ("Inverse of " if inverse else "") + name,
+            "accuracy": acc_txt,
             "area": us[0]["area"] if us else None,
+            "bbox": us[0]["bbox"] if us else (-90, -180, 90, 180),
             "accuracy_val": acc if acc is not None else 1e9,
+            "known": known,
             "steps": steps,
         })
     if not out:
         return None
-    out.sort(key=lambda o: o["accuracy_val"])
+    # grids-known first, then pseudo-area desc, then accuracy — the
+    # SortFunction slots that apply here
+    out.sort(key=lambda o: (not o["known"], -_bbox_area(o["bbox"]),
+                            o["accuracy_val"]))
+    if to_compound:
+        # geog/projected → compound adds the vertical ballpark chain
+        out.append({
+            "id": "unknown id",
+            "name": prefix + "Inverse of Transformation from "
+            f"{vert['name']} to {geog['name']} (ballpark vertical "
+            "transformation, without ellipsoid height to vertical "
+            "height correction)",
+            "accuracy": "unknown accuracy",
+            "area": "World, has ballpark transformation",
+            "bbox": (-90, -180, 90, 180),
+            "accuracy_val": 1e9, "known": True, "steps": ["+proj=noop"],
+        })
     return out
 
 

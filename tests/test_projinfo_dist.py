@@ -83,6 +83,10 @@ DESCRIBE_CASES = [
      "--spatial-test intersects",
      ["-s", "NAD27", "-t", "NAD83", "--grid-check", "none",
       "--spatial-test", "intersects"]),
+    ("Testing -s EPSG:32631 -t EPSG:4326+3855 --summary",
+     ["-s", "EPSG:32631", "-t", "EPSG:4326+3855", "--summary"]),
+    ("Testing -s EPSG:32631 -t EPSG:4326+3855 --3d --summary",
+     ["-s", "EPSG:32631", "-t", "EPSG:4326+3855", "--3d", "--summary"]),
     ("Testing -s EPSG:4936 -t EPSG:4978 --spatial-test intersects "
      "--summary where WGS 84 to ETRS89 (2) uses a transformation method "
      "not supported by PROJ currently (time-specific Helmert), and thus "
