@@ -762,6 +762,13 @@ def _projinfo_db_pair(args) -> bool:
                           "PROJ-usable grid", file=sys.stderr)
                 else:
                     print(dbcrs._format_pipeline(c["steps"], single))
+                if "WKT2_2019" in fmts and c.get("wkt") is not None:
+                    s_ep, t_ep = c["endpoints"]
+                    print()
+                    if not quiet:
+                        print("WKT2:2019 string:")
+                    print(dbcrs.candidate_wkt2(c["wkt"], s_ep, t_ep,
+                                               single=single))
             return True
         # geodetic-pair candidate operations (NAD27→NAD83 pattern)
         try:

@@ -1495,6 +1495,7 @@ def vgrid_candidates(s_token: str, t_token: str) -> list[dict] | None:
     s, t = resolve(s_token), resolve(t_token)
     if s is None or t is None:
         return None
+    s_disp, t_disp = s, t  # the user's CRS, for operation WKT blocks
     synthesized = False  # compound/projected ends lose the op identity
     prefix = ""
     to_compound = False
@@ -1543,12 +1544,15 @@ def vgrid_candidates(s_token: str, t_token: str) -> list[dict] | None:
         geog["datum"]["auth"], geog["datum"]["code"]))
     out = []
     rows = [r for ga, gc in sorted(geog_codes) for r in _all(
-        "SELECT auth_name, code, name, accuracy, grid_name "
+        "SELECT auth_name, code, name, accuracy, grid_name, "
+        "method_auth_name, method_code, method_name, grid_param_name, "
+        "operation_version, description "
         "FROM grid_transformation WHERE deprecated=0 "
         "AND source_crs_auth_name=? AND source_crs_code=? "
         "AND target_crs_auth_name=? AND target_crs_code=?",
         ga, gc, vert["auth"], vert["code"])]
-    for auth, code, name, acc, grid in rows:
+    for (auth, code, name, acc, grid, ma, mc, mname, gpname,
+         version, remark) in rows:
         if (auth, code) in superseded:
             continue
         alt = _one(
@@ -1584,6 +1588,18 @@ def vgrid_candidates(s_token: str, t_token: str) -> list[dict] | None:
             "accuracy_val": acc if acc is not None else 1e9,
             "known": known,
             "steps": steps,
+            # candidate_wkt2-compatible record (block output)
+            "wkt": None if synthesized else {
+                "kind": "vgrid", "auth": auth, "code": code, "name": name,
+                "acc": acc, "reverse": inverse, "derived": derived,
+                "method_name": mname, "method_id": (ma, mc),
+                "files": [(gpname, gridname)],
+                "version": version, "remark": remark or None,
+                "scope": us[0]["scope"] if us else "unknown",
+                "area": us[0]["area"] if us else "World",
+                "bbox": us[0]["bbox"] if us else (-90, -180, 90, 180),
+                "prefix": "",
+            },
         })
     if not out:
         return None
@@ -1604,6 +1620,8 @@ def vgrid_candidates(s_token: str, t_token: str) -> list[dict] | None:
             "bbox": (-90, -180, 90, 180),
             "accuracy_val": 1e9, "known": True, "steps": ["+proj=noop"],
         })
+    for o in out:
+        o["endpoints"] = (s_disp, t_disp)
     return out
 
 

@@ -128,6 +128,9 @@ DESCRIBE_CASES = [
      "--spatial-test intersects",
      ["-s", "GDA2020", "-t", "AHD height", "--grid-check", "none",
       "-o", "PROJ", "--spatial-test", "intersects"]),
+    ("Testing RH2000 height to SWEREF99: projinfo -s EPSG:5613 "
+     "-t EPSG:4977",
+     ["-s", "EPSG:5613", "-t", "EPSG:4977"]),
     ("Testing NGF IGN69 height to RGF93: projinfo -s EPSG:5720 "
      "-t EPSG:4965 -o PROJ",
      ["-s", "EPSG:5720", "-t", "EPSG:4965", "-o", "PROJ"]),
