@@ -777,7 +777,7 @@ def _projinfo_db_pair(args) -> bool:
                 spatial_test=getattr(args, "spatial_test", None)
                 or "contains",
                 hide_ballpark=getattr(args, "hide_ballpark", False),
-                aoi=aoi)
+                aoi=aoi, grid_check=getattr(args, "grid_check", None))
         except Exception:
             res = None
         if res is not None:

@@ -1668,17 +1668,24 @@ def _bbox_area(b) -> float:
                               - math.sin(math.radians(s)))
 
 
+def _shift(iw: float, ow: float) -> float:
+    """Circular offset of inner start from outer start, with float-dirt
+    wraparound snapped back to zero."""
+    sh = (iw - ow) % 360.0
+    return 0.0 if sh >= 360.0 - 1e-9 else sh
+
+
 def _bbox_contains(outer, inner) -> bool:
     os_, ow, on, oe = outer
     is_, iw, in_, ie = inner
-    if not (os_ <= is_ and on >= in_):
+    if not (os_ <= is_ + 1e-9 and on >= in_ - 1e-9):
         return False
     # circular longitude containment
     ospan = _lon_span(ow, oe)
     if ospan >= 360.0 - 1e-9:
         return True  # full-circle outer (World) contains any interval
-    shift = (iw - ow) % 360.0
-    return shift + _lon_span(iw, ie) <= ospan + 1e-9
+    sh = _shift(iw, ow)
+    return sh + _lon_span(iw, ie) <= ospan + 1e-9
 
 
 def _bbox_intersects(a, b) -> bool:
@@ -1687,17 +1694,17 @@ def _bbox_intersects(a, b) -> bool:
     if an < bs or bn < as_:
         return False
     sa, sb = _lon_span(aw, ae), _lon_span(bw, be)
-    shift = (bw - aw) % 360.0
-    return shift < sa + 1e-9 or shift + sb >= 360.0 - 1e-9
+    sh = _shift(bw, aw)
+    return sh < sa + 1e-9 or sh + sb >= 360.0 - 1e-9
 
 
 def _bbox_intersection(a, b):
     as_, aw, an, ae = a
     bs, bw, bn, be = b
     s, n = max(as_, bs), min(an, bn)
-    shift = (bw - aw) % 360.0
-    start = max(0.0, shift) if shift < _lon_span(aw, ae) else 0.0
-    end = min(_lon_span(aw, ae), shift + _lon_span(bw, be))
+    sh = _shift(bw, aw)
+    start = max(0.0, sh) if sh < _lon_span(aw, ae) else 0.0
+    end = min(_lon_span(aw, ae), sh + _lon_span(bw, be))
     w = aw + start
     e = aw + end
     norm = lambda x: ((x + 180.0) % 360.0) - 180.0  # noqa: E731
@@ -1720,7 +1727,7 @@ def _crs_extent(crs: dict):
 def geog_pair_candidates(s_token: str, t_token: str, *,
                          spatial_test: str = "contains",
                          hide_ballpark: bool = False,
-                         aoi=None):
+                         aoi=None, grid_check: str | None = None):
     """createOperations over a geodetic pair: direct transformation
     rows from the helmert/grid/other tables (either direction),
     EPSG/PROJ authorities, non-deprecated, non-superseded-same-pair,
@@ -1734,13 +1741,21 @@ def geog_pair_candidates(s_token: str, t_token: str, *,
     def resolve(token: str):
         m = _split_authcode(token)
         codes = [m] if m else _crs_codes_by_name(token)
+        loaded = []
         for ac in codes:
             try:
-                crs = load_crs(*ac)
+                loaded.append(load_crs(*ac))
             except NotFound:
                 continue
-            if crs["kind"] in ("geographic", "geocentric", "projected"):
-                return crs
+        # name lookup prefers the geographic 2D member of a datum
+        # family over its 3D/geocentric siblings
+        for pick in (lambda c: c.get("geog_type") == "geographic 2D",
+                     lambda c: c["kind"] == "geographic",
+                     lambda c: c["kind"] == "geocentric",
+                     lambda c: c["kind"] == "projected"):
+            for crs in loaded:
+                if pick(crs):
+                    return crs
         return None
 
     s_crs, t_crs = resolve(s_token), resolve(t_token)
@@ -1823,8 +1838,20 @@ def geog_pair_candidates(s_token: str, t_token: str, *,
             "scope": us[0]["scope"], "area": us[0]["area"],
             "bbox": us[0]["bbox"], "exportable": exportable,
             "known": derived or k != "grid",
+            # no grid files ship in this environment: with the default
+            # USE_FOR_SORTING grid check, grid-requiring ops sort after
+            # helmerts (coordinateoperation.cpp:11746-11762)
+            "available": grid_check == "none" or k != "grid",
             "approx": False,
         })
+    if not cands:
+        # no direct operation: single-intermediate hub search (the
+        # reference's createOperationsWithDatumPivot) — chains of two
+        # transformation rows joined through a pivot datum family, with
+        # geog↔geocentric conversion legs spliced into the name
+        cands = _hub_chains(s_crs, t_crs, rows, superseded, tblname,
+                            grid_check)
+
     # synthesized ballpark
     geocentric = s_crs["kind"] == "geocentric"
     bp_kind = ("Ballpark geocentric translation"
@@ -1839,7 +1866,8 @@ def geog_pair_candidates(s_token: str, t_token: str, *,
         "files": [], "version": None, "remark": None,
         "scope": "unknown", "area": "World",
         "bbox": (-90.0, -180.0, 90.0, 180.0),
-        "exportable": True, "known": True, "approx": True,
+        "exportable": True, "known": True, "available": True,
+        "approx": True,
     })
     for c in cands:
         c["prefix"] = s_prefix if c["kind"] != "ballpark" else ""
@@ -1882,8 +1910,8 @@ def geog_pair_candidates(s_token: str, t_token: str, *,
     # area slot per the reference's precompute: with an explicit AOI
     # every containing candidate ties and accuracy decides
     shown.sort(key=lambda c: (
-        not c["exportable"], c["approx"], not c["known"],
-        c["acc"] is None, -sort_area(c["bbox"]),
+        not c["exportable"], c["approx"], not c.get("available", True),
+        not c["known"], c["acc"] is None, -sort_area(c["bbox"]),
         c["acc"] if c["acc"] is not None else 0.0))
     return shown, intersects, s_crs, t_crs
 
@@ -1893,12 +1921,13 @@ def candidate_display(c: dict) -> str:
         return (f"unknown id, {c['name']}, unknown accuracy, "
                 "World, has ballpark transformation")
     name = ("Inverse of " if c["reverse"] else "") + c["name"]
-    if c.get("prefix"):
+    if c.get("prefix") or c["kind"] == "chain":
         # composed operation: synthesized identity, double-formatted
         # accuracy (the reference re-derives it from the members)
         acc = (f"{_g(c['acc'])} m" if c["acc"] is not None
                else "unknown accuracy")
-        return f"unknown id, {c['prefix']}{name}, {acc}, {c['area']}"
+        return (f"unknown id, {c.get('prefix', '')}{name}, {acc}, "
+                f"{c['area']}")
     idp = f"DERIVED_FROM({c['auth']})" if c["derived"] else c["auth"]
     if c["reverse"]:
         idp = f"INVERSE({idp})"
@@ -1979,3 +2008,145 @@ def candidate_wkt2(c: dict, s_crs: dict, t_crs: dict, *,
     if c["remark"]:
         parts.append(N("REMARK", q(c["remark"])))
     return render(N("COORDINATEOPERATION", *parts), single=single)
+
+
+# ------------------------------------- hub-chain composition helpers
+
+def _datum_family(auth: str, code: str):
+    """(datum auth/code, crs kind) for a geodetic CRS code."""
+    row = _one(
+        "SELECT datum_auth_name, datum_code, type FROM geodetic_crs "
+        "WHERE auth_name=? AND code=?", auth, code)
+    if row is None:
+        return None
+    return (row[0], row[1]), row[2]
+
+
+def _crs_brief(auth: str, code: str):
+    row = _one("SELECT name, type FROM geodetic_crs "
+               "WHERE auth_name=? AND code=?", auth, code)
+    return row
+
+
+def _conv_leg(name: str, from_kind: str, to_kind: str) -> str:
+    def tag(kind: str) -> str:
+        return "geocentric" if kind == "geocentric" else "geog2D"
+
+    return (f"Conversion from {name} ({tag(from_kind)}) "
+            f"to {name} ({tag(to_kind)})")
+
+
+def _hub_chains(s_crs: dict, t_crs: dict, rows, superseded,
+                tblname, grid_check: str | None = None) -> list[dict]:
+    """Two-leg chains s→pivot→t over the transformation rows. Each leg
+    may sit at geographic or geocentric level of its datum family;
+    conversion legs appear in the display name at level changes
+    (coordinateoperation.cpp createOperationsWithDatumPivot)."""
+    s_datum = (s_crs["datum"]["auth"], s_crs["datum"]["code"])
+    t_datum = (t_crs["datum"]["auth"], t_crs["datum"]["code"])
+    fam_cache: dict = {}
+
+    def fam(auth, code):
+        key = (auth, code)
+        if key not in fam_cache:
+            fam_cache[key] = _datum_family(auth, code)
+        return fam_cache[key]
+
+    # collect usable op records keyed by their endpoint datum pairs
+    ops = []
+    for (k, auth, code, name, acc, sa, sc, ta, tc, ma, mc, mname,
+         p1name, g1, p2name, g2, version, remark) in rows:
+        if auth not in ("EPSG", "PROJ"):
+            continue
+        if (tblname[k], auth, code) in superseded:
+            continue
+        f_s, f_t = fam(sa, sc), fam(ta, tc)
+        if f_s is None or f_t is None:
+            continue
+        known = True
+        if k == "grid":
+            alt = _one(
+                "SELECT 1 FROM grid_alternatives WHERE original_grid_name=? "
+                "OR old_proj_grid_name=?", g1, g1)
+            known = alt is not None or (g1 or "").endswith(".tif")
+        if k == "helmert" and mc in _UNSUPPORTED_HELMERT_METHODS:
+            continue
+        ops.append({
+            "tbl": k, "auth": auth, "code": code, "name": name,
+            "acc": acc, "s_datum": f_s[0], "t_datum": f_t[0],
+            "s_kind": f_s[1], "t_kind": f_t[1],
+            "s_crs": (sa, sc), "t_crs": (ta, tc), "known": known,
+        })
+
+    def usage_of(o):
+        return _usages(tblname[o["tbl"]], o["auth"], o["code"])
+
+    def leg(o, forward: bool):
+        nm = o["name"] if forward else "Inverse of " + o["name"]
+        lo_kind = o["s_kind"] if forward else o["t_kind"]
+        hi_kind = o["t_kind"] if forward else o["s_kind"]
+        return nm, lo_kind, hi_kind
+
+    chains = []
+    for o1 in ops:
+        for o1_fwd in (True, False):
+            d_from = o1["s_datum"] if o1_fwd else o1["t_datum"]
+            d_hub = o1["t_datum"] if o1_fwd else o1["s_datum"]
+            if d_from != s_datum or d_hub in (s_datum, t_datum):
+                continue
+            for o2 in ops:
+                for o2_fwd in (True, False):
+                    if (o2["s_datum"] if o2_fwd else o2["t_datum"]) \
+                            != d_hub:
+                        continue
+                    if (o2["t_datum"] if o2_fwd else o2["s_datum"]) \
+                            != t_datum:
+                        continue
+                    u1, u2 = usage_of(o1), usage_of(o2)
+                    if not u1 or not u2:
+                        continue
+                    b1, b2 = u1[0]["bbox"], u2[0]["bbox"]
+                    if not _bbox_intersects(b1, b2):
+                        continue
+                    if _bbox_contains(b2, b1):
+                        bbox, area, scope = b1, u1[0]["area"], \
+                            u1[0]["scope"]
+                    elif _bbox_contains(b1, b2):
+                        bbox, area, scope = b2, u2[0]["area"], \
+                            u2[0]["scope"]
+                    else:
+                        bbox = _bbox_intersection(b1, b2)
+                        area, scope = u1[0]["area"], u1[0]["scope"]
+                    n1, lo1, hi1 = leg(o1, o1_fwd)
+                    n2, lo2, hi2 = leg(o2, o2_fwd)
+                    pieces = []
+                    if lo1 == "geocentric":
+                        pieces.append(_conv_leg(
+                            s_crs["name"], "geographic 2D", "geocentric"))
+                    pieces.append(n1)
+                    if hi1 != lo2:
+                        hub_name = _crs_brief(
+                            *(o2["s_crs"] if o2_fwd else o2["t_crs"]))
+                        pieces.append(_conv_leg(
+                            hub_name[0], hi1, lo2))
+                    pieces.append(n2)
+                    if hi2 == "geocentric":
+                        pieces.append(_conv_leg(
+                            t_crs["name"], "geocentric", "geographic 2D"))
+                    acc = (o1["acc"] + o2["acc"]
+                           if o1["acc"] is not None
+                           and o2["acc"] is not None else None)
+                    chains.append({
+                        "kind": "chain", "auth": None, "code": None,
+                        "name": " + ".join(pieces), "acc": acc,
+                        "reverse": False, "derived": False,
+                        "method_name": None, "method_id": None,
+                        "files": [], "version": None, "remark": None,
+                        "scope": scope, "area": area, "bbox": bbox,
+                        "exportable": True,
+                        "known": o1["known"] and o2["known"],
+                        "available": grid_check == "none" or
+                        (o1["tbl"] != "grid" and o2["tbl"] != "grid"),
+                        "approx": False,
+                    })
+    return chains

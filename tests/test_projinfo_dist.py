@@ -115,6 +115,15 @@ DESCRIBE_CASES = [
      "--summary",
      ["-s", "EPSG:4230", "-t", "EPSG:4258",
       "--area", "WRONG:CODE", "--summary"]),
+    ('Testing -s "GDA94" -t "WGS 84 (G1762)" --spatial-test intersects '
+     "--summary. Should include transformations through ITRF2008 and "
+     "GDA2020",
+     ["-s", "GDA94", "-t", "WGS 84 (G1762)",
+      "--spatial-test", "intersects", "--summary"]),
+    ('Testing -s "AGD66" -t "WGS 84 (G1762)" --spatial-test intersects '
+     "--summary. Should include a transformation through GDA2020",
+     ["-s", "AGD66", "-t", "WGS 84 (G1762)",
+      "--spatial-test", "intersects", "--summary"]),
     ("Testing -s EPSG:31467 -t ETRS89 --spatial-test intersects "
      "--grid-check none --bbox 8,48,9,49 --summary. Should include both "
      "DHDN to ETRS89 (8) and DHDN to ETRS89 (BWTA2017)",
