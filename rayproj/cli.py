@@ -594,12 +594,22 @@ def _projinfo_db_describe(defn: str, args) -> bool:
 
     # kind == crs
     crs = None
-    if m is not None:
+    if defn.lstrip().startswith("GEOGCS"):
+        # lenient WKT1 GEOGCS import (non-compliant-WKT1 describe)
+        try:
+            imported = dbcrs.wkt1_geogcs_import(defn)
+        except Exception:
+            imported = None
+        if imported is not None:
+            warnings, crs = imported
+            for w in warnings:
+                print(w)
+    if crs is None and m is not None:
         try:
             crs = dbcrs.load_crs(m.group(1).upper(), m.group(2))
         except dbcrs.NotFound:
             return False
-    else:
+    elif crs is None:
         # bare name: CRS first, then datum (the reference's
         # createObjectsFromName cross-type search, projinfo.cpp:215)
         try:

@@ -315,7 +315,9 @@ def _unit_node(u: dict, *, with_id: bool) -> N:
     kw = {"angle": "ANGLEUNIT", "length": "LENGTHUNIT",
           "scale": "SCALEUNIT"}.get(u["kind"], "UNIT")
     parts = [q(u["name"]), _g(u["factor"])]
-    if with_id:
+    # emit_id marks defaulted constants that keep their id even where
+    # the ancestor rule would normally suppress it (WKT1 import)
+    if (with_id or u.get("emit_id")) and u.get("code"):
         parts.append(N("ID", q(u["auth"]), u["code"]))
     return N(kw, *parts)
 
@@ -360,7 +362,9 @@ def _datum_node(d: dict) -> N:
 def _pm_node(d: dict) -> N:
     pm = d["pm"]
     return N("PRIMEM", q(pm["name"]), _g(pm["value"]),
-             _unit_node(pm["unit"], with_id=False))
+             _unit_node(pm["unit"], with_id=False),
+             _id_node(pm["auth"], pm["code"]) if pm.get("emit_id")
+             else None)
 
 
 def _usage_nodes(usages: list[dict], variant: str) -> list:
@@ -764,9 +768,10 @@ def _geodetic_tokens(geog: dict) -> list[str]:
         else:
             toks.append(f"+a={_g(ell['a'])}")
             toks.append(f"+rf={_g(ell['rf'])}")
-        t = _towgs84_7(geog["auth"], geog["code"])
-        if t:
-            toks.append(t)
+        if geog.get("code"):
+            t = _towgs84_7(geog["auth"], geog["code"])
+            if t:
+                toks.append(t)
     pm = _pm_token(geog["datum"]["pm"]["lon_deg"])
     if pm:
         toks.append(pm)
@@ -2150,3 +2155,102 @@ def _hub_chains(s_crs: dict, t_crs: dict, rows, superseded,
                         "approx": False,
                     })
     return chains
+
+
+# ----------------------------- lenient WKT1 GEOGCS import describe
+
+_WKT1_DATUM_RENAME = {
+    # io.cpp WKT1 import: underscore datum names back to EPSG names
+    "WGS_1984": "World Geodetic System 1984",
+    "World_Geodetic_System_1984": "World Geodetic System 1984",
+    "North_American_Datum_1927": "North American Datum 1927",
+    "North_American_Datum_1983": "North American Datum 1983",
+}
+
+
+def wkt1_geogcs_import(text: str):
+    """Lenient import of a WKT1 GEOGCS (the reference's non-strict
+    parser path): missing PRIMEM defaults to the Greenwich constant
+    (with its EPSG id), SPHEROID without a unit defaults to the metre
+    constant (id 9001), parsed units carry no ids, axes default to the
+    WKT1 longitude/latitude order. Returns (warnings, crs_dict) or
+    None. Warning texts mirror projinfo's non-compliant-WKT1 output
+    (strict-grammar simulation with the 40-char context + caret)."""
+    from ..core.wkt import parse_wkt
+
+    try:
+        root = parse_wkt(text)
+    except Exception:
+        return None
+    if root.keyword != "GEOGCS":
+        return None
+    datum = root.find("DATUM")
+    sph = datum.find("SPHEROID", "ELLIPSOID") if datum else None
+    if datum is None or sph is None or len(sph.args) < 3:
+        return None
+    warnings = []
+    crs_unit = root.find("UNIT")
+    if root.find("PRIMEM") is None:
+        warnings.append("Warning: GEOGCS should have a PRIMEM node")
+        # strict-grammar simulation: the token that appears where
+        # PRIMEM was expected (right after the DATUM node)
+        dstart = text.find("DATUM")
+        depth, pos = 0, dstart
+        while pos < len(text):
+            if text[pos] == "[":
+                depth += 1
+            elif text[pos] == "]":
+                depth -= 1
+                if depth == 0:
+                    pos += 1
+                    break
+            pos += 1
+        while pos < len(text) and text[pos] in ", ":
+            pos += 1
+        m2 = re.match(r"[A-Za-z_][A-Za-z_0-9]*", text[pos:])
+        tok = m2.group(0) if m2 else "end of input"
+        warnings.append(
+            f"Warning: Parsing error : syntax error, unexpected {tok}, "
+            "expecting PRIMEM. Error occurred around:")
+        ctx_start = max(0, pos - 40)
+        warnings.append(text[ctx_start:pos + 40])
+        warnings.append(" " * (pos - ctx_start) + "^")
+    d_name_in = str(datum.args[0]) if datum.args else "unknown"
+    d_name = _WKT1_DATUM_RENAME.get(d_name_in,
+                                    d_name_in.replace("_", " "))
+    drow = _one("SELECT auth_name, code FROM geodetic_datum "
+                "WHERE name=? OR name=?", d_name, d_name + " ensemble")
+    metre = dict(_unit("EPSG", "9001"))
+    metre["emit_id"] = True  # defaulted constant keeps its id
+    a = float(sph.args[1])
+    rf = float(sph.args[2])
+    deg_val = (crs_unit.args[1] if crs_unit and len(crs_unit.args) > 1
+               else _DEG)
+    deg = {"auth": "EPSG", "code": "", "name":
+           str(crs_unit.args[0]) if crs_unit and crs_unit.args
+           else "degree", "factor": float(deg_val), "kind": "angle"}
+    pm = {"auth": "EPSG", "code": "8901", "name": "Greenwich",
+          "value": 0.0, "lon_deg": 0.0, "emit_id": True,
+          "unit": {"auth": "EPSG", "code": "9122", "name": "degree",
+                   "factor": _DEG, "kind": "angle"}}
+    crs = {
+        "kind": "geographic", "geog_type": "geographic 2D",
+        "name": str(root.args[0]) if root.args else "unknown",
+        "datum": {
+            "auth": drow[0] if drow else "EPSG",
+            "code": drow[1] if drow else "",
+            "name": d_name,
+            "ellipsoid": {"auth": "EPSG", "code": "", "name":
+                          str(sph.args[0]), "a": a, "rf": rf,
+                          "unit": metre},
+            "pm": pm,
+        },
+        "cs": {"type": "ellipsoidal", "dim": 2, "axes": [
+            {"name": "Longitude", "abbrev": "", "orientation": "east",
+             "unit": deg, "order": 1},
+            {"name": "Latitude", "abbrev": "", "orientation": "north",
+             "unit": deg, "order": 2},
+        ]},
+        "usages": [],
+    }
+    return warnings, crs

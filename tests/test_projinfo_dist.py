@@ -63,6 +63,9 @@ DESCRIBE_CASES = [
     ("Testing projinfo -s EPSG:4326 -t EPSG:32631 --single-line",
      ["-s", "EPSG:4326", "-t", "EPSG:32631", "--single-line"]),
     ("Testing deprecated CRS: projinfo EPSG:26591", ["EPSG:26591"]),
+    ("Testing non compliant WKT1",
+     ['GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID["WGS 84",6378137,'
+      '298.257223563]],UNIT["degree",0.0174532925199433]]']),
     ("Testing CRS with towgs84: projinfo -o PROJ EPSG:25832",
      ["-o", "PROJ", "EPSG:25832"]),
     ("Testing EPSG:32631 --3d", ["EPSG:32631", "--3d"]),
