@@ -744,7 +744,7 @@ def _projinfo_db_pair(args) -> bool:
                 aoi = None
         # vertical grid-shift candidate listing (NGF/NAVD88-style)
         try:
-            cands = dbcrs.vgrid_candidates(args.s_crs, args.t_crs)
+            cands = dbcrs.vgrid_candidates(args.s_crs, args.t_crs, aoi=aoi)
         except Exception:
             cands = None
         if cands is not None and ("PROJ" in fmts
@@ -768,8 +768,11 @@ def _projinfo_db_pair(args) -> bool:
                     print()
                     print("PROJ string:")
                 if c["steps"] is None:
-                    print("Error when exporting to PROJ string: no "
-                          "PROJ-usable grid", file=sys.stderr)
+                    print("Error when exporting to PROJ string: "
+                          + ("export of composed operations not "
+                             "implemented" if c.get("composed")
+                             else "no PROJ-usable grid"),
+                          file=sys.stderr)
                 else:
                     print(dbcrs._format_pipeline(c["steps"], single))
                 if "WKT2_2019" in fmts and c.get("wkt") is not None:
@@ -810,6 +813,8 @@ def _projinfo_db_pair(args) -> bool:
                     print()
                     print(dbcrs.candidate_display(c))
                 printed = False
+                composed = c["kind"] in ("chain", "other") or \
+                    bool(c.get("prefix"))
                 if "PROJ" in fmts:
                     if not quiet:
                         print()
@@ -819,6 +824,10 @@ def _projinfo_db_pair(args) -> bool:
                         print("+proj=noop")
                     elif steps is not None:
                         print(dbcrs._format_pipeline(steps, single))
+                    elif composed:
+                        print("Error when exporting to PROJ string: "
+                              "export of composed operations not "
+                              "implemented", file=sys.stderr)
                     else:
                         print("Error when exporting to PROJ string: "
                               "unsupported operation method",
@@ -829,8 +838,13 @@ def _projinfo_db_pair(args) -> bool:
                         print()
                     if not quiet:
                         print("WKT2:2019 string:")
-                    print(dbcrs.candidate_wkt2(c, s_crs, t_crs,
-                                               single=single))
+                    if composed:
+                        print("Error when exporting to WKT2:2019: "
+                              "composed operation WKT emission not "
+                              "implemented", file=sys.stderr)
+                    else:
+                        print(dbcrs.candidate_wkt2(c, s_crs, t_crs,
+                                                   single=single))
             return True
         return False
     if not quiet:

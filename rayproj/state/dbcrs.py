@@ -1457,7 +1457,8 @@ def datum_projjson(auth: str, code: str) -> dict:
 
 # --------------------------------- vertical grid-shift candidates
 
-def vgrid_candidates(s_token: str, t_token: str) -> list[dict] | None:
+def vgrid_candidates(s_token: str, t_token: str,
+                     aoi=None) -> list[dict] | None:
     """Candidate operations for a vertical↔geographic-3D pair (or a
     compound whose vertical component pairs with the geographic 3D
     side): non-deprecated, non-superseded grid_transformation rows with
@@ -1560,6 +1561,10 @@ def vgrid_candidates(s_token: str, t_token: str) -> list[dict] | None:
          version, remark) in rows:
         if (auth, code) in superseded:
             continue
+        if aoi is not None:
+            usf = _usages("grid_transformation", auth, code)
+            if usf and not _bbox_intersects(usf[0]["bbox"], aoi):
+                continue
         alt = _one(
             "SELECT proj_grid_name FROM grid_alternatives "
             "WHERE original_grid_name=? OR old_proj_grid_name=?",
@@ -1592,7 +1597,10 @@ def vgrid_candidates(s_token: str, t_token: str) -> list[dict] | None:
             "bbox": us[0]["bbox"] if us else (-90, -180, 90, 180),
             "accuracy_val": acc if acc is not None else 1e9,
             "known": known,
-            "steps": steps,
+            # composed (prefixed) candidates: pipeline export would
+            # omit the advertised conversion leg — withhold it
+            "steps": None if prefix else steps,
+            "composed": bool(prefix),
             # candidate_wkt2-compatible record (block output)
             "wkt": None if synthesized else {
                 "kind": "vgrid", "auth": auth, "code": code, "name": name,
@@ -1623,7 +1631,9 @@ def vgrid_candidates(s_token: str, t_token: str) -> list[dict] | None:
             "accuracy": "unknown accuracy",
             "area": "World, has ballpark transformation",
             "bbox": (-90, -180, 90, 180),
-            "accuracy_val": 1e9, "known": True, "steps": ["+proj=noop"],
+            "accuracy_val": 1e9, "known": True,
+            "steps": None if prefix else ["+proj=noop"],
+            "composed": bool(prefix),
         })
     for o in out:
         o["endpoints"] = (s_disp, t_disp)
@@ -1798,9 +1808,15 @@ def geog_pair_candidates(s_token: str, t_token: str, *,
         "source_crs_auth_name, source_crs_code, target_crs_auth_name, "
         "target_crs_code, method_auth_name, method_code, name, "
         "NULL, NULL, NULL, NULL, operation_version, description "
-        "FROM helmert_transformation_table WHERE deprecated=0")
+        "FROM helmert_transformation_table WHERE deprecated=0 "
+        "UNION ALL SELECT 'other', auth_name, code, name, accuracy, "
+        "source_crs_auth_name, source_crs_code, target_crs_auth_name, "
+        "target_crs_code, method_auth_name, method_code, method_name, "
+        "NULL, NULL, NULL, NULL, operation_version, description "
+        "FROM other_transformation WHERE deprecated=0")
     tblname = {"grid": "grid_transformation",
-               "helmert": "helmert_transformation"}
+               "helmert": "helmert_transformation",
+               "other": "other_transformation"}
     for (k, auth, code, name, acc, sa, sc, ta, tc, ma, mc, mname,
          p1name, g1, p2name, g2, version, remark) in rows:
         fwd = (sa, sc) in s_codes and (ta, tc) in t_codes
@@ -1944,6 +1960,15 @@ def candidate_proj_steps(c: dict) -> list[str] | None:
     if c["kind"] == "ballpark":
         return ["+proj=noop"]
     if not c["exportable"]:
+        return None
+    if c["kind"] == "chain" or c.get("prefix"):
+        # composed operations: pipeline export not implemented — the
+        # caller reports that rather than printing a pipeline that
+        # omits the advertised conversion leg
+        return None
+    if c["kind"] == "other":
+        if c["method_name"] and c["method_name"].startswith("+proj="):
+            return _pipeline_steps(c["method_name"])
         return None
     if c["kind"] == "grid":
         inv = "+inv " if c["reverse"] else ""
@@ -2187,6 +2212,10 @@ def wkt1_geogcs_import(text: str):
     datum = root.find("DATUM")
     sph = datum.find("SPHEROID", "ELLIPSOID") if datum else None
     if datum is None or sph is None or len(sph.args) < 3:
+        return None
+    if root.find("PRIMEM") is not None or root.find("TOWGS84") is not None:
+        # compliant WKT1 (with PM/TOWGS84) keeps the proj-string
+        # describe path, which carries +pm/+towgs84 through
         return None
     warnings = []
     crs_unit = root.find("UNIT")
