@@ -498,9 +498,10 @@ def conversion_pipeline(s_crs: dict, t_crs: dict, *,
         steps.append("+proj=axisswap +order=2,1")
     steps.append("+proj=unitconvert +xy_in=deg +xy_out=rad")
     ell = s_crs["datum"]["ellipsoid"]
-    name = _named_ellps(ell["a"], ell["rf"])
+    a_m = _ell_a_m(ell)
+    name = _named_ellps(a_m, ell["rf"])
     ell_tok = (f"+ellps={name}" if name
-               else f"+a={_g(ell['a'])} +rf={_g(ell['rf'])}")
+               else f"+a={_g(a_m)} +rf={_g(ell['rf'])}")
     steps.append(" ".join(_conv_proj_tokens(conv)) + " " + ell_tok)
     if single:
         return "+proj=pipeline " + " ".join(f"+step {s}" for s in steps)
@@ -679,6 +680,13 @@ def _projjson_tail(out: dict, crs: dict) -> None:
 
 # ---------------------------------------------------------- PROJ.4 build
 
+def _ell_a_m(ell: dict) -> float:
+    """Semi-major axis in metres (the axis may be stored in e.g.
+    German legal metre — Bessel Namibia)."""
+    f = ell.get("unit", {}).get("factor") or 1.0
+    return ell["a"] * f
+
+
 # pj_ellps-style well-known (a, rf) -> +ellps name, from core ELLPS_TABLE
 def _named_ellps(a: float, rf: float) -> str | None:
     from ..core.ellps import ELLPS_TABLE
@@ -762,11 +770,12 @@ def _geodetic_tokens(geog: dict) -> list[str]:
     if geog["datum"]["code"] == "6326" and geog["datum"]["auth"] == "EPSG":
         toks.append("+datum=WGS84")
     else:
-        name = _named_ellps(ell["a"], ell["rf"])
+        a_m = _ell_a_m(ell)
+        name = _named_ellps(a_m, ell["rf"])
         if name:
             toks.append(f"+ellps={name}")
         else:
-            toks.append(f"+a={_g(ell['a'])}")
+            toks.append(f"+a={_g(a_m)}")
             toks.append(f"+rf={_g(ell['rf'])}")
         if geog.get("code"):
             t = _towgs84_7(geog["auth"], geog["code"])
@@ -1005,9 +1014,10 @@ def operation_proj_pipeline(auth: str, code: str,
 
     def ellps_tok(g: dict) -> str:
         e = g["datum"]["ellipsoid"]
-        name = _named_ellps(e["a"], e["rf"])
+        a_m = _ell_a_m(e)
+        name = _named_ellps(a_m, e["rf"])
         return (f"+ellps={name}" if name
-                else f"+a={_g(e['a'])} +rf={_g(e['rf'])}")
+                else f"+a={_g(a_m)} +rf={_g(e['rf'])}")
 
     hel = [f"+x={_g(tx or 0.0)}", f"+y={_g(ty or 0.0)}",
            f"+z={_g(tz or 0.0)}"]
@@ -1248,9 +1258,10 @@ def _cancel_pairs(steps: list[str]) -> list[str]:
 def _conv_with_ellps(proj_crs: dict) -> str:
     toks = _conv_proj_tokens(proj_crs["conversion"])
     ell = proj_crs["base"]["datum"]["ellipsoid"]
-    nm = _named_ellps(ell["a"], ell["rf"])
+    a_m = _ell_a_m(ell)
+    nm = _named_ellps(a_m, ell["rf"])
     toks.append(f"+ellps={nm}" if nm
-                else f"+a={_g(ell['a'])} +rf={_g(ell['rf'])}")
+                else f"+a={_g(a_m)} +rf={_g(ell['rf'])}")
     return " ".join(toks)
 
 

@@ -279,3 +279,105 @@ def test_prime_meridian_keeps_native_unit():
     w = dbcrs.to_wkt2(dbcrs.load_crs("EPSG", "4807"), "2019")  # NTF (Paris)
     assert 'PRIMEM["Paris",2.5969213,' in w
     assert 'ANGLEUNIT["grad",' in w
+
+
+def test_other_transformation_candidates():
+    """Geographic-offset ops stored in other_transformation surface in
+    the candidate search (review fix: Anguilla 1957→WGS 84)."""
+    from rayproj.state import dbcrs
+
+    shown, inter, s, t = dbcrs.geog_pair_candidates(
+        "EPSG:4600", "EPSG:4326", aoi=(18.2, -63.05, 18.24, -63.0))
+    assert any(c["code"] == "1447" for c in shown)
+    assert not any(c["kind"] == "ballpark" for c in shown)
+
+
+def test_compliant_wkt1_keeps_pm():
+    """A GEOGCS WITH a PRIMEM node stays on the proj-string describe
+    path (the lenient import would drop +pm)."""
+    from rayproj.state import dbcrs
+
+    w = ('GEOGCS["NTF (Paris)",DATUM["N",SPHEROID["Clarke 1880 (IGN)",'
+         '6378249.2,293.466021293627]],PRIMEM["Paris",2.33722917],'
+         'UNIT["grad",0.01570796326794897]]')
+    assert dbcrs.wkt1_geogcs_import(w) is None
+
+
+def test_composed_candidates_withhold_pipelines():
+    """Hub chains and prefixed candidates return no pipeline (the
+    advertised conversion leg is not in the exportable steps)."""
+    from rayproj.state import dbcrs
+
+    shown, _, s, t = dbcrs.geog_pair_candidates(
+        "GDA94", "WGS 84 (G1762)", spatial_test="intersects")
+    chains = [c for c in shown if c["kind"] == "chain"]
+    assert chains and all(
+        dbcrs.candidate_proj_steps(c) is None for c in chains)
+
+
+def test_vgrid_aoi_filter():
+    from rayproj.state import dbcrs
+
+    # Indonesia AOI excludes the France-only NGF operation
+    assert dbcrs.vgrid_candidates(
+        "EPSG:5720", "EPSG:4965", aoi=(0.0, 100.0, 1.0, 101.0)) is None
+
+
+def test_proj4_export_matches_resolver_numerically():
+    """Registry sweep: for a sample of EPSG projected CRS, the PROJ.4
+    string dbcrs emits and projdb.resolve_crs's expansion build
+    operations that agree at a probe point to 0.2 mm (caught the
+    German-legal-metre Bessel Namibia axis-unit bug)."""
+    import math
+
+    import numpy as np
+
+    from rayproj.core.factory import create_operation
+    from rayproj.core.op import Coords
+    from rayproj.state import dbcrs
+
+    db = projdb._db()
+    codes = [r[0] for r in db.execute(
+        "SELECT code FROM projected_crs WHERE auth_name='EPSG' "
+        "AND deprecated=0 ORDER BY CAST(code AS INTEGER)")]
+    sample = codes[::max(1, len(codes) // 100)]
+
+    def strip(s):
+        return " ".join(t for t in s.split()
+                        if not t.startswith("+towgs84")
+                        and t not in ("+type=crs", "+no_defs"))
+
+    checked = bad = 0
+    for code in sample:
+        try:
+            p4 = dbcrs.to_proj4(dbcrs.load_crs("EPSG", code))
+            ref = " ".join(
+                f"+{k}={v}" if v is not None else f"+{k}"
+                for k, v in projdb.resolve_crs("EPSG", code))
+            op_a = create_operation(
+                strip(p4).replace("+datum=WGS84", "+ellps=WGS84"))
+            op_b = create_operation(strip(ref))
+        except Exception:
+            continue
+        lon0 = 0.0
+        for t in p4.split():
+            if t.startswith("+lon_0="):
+                lon0 = float(t[7:])
+            if t.startswith("+zone="):
+                lon0 = int(t[6:]) * 6 - 183
+        lam = np.array([math.radians(lon0 + 0.5)])
+        phi = np.array([math.radians(30.0)])
+        try:
+            ca = Coords(lam.copy(), phi.copy())
+            op_a.fwd(ca)
+            cb = Coords(lam.copy(), phi.copy())
+            op_b.fwd(cb)
+        except Exception:
+            continue
+        checked += 1
+        if np.isnan(ca.x[0]) and np.isnan(cb.x[0]):
+            continue
+        if abs(ca.x[0] - cb.x[0]) > 2e-4 or abs(ca.y[0] - cb.y[0]) > 2e-4:
+            bad += 1
+    assert checked > 50
+    assert bad == 0
