@@ -1063,8 +1063,21 @@ def _strip_datum_tokens(toks):
 
 
 def _datum_known(toks) -> bool:
-    return any(t.lstrip("+").split("=", 1)[0]
-               in ("datum", "towgs84", "nadgrids") for t in toks)
+    for t in toks:
+        key, _, val = t.lstrip("+").partition("=")
+        if key in ("datum", "towgs84", "nadgrids"):
+            return True
+        if key == "init" and val:
+            # the datum info may live inside the catalog expansion
+            try:
+                from .core.resources import load_init
+
+                if any(k in ("datum", "towgs84", "nadgrids")
+                       for k, _ in load_init(val)):
+                    return True
+            except Exception:
+                pass
+    return False
 
 
 def cmd_cs2cs(args) -> int:
@@ -1132,6 +1145,14 @@ def cmd_cs2cs(args) -> int:
         # (possibly time-dependent) registry Helmert between the two
         # frames (EPSG 1053-family; ITRF/ETRF cases)
         fr = _frame_pair_op(raw_src, raw_dst)
+        if fr is not None:
+            return fr(args)
+    else:
+        # geocentric↔geocentric database pairs use the DIRECT registry
+        # Helmert between the two frames when one exists (the op
+        # createOperations would pick — e.g. IGNF RGR92→REUN47 TSG355,
+        # which is NOT the algebraic inverse of the towgs84 hub legs)
+        fr = _frame_pair_op(raw_src, raw_dst, require_geocentric=True)
         if fr is not None:
             return fr(args)
     if _datum_known(src_toks) != _datum_known(dst_toks):
@@ -1268,21 +1289,43 @@ def _cs2cs_db_route(args, toks) -> int:
                              lat_first=dst_lf, src_lat_first=src_lf)
 
 
-def _frame_pair_op(raw_src, raw_dst):
+def _single_crs_token(side) -> tuple[str, str] | None:
+    """(AUTH, code) when a cs2cs side is exactly one `AUTH:code` or
+    `+init=AUTH:code` token; else None."""
+    if not (side and len(side) == 1 and ":" in side[0]):
+        return None
+    tok = side[0]
+    for pre in ("+init=", "init="):
+        if tok.startswith(pre):
+            tok = tok[len(pre):]
+            break
+    a, _, c = tok.partition(":")
+    if not (a and c) or "=" in a:
+        return None
+    return a.upper(), c
+
+
+def _frame_pair_op(raw_src, raw_dst, require_geocentric=False):
     """When both cs2cs sides are single authority tokens naming
     reference frames with a direct registry Helmert (time-dependent
-    ITRF/ETRF family), return a runner applying that operation; else
+    ITRF/ETRF family, or plain geocentric pairs like IGNF
+    RGR92→REUN47), return a runner applying that operation; else
     None. Axis order and angular ends follow the CRS types."""
-    if not (raw_src and raw_dst and len(raw_src) == 1 and len(raw_dst) == 1
-            and ":" in raw_src[0] and ":" in raw_dst[0]):
+    s_tok, t_tok = _single_crs_token(raw_src), _single_crs_token(raw_dst)
+    if not (s_tok and t_tok):
         return None
     try:
         from .state.projdb import (_crs_datum_and_type, crs_is_lat_first,
                                    frame_shift_operation)
 
-        sa, sc = raw_src[0].split(":", 1)
-        ta, tc = raw_dst[0].split(":", 1)
-        sa, ta = sa.upper(), ta.upper()
+        sa, sc = s_tok
+        ta, tc = t_tok
+        if require_geocentric:
+            sd = _crs_datum_and_type(sa, sc)
+            td = _crs_datum_and_type(ta, tc)
+            if not (sd and td and sd[2] == "geocentric"
+                    and td[2] == "geocentric"):
+                return None
         op = frame_shift_operation(sa, sc, ta, tc)
         if op is None:
             return None

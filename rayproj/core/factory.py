@@ -233,10 +233,18 @@ def _cs2cs_emulation_setup(op: Operation) -> None:
         op.hgridshift = _skip_prep_fin(q)
 
     do_cart = False
-    towgs84 = None if op.hgridshift is not None else params.str_("towgs84")
-    if towgs84 and op.datum_params is not None:
+    towgs84 = params.str_("towgs84")
+    # +grid_fallback (database catalog expansions only): keep the
+    # towgs84 Helmert AS A PER-POINT FALLBACK for points outside the
+    # grid — proj_create_crs_to_crs candidate selection, not classic
+    # nadgrids-over-towgs84 precedence (which drops towgs84 entirely)
+    grid_fb = (op.hgridshift is not None and bool(towgs84)
+               and params.has("grid_fallback"))
+    if op.hgridshift is not None and not grid_fb:
+        towgs84 = None
+    if towgs84 and (op.datum_params is not None or grid_fb):
         d = op.datum_params
-        if all(v == 0 for v in d):
+        if d is not None and all(v == 0 for v in d) and not grid_fb:
             # null shift: only need the ellipsoid change if not already WGS84
             if not (
                 abs(op.a_orig - 6378137.0) < 1e-8 and abs(op.es_orig - 0.0066943799901413) < 1e-15
@@ -251,9 +259,13 @@ def _cs2cs_emulation_setup(op: Operation) -> None:
                 cs2cs_emulation=False,
             )
             q.ell = op.ell  # pj_inherit_ellipsoid_def
-            op.helmert = _skip_prep_fin(q)
+            if grid_fb:
+                op.helmert_fb = _skip_prep_fin(q)
+            else:
+                op.helmert = _skip_prep_fin(q)
 
-    if op.is_geocent or op.helmert is not None or do_cart:
+    if op.is_geocent or op.helmert is not None or op.helmert_fb is not None \
+            or do_cart:
         q = init_operation(
             Params.parse(
                 f"break_cs2cs_recursion proj=cart a={op.a_orig!r} es={op.es_orig!r}"

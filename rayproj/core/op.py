@@ -130,6 +130,7 @@ class Operation:
         self.cart = None
         self.cart_wgs84 = None
         self.hgridshift = None
+        self.helmert_fb = None  # Helmert fallback for out-of-grid points
         self.vgridshift = None
         self.datum_params = None  # 7-tuple when towgs84 present
         self.datum_type = 0
@@ -226,7 +227,10 @@ class Operation:
             if not self.over:
                 coo.x = adjlon(coo.x)
             if self.hgridshift is not None:
-                self.hgridshift.inv(coo)
+                if self.helmert_fb is not None:
+                    self._gridshift_with_fallback(coo, into_local=True)
+                else:
+                    self.hgridshift.inv(coo)
             elif self.helmert is not None or (self.cart_wgs84 is not None and self.cart is not None):
                 self.cart_wgs84.fwd(coo)      # to cartesian, WGS84 frame
                 if self.helmert is not None:
@@ -309,7 +313,10 @@ class Operation:
             if self.vgridshift is not None:
                 self.vgridshift.inv(coo)      # geometric from orthometric
             if self.hgridshift is not None:
-                self.hgridshift.fwd(coo)
+                if self.helmert_fb is not None:
+                    self._gridshift_with_fallback(coo, into_local=False)
+                else:
+                    self.hgridshift.fwd(coo)
             elif self.helmert is not None or (self.cart_wgs84 is not None and self.cart is not None):
                 self.cart.fwd(coo)            # to cartesian, local frame
                 if self.helmert is not None:
@@ -317,6 +324,39 @@ class Operation:
                 self.cart_wgs84.inv(coo)      # back to angular, WGS84
             if self.geoc:
                 self._geocentric_latitude(FWD, coo)
+
+    def _gridshift_with_fallback(self, coo: Coords, into_local: bool) -> None:
+        """Database-resolved datum leg: grid shift where the grid covers
+        the point, the registry Helmert candidate elsewhere — the
+        per-point operation selection of proj_create_crs_to_crs
+        (4D_api.cpp pj_get_suggested_operation). Classic single-op
+        proj.4 semantics (+nadgrids alone) error out-of-grid points;
+        this path only activates when the catalog expansion carried a
+        +grid_fallback marker (state/projdb._geodetic_pairs)."""
+        sx, sy, sz = coo.x.copy(), coo.y.copy(), coo.z.copy()
+        err0 = coo.err != 0
+        if into_local:
+            self.hgridshift.inv(coo)
+        else:
+            self.hgridshift.fwd(coo)
+        bad = (coo.err != 0) & ~err0
+        if not bad.any():
+            return
+        sub = Coords(sx[bad], sy[bad], sz[bad], coo.t[bad])
+        sub.z[np.isinf(sub.z)] = 0.0
+        sub.t[np.isinf(sub.t)] = 0.0
+        if into_local:
+            self.cart_wgs84.fwd(sub)
+            self.helmert_fb.inv(sub)
+            self.cart.inv(sub)
+        else:
+            self.cart.fwd(sub)
+            self.helmert_fb.fwd(sub)
+            self.cart_wgs84.inv(sub)
+        coo.x[bad] = sub.x
+        coo.y[bad] = sub.y
+        coo.z[bad] = sub.z
+        coo.err[bad] = sub.err
 
     # -- 4D_api.cpp:558-583 ------------------------------------------------
     def _geocentric_latitude(self, direction: int, coo: Coords) -> None:

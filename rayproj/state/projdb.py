@@ -209,10 +209,75 @@ def _geodetic_pairs(auth: str, code: str) -> list[tuple[str, str | None]] | None
         pm_deg = _angle_deg(float(prow[0]), str(prow[1]))
         if pm_deg != 0.0:
             pairs.append(("pm", _fmt(pm_deg)))
+    ng = _nadgrids(auth, code)
     tw = _towgs84(auth, code)
-    if tw is not None:
+    if ng is not None:
+        # a locatable grid to the WGS 84 hub outranks the Helmert
+        # (nadgrids has priority over towgs84, ref iso19111/io.cpp:9018);
+        # the Helmert stays as the PER-POINT fallback candidate for
+        # points outside the grid — proj_create_crs_to_crs operation
+        # selection, signalled to the factory by +grid_fallback
+        pairs.append(("nadgrids", ng))
+        if tw is not None:
+            pairs.append(("towgs84", tw))
+            pairs.append(("grid_fallback", None))
+    elif tw is not None:
         pairs.append(("towgs84", tw))
     return pairs
+
+
+def _nadgrids(auth: str, crs_code: str,
+              _hop_visited: set | None = None) -> str | None:
+    """Grid-shift file name to the WGS 84 hub, only when the grid file
+    itself is locatable on the resource path — the grid leg of
+    BoundCRS::createBoundCRSToWGS84IfPossible (ref iso19111/crs.cpp:396,
+    gridsNeeded availability check) in +init/proj.4 semantics."""
+    from ..core.resources import find_file
+
+    con = _db()
+    rows = con.execute(
+        "SELECT g.grid_name FROM grid_transformation g "
+        "WHERE g.source_crs_auth_name=? AND g.source_crs_code=? "
+        "  AND g.deprecated=0 "
+        "  AND (g.target_crs_auth_name='EPSG' AND g.target_crs_code='4326' "
+        "    OR EXISTS (SELECT 1 FROM geodetic_crs t "
+        "         WHERE t.auth_name=g.target_crs_auth_name "
+        "           AND t.code=g.target_crs_code "
+        "           AND t.datum_auth_name='EPSG' AND t.datum_code='6326')) "
+        "ORDER BY (g.accuracy IS NULL), g.accuracy, "
+        "  (g.auth_name != 'EPSG'), g.code",
+        (auth, crs_code),
+    ).fetchall()
+    for (grid,) in rows:
+        if grid and find_file(str(grid)):
+            return str(grid)
+    # follow longitude-rotation (EPSG 9601) links exactly like _towgs84:
+    # a Paris-meridian family borrows its Greenwich sibling's grid (the
+    # +pm token already expresses the rotation in +init semantics)
+    if _hop_visited is None:
+        _hop_visited = set()
+    _hop_visited.add((auth, crs_code))
+    datum = con.execute(
+        "SELECT datum_auth_name, datum_code FROM geodetic_crs "
+        "WHERE auth_name=? AND code=?", (auth, crs_code)).fetchone()
+    if datum:
+        links = con.execute(
+            "SELECT o.target_crs_auth_name, o.target_crs_code "
+            "FROM other_transformation o JOIN geodetic_crs g "
+            "  ON g.auth_name=o.source_crs_auth_name "
+            " AND g.code=o.source_crs_code "
+            "WHERE o.method_code='9601' AND o.deprecated=0 "
+            "  AND g.datum_auth_name=? AND g.datum_code=? "
+            "ORDER BY (o.auth_name != 'EPSG'), o.code",
+            tuple(datum)).fetchall()
+        for link in links:
+            tgt = (str(link[0]), str(link[1]))
+            if tgt in _hop_visited:
+                continue
+            ng = _nadgrids(tgt[0], tgt[1], _hop_visited)
+            if ng is not None:
+                return ng
+    return None
 
 
 def _towgs84(auth: str, crs_code: str,
@@ -221,12 +286,17 @@ def _towgs84(auth: str, crs_code: str,
     convention (coordinate-frame rotations negated), arcsec/ppm units —
     the classic +towgs84 contract (ref transform.cpp datum hub)."""
     con = _db()
+    own = con.execute(
+        "SELECT datum_auth_name, datum_code FROM geodetic_crs "
+        "WHERE auth_name=? AND code=?", (auth, crs_code)).fetchone()
+    if own and (str(own[0]), str(own[1])) == ("EPSG", "6326"):
+        return None  # the CRS IS the WGS 84 hub — never shift it
     # rank candidates the way the reference does with no area of
     # interest (createOperations filterAndSort): LARGEST usage extent
     # first — a nationwide transformation beats a more accurate but
     # regional one (e.g. MGI: EPSG:1618 Austria over EPSG:1194 Styria,
     # testvarious #207) — then accuracy, then code
-    row = con.execute(
+    sel = (
         "SELECT h.method_code, h.tx, h.ty, h.tz, h.rx, h.ry, h.rz, "
         "  h.scale_difference, h.rotation_uom_code, "
         "  h.scale_difference_uom_code, h.translation_uom_code, "
@@ -239,14 +309,31 @@ def _towgs84(auth: str, crs_code: str,
         "     AND u.object_code=h.code) AS area "
         "FROM helmert_transformation h "
         "WHERE h.source_crs_auth_name=? AND h.source_crs_code=? "
-        "  AND h.target_crs_auth_name='EPSG' AND h.target_crs_code='4326' "
+        "  AND {target} "
         "  AND h.deprecated=0 AND h.method_code IN "
         "  ('9603','9606','9607','1031','1032','1033') "
         "ORDER BY (area IS NULL), area DESC, "
         "  (h.accuracy IS NULL), h.accuracy, "
-        "  (h.auth_name != 'EPSG'), h.code LIMIT 1",
+        "  (h.auth_name != 'EPSG'), h.code LIMIT 1"
+    )
+    row = con.execute(
+        sel.format(target="h.target_crs_auth_name='EPSG' "
+                   "AND h.target_crs_code='4326'"),
         (auth, crs_code),
     ).fetchone()
+    if row is None:
+        # non-EPSG registries carry their own WGS 84 codes as the hub
+        # (e.g. IGNF WGS84G/WGS84GEO): accept any target whose DATUM is
+        # the WGS 84 ensemble (EPSG:6326) — second pass only, so the
+        # classic 4326-target ranking is untouched
+        row = con.execute(
+            sel.format(target="EXISTS (SELECT 1 FROM geodetic_crs t "
+                       "  WHERE t.auth_name=h.target_crs_auth_name "
+                       "    AND t.code=h.target_crs_code "
+                       "    AND t.datum_auth_name='EPSG' "
+                       "    AND t.datum_code='6326')"),
+            (auth, crs_code),
+        ).fetchone()
     if row is not None:
         row = row[:-1]  # drop the ranking area column
     if row is None:
@@ -279,6 +366,32 @@ def _towgs84(auth: str, crs_code: str,
                 tw = _towgs84(tgt[0], tgt[1], _hop_visited)
                 if tw is not None:
                     return tw
+        # last resort: one hub hop — a helmert to an intermediate frame
+        # whose own towgs84 is the identity (e.g. IGNF REUN47 → RGR92,
+        # RGR92 ≡ WGS 84 at 0,0,0) composes to this row's parameters
+        # alone — the concatenated direct+null operation createOperations
+        # builds (ref iso19111/coordinateoperation.cpp hub composition)
+        for cand in con.execute(
+            "SELECT h.target_crs_auth_name, h.target_crs_code, "
+            "  h.method_code, h.tx, h.ty, h.tz, h.rx, h.ry, h.rz, "
+            "  h.scale_difference, h.rotation_uom_code, "
+            "  h.scale_difference_uom_code, h.translation_uom_code "
+            "FROM helmert_transformation h "
+            "WHERE h.source_crs_auth_name=? AND h.source_crs_code=? "
+            "  AND h.deprecated=0 AND h.method_code IN "
+            "  ('9603','9606','9607','1031','1032','1033') "
+            "ORDER BY (h.accuracy IS NULL), h.accuracy, "
+            "  (h.auth_name != 'EPSG'), h.code LIMIT 8",
+            (auth, crs_code),
+        ).fetchall():
+            tgt = (str(cand[0]), str(cand[1]))
+            if tgt in _hop_visited:
+                continue
+            _hop_visited.add(tgt)
+            tw = _towgs84(tgt[0], tgt[1], _hop_visited)
+            if tw is not None and all(float(v) == 0.0 for v in tw.split(",")):
+                row = tuple(cand[2:])
+                break
     if row is None:
         return None
     (method, tx, ty, tz, rx, ry, rz, ds, rot_uom, ds_uom, tr_uom) = row
@@ -473,12 +586,18 @@ def _conversion_pairs(conv_auth: str, conv_code: str,
             f"param{i}_code, param{i}_value, param{i}_uom_code"
             for i in range(1, 8)
         )
-        + " FROM conversion WHERE auth_name=? AND code=?",
+        + ", method_auth_name FROM conversion WHERE auth_name=? AND code=?",
         (conv_auth, conv_code),
     ).fetchone()
     if row is None:
         raise KeyError(f"conversion {conv_code} not found")
     method = str(row[0])
+    if str(row[-1]) == "PROJ":
+        # PROJ-authority methods name the proj operation directly (e.g.
+        # IGNF 'MILLER GEOPORTAIL' → method ('PROJ','mill'), no mapped
+        # parameters — ref iso19111/factory.cpp PROJ-method passthrough)
+        return [("proj", method)]
+    row = row[:-1]
     if method not in _METHOD:
         raise NotImplementedError(f"EPSG method {method} not mapped")
     op, overrides, extra = _METHOD[method]
@@ -986,9 +1105,13 @@ def frame_shift_operation(s_auth: str, s_code: str,
         return None
 
     def family(datum):
-        return [str(r[0]) for r in con.execute(
-            "SELECT code FROM geodetic_crs WHERE datum_auth_name=? "
-            "AND datum_code=? AND auth_name='EPSG'", datum[:2])]
+        # every CRS code (any registry) sharing the datum, as
+        # "auth:code" keys — non-EPSG registries (IGNF…) link their
+        # frames through their own codes
+        return [f"{r[0]}:{r[1]}" for r in con.execute(
+            "SELECT auth_name, code FROM geodetic_crs "
+            "WHERE datum_auth_name=? AND datum_code=? AND deprecated=0",
+            datum[:2])]
 
     s_fam, t_fam = family(sd), family(td)
     best = None
@@ -1004,9 +1127,11 @@ def frame_shift_operation(s_auth: str, s_code: str,
              "  rate_scale_difference, rate_scale_difference_uom_code, "
              "  epoch, accuracy "
              "FROM helmert_transformation "
-             "WHERE auth_name='EPSG' AND deprecated=0 "
-             "  AND source_crs_code IN (%s) AND target_crs_code IN (%s) "
-             "ORDER BY (accuracy IS NULL), accuracy, code LIMIT 1"
+             "WHERE deprecated=0 "
+             "  AND source_crs_auth_name || ':' || source_crs_code IN (%s) "
+             "  AND target_crs_auth_name || ':' || target_crs_code IN (%s) "
+             "ORDER BY (accuracy IS NULL), accuracy, "
+             "  (auth_name != 'EPSG'), code LIMIT 1"
              % (",".join("?" * len(src_list)),
                 ",".join("?" * len(dst_list))))
         row = con.execute(q, src_list + dst_list).fetchone()

@@ -38,9 +38,10 @@ def _parse_script(path):
     i = 0
     while i < len(lines):
         ln = lines[i]
-        m = re.match(r"^(\w+)=(\S+)\s*$", ln)
+        m = re.match(r'^(\w+)=(?:"([^"]*)"|(\S+))\s*$', ln)
         if m and m.group(1) not in ("EXE", "TEST_CLI_DIR"):
-            varmap[m.group(1)] = m.group(2)
+            varmap[m.group(1)] = m.group(2) if m.group(2) is not None \
+                else m.group(3)
         stripped = ln.strip()
 
         def sub(txt):
@@ -56,7 +57,8 @@ def _parse_script(path):
                 items.append(("run", shlex.split(cmd), body + "\n"))
             elif stripped.startswith("echo") and re.search(
                     r">>?\s*\$\{?OUT\}?", stripped):
-                txt = re.sub(r">>?\s*\$\{?OUT\}?\s*$", "", stripped[4:]).strip()
+                txt = sub(re.sub(r">>?\s*\$\{?OUT\}?\s*$", "",
+                                 stripped[4:]).strip())
                 items.append(("echo",
                               " ".join(shlex.split(txt)) if txt else ""))
             elif stripped.startswith("echo") and ">" in stripped:
@@ -218,7 +220,8 @@ def _ref_data_path(monkeypatch, request):
     # testdatumfile is the only corpus the reference CI runs with the
     # test grids visible; the others run with bare PROJ_LIB=data (the
     # grids would activate NAD27 shifts the golden outputs exclude)
-    with_grids = "testdatumfile" in request.node.name
+    with_grids = ("testdatumfile" in request.node.name
+                  or "testIGNF" in request.node.name)
     monkeypatch.setenv(
         "RAYPROJ_DATA",
         (DATA_DIR + "/tests:" + DATA_DIR) if with_grids else DATA_DIR)
@@ -248,6 +251,9 @@ CORPORA = [
     # quoted grid paths with spaces, MD subgrid preference, on-edge
     # epsilon points, named NAD27/NAD83 datum resolution
     ("testdatumfile", "cs2cs", "td_out.dist", 23, 6),
+    # IGNF registry CRSs through +init=IGNF: (proj.db ignf.sql), incl.
+    # the ntf_r93.gsb NTv2 leg and the direct RGR92→REUN47 helmert
+    ("testIGNF", "cs2cs", "proj_outIGNF.dist", 30, 10),
 ]
 
 
