@@ -16,7 +16,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from rayproj.core.constants import DEG_TO_RAD
 from rayproj.core.factory import create_operation
-from rayproj.core.op import FWD, Coords
+from rayproj.core.op import FWD, INV, Coords
 from rayproj.state import projdb
 
 pytestmark = pytest.mark.skipif(
@@ -385,3 +385,57 @@ def test_towgs84_longitude_rotation_hop():
     d = dict(load_init("IGNF:LAMBE"))
     assert d["towgs84"] == "-168,-60,320"
     assert abs(float(d["pm"]) - 2.33722917) < 1e-6
+
+
+def test_grid_fallback_per_point_selection(monkeypatch):
+    """Database-resolved datum leg with a locatable grid carries BOTH
+    +nadgrids and +towgs84(+grid_fallback): in-grid points shift
+    through the grid, out-of-grid points through the Helmert candidate
+    (proj_create_crs_to_crs per-point selection — testIGNF's Tunisia
+    probe). A CLASSIC proj-string with both tokens keeps proj.4
+    semantics: towgs84 ignored, out-of-grid errors to inf."""
+    from rayproj.core import resources
+    from rayproj.core.factory import create_operation
+
+    monkeypatch.setenv("RAYPROJ_DATA", "/root/reference/data/tests")
+    saved = list(resources._extra_paths)
+    resources._extra_paths.clear()
+    resources._init_cache.clear()
+    try:
+        pairs = dict(projdb.resolve_crs("IGNF", "NTFG"))
+        assert pairs["nadgrids"] == "ntf_r93.gsb"
+        assert pairs["towgs84"] == "-168,-60,320"
+        assert "grid_fallback" in pairs
+
+        ntfg = create_operation("+init=IGNF:NTFG")
+        # Tunisia: outside the French grid -> helmert fallback (finite)
+        c = Coords(np.radians([8.5907706]), np.radians([32.5526034]),
+                   np.array([0.0]))
+        ntfg.trans(INV, c)  # local -> WGS84 hub
+        helm = create_operation(
+            "+proj=longlat +a=6378249.2 +b=6356515 +towgs84=-168,-60,320")
+        e = Coords(np.radians([8.5907706]), np.radians([32.5526034]),
+                   np.array([0.0]))
+        helm.trans(INV, e)
+        assert np.isfinite(c.x[0])
+        assert abs(c.x[0] - e.x[0]) < 1e-14 and abs(c.y[0] - e.y[0]) < 1e-14
+        # Paris: inside the grid -> grid shift (differs from helmert)
+        c2 = Coords(np.radians([2.35]), np.radians([48.85]), np.array([0.0]))
+        ntfg.trans(INV, c2)
+        g = create_operation(
+            "+proj=longlat +a=6378249.2 +b=6356515 +nadgrids=ntf_r93.gsb")
+        e2 = Coords(np.radians([2.35]), np.radians([48.85]), np.array([0.0]))
+        g.trans(INV, e2)
+        assert abs(c2.x[0] - e2.x[0]) < 1e-14 and abs(c2.y[0] - e2.y[0]) < 1e-14
+
+        # classic both-token proj-string: towgs84 dropped, out-of-grid inf
+        classic = create_operation(
+            "+proj=longlat +a=6378249.2 +b=6356515 "
+            "+nadgrids=ntf_r93.gsb +towgs84=-168,-60,320")
+        c3 = Coords(np.radians([8.5907706]), np.radians([32.5526034]),
+                    np.array([0.0]))
+        classic.trans(INV, c3)
+        assert np.isinf(c3.x[0])
+    finally:
+        resources._extra_paths[:] = saved
+        resources._init_cache.clear()
