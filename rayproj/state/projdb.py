@@ -250,6 +250,12 @@ def _nadgrids(auth: str, crs_code: str,
     ).fetchall()
     for (grid,) in rows:
         if grid and find_file(str(grid)):
+            try:
+                from .grids import open_hgrid_set
+
+                open_hgrid_set(str(grid))
+            except Exception:
+                continue  # locatable but not a readable hgrid format
             return str(grid)
     # follow longitude-rotation (EPSG 9601) links exactly like _towgs84:
     # a Paris-meridian family borrows its Greenwich sibling's grid (the
