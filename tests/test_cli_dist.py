@@ -254,6 +254,9 @@ CORPORA = [
     # IGNF registry CRSs through +init=IGNF: (proj.db ignf.sql), incl.
     # the ntf_r93.gsb NTv2 leg and the direct RGR92→REUN47 helmert
     ("testIGNF", "cs2cs", "proj_outIGNF.dist", 30, 10),
+    # healpix inverse on spheres ("flaky transformations that do not
+    # depend on datum files")
+    ("testflaky", "cs2cs", "tf_out.dist", 13, 0),
 ]
 
 
