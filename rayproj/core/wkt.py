@@ -811,6 +811,14 @@ _WKT_PARAM_KEYS = {
     "Longitude_Of_Center": "lon_0",
     "Latitude_Of_Center": "lat_0",
     "Longitude_Of_Origin": "lon_0",
+    "Central_Parallel": "lat_1",
+    "Height": "h",
+    "Azimuth": "alpha",
+    "XY_Plane_Rotation": "gamma",
+    "Latitude_Of_1st_Point": "lat_1",
+    "Longitude_Of_1st_Point": "lon_1",
+    "Latitude_Of_2nd_Point": "lat_2",
+    "Longitude_Of_2nd_Point": "lon_2",
 }
 
 # EPSG method name -> proj name; single-standard-parallel methods remap
@@ -872,6 +880,51 @@ _METHOD_PROJ = {
     "Miller_Cylindrical": ("mill", {}),
     "Stereographic": ("stere", {}),
     "Hotine_Oblique_Mercator_Azimuth_Center": ("somerc", {}),
+    # ESRI world/compatibility methods (esri_projection_mappings.hpp
+    # ESRIMethodMapping table) — the 53xxx/54xxx sphere/WGS84 world
+    # series and the RSO/TM-Complex regional families
+    "Aitoff": ("aitoff", {}),
+    "Hammer_Aitoff": ("hammer", {}),
+    "Behrmann": ("cea", {}),  # implied lat_ts=30 appended below
+    "Compact_Miller": ("comill", {}),
+    "Craster_Parabolic": ("crast", {}),
+    "Eckert_I": ("eck1", {}),
+    "Eckert_II": ("eck2", {}),
+    "Eckert_III": ("eck3", {}),
+    "Eckert_V": ("eck5", {}),
+    "Equal_Earth": ("eqearth", {}),
+    "Flat_Polar_Quartic": ("mbtfpq", {}),
+    "Gall_Stereographic": ("gall", {}),
+    "Natural_Earth": ("natearth", {}),
+    "Natural_Earth_II": ("natearth2", {}),
+    "Patterson": ("patterson", {}),
+    "Quartic_Authalic": ("qua_aut", {}),
+    "Times": ("times", {}),
+    "Van_der_Grinten_I": ("vandg", {}),
+    "Wagner_IV": ("wag4", {}),
+    "Wagner_V": ("wag5", {}),
+    "Wagner_VII": ("wag7", {}),
+    "Winkel_I": ("wink1", {"lat_1": "lat_ts"}),
+    "Winkel_II": ("wink2", {}),
+    "Loximuthal": ("loxim", {}),
+    "Transverse_Mercator_Complex": ("etmerc", {}),  # exact/Krüger TM
+    "Stereographic_North_Pole": ("stere", {"lat_1": "lat_ts"}),
+    "Stereographic_South_Pole": ("stere", {"lat_1": "lat_ts"}),
+    "Vertical_Near_Side_Perspective": ("nsper", {}),
+    "Geostationary_Satellite": ("geos", {}),
+    "Goode_Homolosine": ("goode", {}),
+    "Goode_Homolosine_Land": ("igh", {}),    # ESRI Option=1
+    "Goode_Homolosine_Ocean": ("igh_o", {}),  # ESRI Option=2
+    "Hotine_Oblique_Mercator_Two_Point_Natural_Origin": ("omerc", {}),
+    "Rectified_Skew_Orthomorphic_Natural_Origin":
+        ("omerc", {"lon_0": "lonc"}),
+    "Rectified_Skew_Orthomorphic_Center":
+        ("omerc", {"lon_0": "lonc"}),
+    "Adams_Square_II": ("adams_ws2", {}),
+    "Peirce_Quincuncial": ("peirce_q", {}),
+    # ESRI Local → Orthographic at the centre point; the mapping table
+    # drops Scale_Factor and Azimuth (nullptr EPSG params)
+    "Local": ("ortho", {}),
 }
 
 # ESRI datum names (D_*) → proj +datum shorthand (io.cpp:2095-2115
@@ -1106,6 +1159,14 @@ def _proj_tokens(crs: WKTNode) -> list[str]:
     if mname == "Stereographic" and (
         "Standard_Parallel_1" in pnames_present):
         mname = "Polar_Stereographic"
+    if mname == "Goode_Homolosine":
+        # ESRI's Option selects the interruption: 0 plain, 1 land, 2 ocean
+        opt = next((next((a for a in p.args if isinstance(a, float)), 0.0)
+                    for p in params if p.args and p.args[0] == "Option"), 0.0)
+        if opt == 1.0:
+            mname = "Goode_Homolosine_Land"
+        elif opt == 2.0:
+            mname = "Goode_Homolosine_Ocean"
     if mname not in _METHOD_PROJ:
         raise ValueError(f"WKT: unsupported projection method {mname!r}")
     pname, remap = _METHOD_PROJ[mname]
@@ -1138,6 +1199,22 @@ def _proj_tokens(crs: WKTNode) -> list[str]:
             90.0,
         )
         toks.append(f"+lat_0={90 if ts >= 0 else -90}")
+    elif mname == "Stereographic_North_Pole":
+        toks.append("+lat_0=90")  # the pole is in the METHOD name
+    elif mname == "Stereographic_South_Pole":
+        toks.append("+lat_0=-90")
+    elif mname == "Behrmann" and not any(
+            t.startswith("+lat_ts=") for t in toks):
+        # the 30° standard parallel is the mapping's DEFAULT — ESRI WKT
+        # omits the parameter entirely (esri_projection_mappings.hpp
+        # paramsESRI_Behrmann "30.0")
+        toks.append("+lat_ts=30")
+    elif mname in ("Rectified_Skew_Orthomorphic_Natural_Origin",
+                   "Hotine_Oblique_Mercator_Two_Point_Natural_Origin"):
+        toks.append("+no_uoff")  # natural-origin variant (omerc variant A)
+    elif mname == "Local":
+        toks = [t for t in toks
+                if not t.startswith(("+k_0=", "+alpha="))]
     base = crs.find("BASEGEOGCRS", "GEOGCS", "BASEGEODCRS")
     if base is not None:
         toks.extend(_datum_tokens(base))

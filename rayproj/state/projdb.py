@@ -764,7 +764,22 @@ def resolve_crs(auth: str, code: str) -> list[tuple[str, str | None]]:
             ]
         raise KeyError(f"{auth}:{code} not found in proj.db")
     if prow[3] is None:
-        # e.g. ESRI rows carrying only a WKT text_definition
+        # ESRI rows carrying only a WKT text_definition (the 53xxx/54xxx
+        # sphere/WGS84 world series): lower the stored WKT through the
+        # ESRI-dialect importer (core/wkt.py, the engine's
+        # getMappingsFromESRI path)
+        td = con.execute(
+            "SELECT text_definition FROM projected_crs "
+            "WHERE auth_name=? AND code=?", (auth, code),
+        ).fetchone()
+        if td and td[0]:
+            from ..core.wkt import from_wkt
+
+            pairs = []
+            for t in from_wkt(str(td[0])).split():
+                k, _, v = t.lstrip("+").partition("=")
+                pairs.append((k, v if v else None))
+            return pairs
         raise NotImplementedError(f"{auth}:{code} has no conversion reference")
     geo_auth, geo_code, conv_auth, conv_code, cs_auth, cs_code = (
         str(x) for x in prow

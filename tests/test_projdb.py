@@ -439,3 +439,48 @@ def test_grid_fallback_per_point_selection(monkeypatch):
     finally:
         resources._extra_paths[:] = saved
         resources._init_cache.clear()
+
+
+def test_esri_text_definition_crs():
+    """ESRI projected CRSs stored only as WKT text_definition (the
+    53xxx/54xxx world series) resolve through the ESRI-dialect WKT
+    importer — 176 of 184 construct; the residual 6 methods (Fuller,
+    Cube, Tobler I/II, Berghaus_Star) have no operator in the
+    reference's esri_projection_mappings.hpp either, and the HOM
+    two-point defaults (lat_1=0) are rejected by the omerc kernel in
+    both engines."""
+    con = projdb._db()
+    rows = con.execute(
+        "SELECT code, text_definition FROM projected_crs "
+        "WHERE deprecated=0 AND conversion_code IS NULL "
+        "AND text_definition IS NOT NULL").fetchall()
+    assert len(rows) >= 180
+    ok = 0
+    for c, td in rows:
+        try:
+            pairs = projdb.resolve_crs("ESRI", str(c))
+            create_operation(" ".join(
+                f"+{k}={v}" if v is not None else f"+{k}" for k, v in pairs))
+            ok += 1
+        except Exception:
+            pass
+    assert ok >= 176, ok
+
+    # mapping-layer semantics (esri_projection_mappings.hpp):
+    d = dict(projdb.resolve_crs("ESRI", "53017"))   # Behrmann
+    assert d["proj"] == "cea" and float(d["lat_ts"]) == 30.0
+    d = dict(projdb.resolve_crs("ESRI", "102068"))  # Stereographic_North_Pole
+    assert d["proj"] == "stere" and float(d["lat_0"]) == 90.0 \
+        and float(d["lat_ts"]) == 60.0
+    d = dict(projdb.resolve_crs("ESRI", "53018"))   # Winkel_I
+    assert d["proj"] == "wink1" and abs(float(d["lat_ts"]) - 50.4597762522) < 1e-9
+    d = dict(projdb.resolve_crs("ESRI", "102570"))  # TM Complex -> exact TM
+    assert d["proj"] == "etmerc" and float(d["k_0"]) == 0.9996
+    d = dict(projdb.resolve_crs("ESRI", "102061"))  # RSO Natural Origin
+    assert d["proj"] == "omerc" and "no_uoff" in d \
+        and abs(float(d["lonc"]) - 102.25) < 1e-12 \
+        and abs(float(d["gamma"]) + 36.86989764584402) < 1e-9
+    d = dict(projdb.resolve_crs("ESRI", "54052"))   # Goode Option=1 -> igh
+    assert d["proj"] == "igh"
+    d = dict(projdb.resolve_crs("ESRI", "102460"))  # Local -> ortho
+    assert d["proj"] == "ortho" and "k_0" not in d and "alpha" not in d
