@@ -605,10 +605,36 @@ def _projinfo_db_describe(defn: str, args) -> bool:
             for w in warnings:
                 print(w)
     if crs is None and m is not None:
+        auth_u, code_u = m.group(1).upper(), m.group(2)
         try:
-            crs = dbcrs.load_crs(m.group(1).upper(), m.group(2))
-        except dbcrs.NotFound:
-            return False
+            crs = dbcrs.load_crs(auth_u, code_u)
+        except Exception as exc:
+            # ESRI text_definition-only rows (53xxx/54xxx world series)
+            # have no relational CRS structure to describe: serve the
+            # PROJ expansion and the stored ESRI WKT1 verbatim
+            td = dbcrs.text_definition(auth_u, code_u)
+            if td is None:
+                if isinstance(exc, dbcrs.NotFound):
+                    return False
+                raise
+            from .state.projdb import resolve_crs
+
+            for f in fmts:
+                if f == "PROJ":
+                    header("PROJ.4 string:")
+                    print(" ".join(
+                        f"+{k}={v}" if v is not None else f"+{k}"
+                        for k, v in resolve_crs(auth_u, code_u))
+                        + " +type=crs")
+                elif f == "WKT1_ESRI":
+                    header("WKT1:ESRI string:")
+                    print(td)
+                    print()
+                else:
+                    print(f"Error when exporting to {f}: only the "
+                          "stored ESRI WKT1 definition is available "
+                          "for this CRS", file=sys.stderr)
+            return True
     elif crs is None:
         # bare name: CRS first, then datum (the reference's
         # createObjectsFromName cross-type search, projinfo.cpp:215)
@@ -963,7 +989,12 @@ def cmd_projinfo(args) -> int:
     for defn in args.crs:
         if _projinfo_db_describe(defn, args):
             continue
-        describe(defn)
+        try:
+            describe(defn)
+        except Exception as exc:
+            # the reference's projinfo.cpp:1251 failure path
+            print(f"buildObject failed: {exc}", file=sys.stderr)
+            return 1
     return 0
 
 

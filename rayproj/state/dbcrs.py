@@ -2294,3 +2294,13 @@ def wkt1_geogcs_import(text: str):
         "usages": [],
     }
     return warnings, crs
+
+
+def text_definition(auth: str, code: str) -> str | None:
+    """Stored WKT text_definition for a projected CRS with no
+    relational conversion reference (ESRI world series), else None."""
+    row = _one(
+        "SELECT text_definition FROM projected_crs "
+        "WHERE auth_name=? AND code=? AND text_definition IS NOT NULL",
+        auth, code)
+    return str(row[0]) if row else None

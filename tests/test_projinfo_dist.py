@@ -385,3 +385,23 @@ def test_proj4_export_matches_resolver_numerically():
             bad += 1
     assert checked > 50
     assert bad == 0
+
+
+def test_projinfo_esri_text_definition(capsys):
+    """ESRI text_definition-only CRSs describe without crashing: the
+    PROJ expansion and the stored ESRI WKT1 verbatim; other formats get
+    the reference-style export error; unknown objects get projinfo.cpp's
+    buildObject-failed stderr line and exit 1."""
+    from rayproj import cli
+
+    assert cli.main(["projinfo", "ESRI:53001", "-o", "PROJ"]) == 0
+    out = capsys.readouterr().out
+    assert "+proj=eqc" in out and "+a=6371000" in out
+
+    assert cli.main(["projinfo", "ESRI:54052", "-o", "wkt1:esri"]) == 0
+    out = capsys.readouterr().out
+    assert out.startswith("WKT1:ESRI string:\nPROJCS[\"World_Goode_Homolosine_Land\"")
+
+    assert cli.main(["projinfo", "EPSG:99999999"]) == 1
+    err = capsys.readouterr().err
+    assert err.startswith("buildObject failed:")
