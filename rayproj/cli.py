@@ -1082,12 +1082,30 @@ def _strip_datum_tokens(toks):
     out = []
     for t in toks:
         key, _, val = t.lstrip("+").partition("=")
-        if key in ("towgs84", "nadgrids"):
+        if key in ("towgs84", "nadgrids", "grid_fallback"):
             continue
         if key == "datum":
             ell = DATUM_TABLE.get(val, (None, None))[1]
             if ell:
                 out.append(f"+ellps={ell}")
+            continue
+        if key == "init" and val:
+            # the datum info hides inside the catalog expansion: inline
+            # the expansion minus its datum tokens, so the UNKNOWN rule
+            # strips BOTH sides (transform.cpp PJD_UNKNOWN short-circuit)
+            try:
+                from .core.resources import load_init
+
+                exp = load_init(val)
+            except Exception:
+                out.append(t)
+                continue
+            if any(k in ("datum", "towgs84", "nadgrids") for k, _ in exp):
+                out.extend(_strip_datum_tokens(
+                    [f"+{k}={v}" if v is not None else f"+{k}"
+                     for k, v in exp]))
+                continue
+            out.append(t)
             continue
         out.append(t)
     return out

@@ -275,3 +275,27 @@ def test_reference_cli_corpus(script, sub, dist, min_exact, max_tol,
     assert not bad, f"{len(bad)} out-of-tolerance lines:\n{msg}"
     assert exact >= min_exact, (exact, tolok)
     assert tolok <= max_tol, (exact, tolok)
+
+
+def test_unknown_datum_strips_init_side(tmp_path, monkeypatch):
+    """PJD_UNKNOWN rule through +init= tokens: when one cs2cs side has
+    no datum info, the OTHER side's datum shift is skipped even when it
+    hides inside a catalog expansion (transform.cpp short-circuit) —
+    the pair degrades to the pure projection legs (identity here)."""
+    monkeypatch.setenv("RAYPROJ_DATA",
+                       DATA_DIR + "/tests:" + DATA_DIR)
+    from rayproj.core import resources
+
+    saved = list(resources._extra_paths)
+    resources._extra_paths.clear()
+    resources._init_cache.clear()
+    try:
+        out = _run_corpus(
+            [("run", ["+init=IGNF:NTFG", "+to", "+proj=longlat",
+                      "+a=6378249.2", "+b=6356515", "-E", "-f", "%.9f"],
+              "2.0 46.0\n")], "cs2cs", tmp_path)
+        assert out.strip().split("\t")[1:] == ["2.000000000",
+                                               "46.000000000 0.000000000"]
+    finally:
+        resources._extra_paths[:] = saved
+        resources._init_cache.clear()
