@@ -430,6 +430,54 @@ _WKT1_METHODS = {
     ]),
 }
 
+# lon_0-only world methods (GDAL name, ESRI name) — GDAL/ESRI WKT1
+# names from coordinateoperation_constants.hpp / the ESRI mapping
+# table; a None GDAL name means no WKT1_GDAL form (eqearth, hammer:
+# the reference uses the PROJ4-extension escape hatch there too)
+_W1_LON0 = [
+    ("central_meridian", "Central_Meridian", "lon_0"),
+    ("false_easting", "False_Easting", "x0"),
+    ("false_northing", "False_Northing", "y0"),
+]
+_WKT1_METHODS.update({
+    op_: (g, e, list(_W1_LON0)) for op_, g, e in [
+        ("mill", "Miller_Cylindrical", "Miller_Cylindrical"),
+        ("robin", "Robinson", "Robinson"),
+        ("sinu", "Sinusoidal", "Sinusoidal"),
+        ("moll", "Mollweide", "Mollweide"),
+        ("eck1", "Eckert_I", "Eckert_I"),
+        ("eck2", "Eckert_II", "Eckert_II"),
+        ("eck3", "Eckert_III", "Eckert_III"),
+        ("eck4", "Eckert_IV", "Eckert_IV"),
+        ("eck5", "Eckert_V", "Eckert_V"),
+        ("eck6", "Eckert_VI", "Eckert_VI"),
+        ("gall", "Gall_Stereographic", "Gall_Stereographic"),
+        ("wag4", "Wagner_IV", "Wagner_IV"),
+        ("wag5", "Wagner_V", "Wagner_V"),
+        ("wag7", "Wagner_VII", "Wagner_VII"),
+        ("natearth", "Natural_Earth", "Natural_Earth"),
+        ("natearth2", "Natural_Earth_II", "Natural_Earth_II"),
+        ("eqearth", None, "Equal_Earth"),
+        ("crast", "Craster_Parabolic", "Craster_Parabolic"),
+        ("qua_aut", "Quartic_Authalic", "Quartic_Authalic"),
+        ("hammer", None, "Hammer_Aitoff"),
+        ("aitoff", "Aitoff", "Aitoff"),
+        ("comill", "Compact_Miller", "Compact_Miller"),
+        ("patterson", "Patterson", "Patterson"),
+        ("times", "Times", "Times"),
+        ("mbtfpq", "Flat_Polar_Quartic", "Flat_Polar_Quartic"),
+        ("goode", "Goode_Homolosine", "Goode_Homolosine"),
+        ("igh", "Interrupted_Goode_Homolosine", None),
+        ("vandg", "VanDerGrinten", "Van_der_Grinten_I"),
+    ]
+})
+_WKT1_METHODS["wintri"] = ("Winkel_Tripel", "Winkel_Tripel", [
+    ("standard_parallel_1", "Standard_Parallel_1", "lat_1"),
+] + list(_W1_LON0))
+_WKT1_METHODS["loxim"] = ("Loximuthal", "Loximuthal", [
+    ("central_parallel", "Central_Parallel", "lat_1"),
+] + list(_W1_LON0))
+
 # inverse of _ESRI_DATUM_ALIASES for emission (+datum shorthand -> D_*)
 _ESRI_DATUM_REVERSE = {
     "WGS84": "D_WGS_1984",
@@ -586,12 +634,20 @@ def to_wkt1(op, esri: bool = False) -> str:
                 ("false_easting", "False_Easting", "x0"),
                 ("false_northing", "False_Northing", "y0"),
             ])
+    elif name == "vandg" and not (op.params.has("R_A") or op.es_orig == 0):
+        # the WKT1 method name IMPLIES the R_A authalic sphere
+        # (coordinateoperation_constants.hpp:774) — a bare ellipsoidal
+        # vandg has no named WKT1 form
+        entry = None
     else:
         entry = _WKT1_METHODS.get(name)
     if entry is None:
         return _w1_escape_projcs(op, esri)
     gname, ename, plist = entry
     pname = ename if esri else gname
+    if pname is None:
+        # no name in this dialect (eqearth/hammer in GDAL, igh in ESRI)
+        return _w1_escape_projcs(op, esri)
     unit = 'UNIT["Meter",1.0]' if esri else 'UNIT["metre",1]'
     params = ",".join(
         f'PARAMETER["{(ep if esri else gp)}",'
@@ -812,6 +868,7 @@ _WKT_PARAM_KEYS = {
     "Latitude_Of_Center": "lat_0",
     "Longitude_Of_Origin": "lon_0",
     "Central_Parallel": "lat_1",
+    "central_parallel": "lat_1",
     "Height": "h",
     "Azimuth": "alpha",
     "XY_Plane_Rotation": "gamma",
@@ -900,7 +957,9 @@ _METHOD_PROJ = {
     "Patterson": ("patterson", {}),
     "Quartic_Authalic": ("qua_aut", {}),
     "Times": ("times", {}),
-    "Van_der_Grinten_I": ("vandg", {}),
+    "Van_der_Grinten_I": ("vandg", {}),  # +R_A appended below
+    "VanDerGrinten": ("vandg", {}),      # GDAL WKT1 spelling
+    "Interrupted_Goode_Homolosine": ("igh", {}),
     "Wagner_IV": ("wag4", {}),
     "Wagner_V": ("wag5", {}),
     "Wagner_VII": ("wag7", {}),
@@ -1215,6 +1274,11 @@ def _proj_tokens(crs: WKTNode) -> list[str]:
     elif mname == "Local":
         toks = [t for t in toks
                 if not t.startswith(("+k_0=", "+alpha="))]
+    elif mname in ("Van_der_Grinten_I", "VanDerGrinten"):
+        # the mapping carries the R_A (authalic-sphere) aux param
+        # (coordinateoperation_constants.hpp:774) — vandg is spherical,
+        # an ellipsoidal CRS projects on the equal-area sphere
+        toks.append("+R_A")
     base = crs.find("BASEGEOGCRS", "GEOGCS", "BASEGEODCRS")
     if base is not None:
         toks.extend(_datum_tokens(base))

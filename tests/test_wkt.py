@@ -539,3 +539,43 @@ def test_unquoted_parameter_name_raises_not_skips():
          '"Transverse Mercator"],PARAMETER[500000,16]],CS[Cartesian,2]]')
     with pytest.raises(ValueError, match="PARAMETER node has no string"):
         from_wkt(w)
+
+
+def test_wkt1_world_methods_roundtrip():
+    """The ESRI/GDAL world-projection WKT1 names (Eckert family, Gall,
+    Wagner, Natural Earth, Equal Earth, Van der Grinten with its
+    implied R_A authalic sphere, Goode/IGH, loximuthal, Winkel Tripel)
+    emit and re-import to the numerically identical operation; forms
+    with no name in a dialect (eqearth in GDAL, bare-ellipsoidal vandg)
+    round-trip through the PROJ4-extension escape hatch."""
+    import math
+
+    import numpy as np
+
+    from rayproj.core.factory import create_operation
+    from rayproj.core.op import FWD, Coords
+    from rayproj.core.wkt import from_wkt, to_wkt1
+
+    ops = ["+proj=mill +lon_0=10 +x_0=100 +y_0=-50 +ellps=WGS84",
+           "+proj=eck3 +lon_0=5 +R=6371000",
+           "+proj=eqearth +lon_0=0 +ellps=WGS84",
+           "+proj=vandg +R_A +lon_0=3 +ellps=WGS84",
+           "+proj=vandg +lon_0=3 +ellps=WGS84",
+           "+proj=loxim +lat_1=40 +lon_0=2 +R=6371000",
+           "+proj=wintri +lat_1=50.467 +lon_0=1 +R=6371000",
+           "+proj=igh +lon_0=0 +R=6371000",
+           "+proj=goode +lon_0=0 +R=6371000",
+           "+proj=qua_aut +lon_0=7 +R=6371000",
+           "+proj=natearth +lon_0=0 +ellps=WGS84"]
+    lam = np.array([math.radians(12.0)])
+    phi = np.array([math.radians(47.0)])
+    for s in ops:
+        op = create_operation(s)
+        for esri in (False, True):
+            op2 = create_operation(from_wkt(to_wkt1(op, esri=esri)))
+            c1 = Coords(lam.copy(), phi.copy())
+            op.trans(FWD, c1)
+            c2 = Coords(lam.copy(), phi.copy())
+            op2.trans(FWD, c2)
+            assert abs(c1.x[0] - c2.x[0]) < 1e-6, (s, esri)
+            assert abs(c1.y[0] - c2.y[0]) < 1e-6, (s, esri)
