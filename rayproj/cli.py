@@ -413,6 +413,10 @@ def _expand_crs_tokens(toks):
     for t in toks:
         if t.upper().startswith("EPSG:") and t[5:].isdigit():
             out.append(f"+init=epsg:{t[5:]}")
+        elif t.upper().startswith("ESRI:") and t[5:].isdigit():
+            out.append(f"+init=ESRI:{t[5:]}")
+        elif t.upper().startswith("IGNF:") and t[5:].replace("_", "").isalnum():
+            out.append(f"+init=IGNF:{t[5:]}")
         elif looks_like_wkt(t):
             out.extend(from_wkt(t).split())
         elif looks_like_projjson(t):

@@ -70,8 +70,8 @@ def load_init(key: str) -> list[tuple[str, str | None]]:
     override = _catalog_overrides.get(fname)
     if override is not None and section in override:
         return override[section]
-    if fname == "IGNF":
-        dbp = _projdb_crs("IGNF", section)
+    if fname in ("IGNF", "ESRI"):
+        dbp = _projdb_crs(fname, section)
         if dbp is not None:
             return dbp
         raise NotImplementedError(

@@ -299,3 +299,19 @@ def test_unknown_datum_strips_init_side(tmp_path, monkeypatch):
     finally:
         resources._extra_paths[:] = saved
         resources._init_cache.clear()
+
+
+def test_esri_ignf_code_shorthand(tmp_path):
+    """ESRI:nnnn and IGNF:name work as bare cs2cs/proj CRS shorthand
+    (and as +init= keys), resolving through the registry like EPSG:."""
+    out = _run_corpus(
+        [("run", ["EPSG:4326", "ESRI:54030", "-E", "-f", "%.3f"],
+          "50 10\n")], "cs2cs", tmp_path)
+    assert out.strip().split("\t")[1:] == ["819964.610", "5326895.726 0.000"]
+    out = _run_corpus(
+        [("run", ["IGNF:LAMB93", "EPSG:4326", "-E", "-f", "%.6f"],
+          "700000 6600000\n")], "cs2cs", tmp_path)
+    assert out.strip().split("\t")[1:] == ["46.500000", "3.000000 0.000000"]
+    out = _run_corpus(
+        [("run", ["+init=ESRI:53001", "-E"], "10 50\n")], "proj", tmp_path)
+    assert out.strip().split("\t")[1:] == ["1111949.27", "5559746.33"]
