@@ -1374,10 +1374,13 @@ def _frame_pair_op(raw_src, raw_dst, require_geocentric=False):
         sa, sc = s_tok
         ta, tc = t_tok
         if require_geocentric:
+            # a geocentric END cannot ride the towgs84 hub (the
+            # cs2cs-emulation's cart_wgs84 leg is absent for geocent
+            # ops — the reference's 4D_api null-P coordinate error);
+            # such pairs use the direct registry operation instead
             sd = _crs_datum_and_type(sa, sc)
             td = _crs_datum_and_type(ta, tc)
-            if not (sd and td and sd[2] == "geocentric"
-                    and td[2] == "geocentric"):
+            if not (sd and td and "geocentric" in (sd[2], td[2])):
                 return None
         op = frame_shift_operation(sa, sc, ta, tc)
         if op is None:

@@ -232,6 +232,14 @@ class Operation:
                 else:
                     self.hgridshift.inv(coo)
             elif self.helmert is not None or (self.cart_wgs84 is not None and self.cart is not None):
+                if self.cart_wgs84 is None or self.cart is None:
+                    # geocent op with a helmert: the reference feeds a
+                    # null cart_wgs84 to proj_trans here, which returns
+                    # proj_coord_error (4D_api.cpp null-P guard) — the
+                    # legacy hub cannot express this; coordinate error
+                    coo.set_err(np.ones(len(coo), dtype=bool),
+                                ERR_INVALID_X_OR_Y)
+                    return
                 self.cart_wgs84.fwd(coo)      # to cartesian, WGS84 frame
                 if self.helmert is not None:
                     self.helmert.inv(coo)     # step into local frame
@@ -318,6 +326,10 @@ class Operation:
                 else:
                     self.hgridshift.fwd(coo)
             elif self.helmert is not None or (self.cart_wgs84 is not None and self.cart is not None):
+                if self.cart_wgs84 is None or self.cart is None:
+                    coo.set_err(np.ones(len(coo), dtype=bool),
+                                ERR_INVALID_X_OR_Y)
+                    return
                 self.cart.fwd(coo)            # to cartesian, local frame
                 if self.helmert is not None:
                     self.helmert.fwd(coo)     # into WGS84 frame

@@ -244,3 +244,38 @@ def test_rtodms_roundtrip_random(r, fract, fixed):
     import math
     tol = math.pi / 180.0 / 3600.0 * (10.0 ** -fract) * 0.51
     assert abs(back - r) <= tol
+
+
+def test_crs_to_crs_random_pairs_fail_cleanly():
+    """The engine analogue of the reference's proj_crs_to_crs_fuzzer
+    (test/fuzzers/proj_crs_to_crs_fuzzer.cpp): random registry CRS
+    pairs either build a working operation or raise one of the clean
+    planner error types — never a raw TypeError/AttributeError/
+    IndexError — and transforming a probe point never raises."""
+    import numpy as np
+
+    from rayproj.core.errors import ProjError
+    from rayproj.core.op import FWD, Coords
+    from rayproj.state import projdb
+
+    if not projdb.available():
+        import pytest
+
+        pytest.skip("EPSG sql scripts not available")
+    con = projdb._db()
+    codes = [f"{a}:{c}" for a, c in con.execute(
+        "SELECT auth_name, code FROM geodetic_crs WHERE deprecated=0 "
+        "UNION ALL SELECT auth_name, code FROM projected_crs "
+        "WHERE deprecated=0")]
+    rng = np.random.default_rng(7)
+    built = 0
+    for _ in range(150):
+        s, t = (codes[i] for i in rng.integers(0, len(codes), 2))
+        try:
+            op = projdb.create_crs_to_crs(s, t)
+        except (KeyError, NotImplementedError, ValueError, ProjError):
+            continue
+        built += 1
+        coo = Coords(np.array([0.1]), np.array([0.7]), np.zeros(1))
+        op.trans(FWD, coo)  # may poison to inf, must not raise
+    assert built >= 30, built
