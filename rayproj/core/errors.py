@@ -61,6 +61,11 @@ ERR_INCONSISTENT_UNIT = -59
 ERR_MUTUALLY_EXCLUSIVE_ARGS = -60
 ERR_GENERIC_ERROR = -61
 
+# positive system errno used by the dispatchers when an operation has no
+# kernel for the requested direction (fwd.cpp:189 / inv.cpp:166
+# proj_errno_set(P, EINVAL) before returning proj_coord_error)
+EINVAL = 22
+
 
 class ProjError(Exception):
     """Raised at *plan time* (operation construction). Runtime per-point

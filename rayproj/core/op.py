@@ -16,7 +16,7 @@ import numpy as np
 from ..mathx import adjlon
 from .constants import EPS_LAT, M_HALFPI
 from .ellps import Ellipsoid, wgs84
-from .errors import ERR_INVALID_X_OR_Y, ERR_LAT_OR_LON_EXCEED_LIMIT
+from .errors import EINVAL, ERR_INVALID_X_OR_Y, ERR_LAT_OR_LON_EXCEED_LIMIT
 
 # io_units (src/proj_internal.h:172-179)
 IO_WHATEVER = "whatever"
@@ -149,11 +149,15 @@ class Operation:
         """Projection-specific constructor (precompute kernel constants)."""
 
     # -- kernels (override) ------------------------------------------------
+    # The un-overridden base kernels mirror the reference's null-function
+    # dispatch (fwd.cpp:189 / inv.cpp:166): errno EINVAL + proj_coord_error
+    # on every point, never an exception — proj_trans on e.g. peirce_q's
+    # missing inverse returns error coordinates.
     def _fwd(self, coo: Coords) -> None:
-        raise NotImplementedError(f"{self.name} has no forward")
+        coo.set_err(np.ones(len(coo), dtype=bool), EINVAL)
 
     def _inv(self, coo: Coords) -> None:
-        raise NotImplementedError(f"{self.name} has no inverse")
+        coo.set_err(np.ones(len(coo), dtype=bool), EINVAL)
 
     @property
     def has_inverse(self) -> bool:

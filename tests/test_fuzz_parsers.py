@@ -279,3 +279,20 @@ def test_crs_to_crs_random_pairs_fail_cleanly():
         coo = Coords(np.array([0.1]), np.array([0.7]), np.zeros(1))
         op.trans(FWD, coo)  # may poison to inf, must not raise
     assert built >= 30, built
+
+
+def test_no_inverse_projection_poisons_not_raises():
+    """peirce_q is 'No inv' in the reference (adams.cpp:36); proj_trans
+    through its missing inverse returns proj_coord_error with errno
+    EINVAL (inv.cpp:166), it does not crash. Mirror: error coords."""
+    import numpy as np
+
+    from rayproj.core.errors import EINVAL
+    from rayproj.core.factory import create_operation
+    from rayproj.core.op import INV, Coords
+
+    op = create_operation("+proj=peirce_q +ellps=sphere")
+    assert not op.has_inverse
+    coo = Coords(np.array([1e5, 2e5]), np.array([1e5, -2e5]), np.zeros(2))
+    op.trans(INV, coo)
+    assert np.all(np.isinf(coo.x)) and np.all(coo.err == EINVAL)
