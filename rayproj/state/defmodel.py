@@ -417,7 +417,15 @@ class DefModel:
             lanes = ok & inside_c & (tfactor != 0.0)
             if not np.any(lanes):
                 continue
-            leaf_ids, leaves = assign_grids(comp.gridsets(), xg, yg)
+            try:
+                gsets = comp.gridsets()
+            except Exception:
+                # iface.open failure fails the point evaluation, it does
+                # not throw (defmodel_impl.hpp:931-934 gridSet == nullptr
+                # -> return false -> proj_coord_error)
+                ok &= ~lanes
+                continue
+            leaf_ids, leaves = assign_grids(gsets, xg, yg)
             for gid, grid in enumerate(leaves):
                 mask = lanes & (leaf_ids == gid)
                 if not np.any(mask):
