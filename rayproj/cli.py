@@ -29,6 +29,7 @@ import numpy as np
 
 from .core.constants import DEG_TO_RAD, RAD_TO_DEG
 from .core.dms import dmstor_prefix, rtodms, strtod_prefix
+from .core.errors import ProjError
 from .core.factory import create_operation
 from .core.op import FWD, INV, Coords
 
@@ -1899,10 +1900,21 @@ def main(argv=None) -> int:
     if argv and argv[0] in ("proj", "cs2cs", "cct", "geod"):
         argv = [argv[0]] + _hoist_options(argv[0], argv[1:])
     args = ap.parse_args(argv)
-    if getattr(args, "list_projs", False) or getattr(args, "list_ellps", False) \
-            or getattr(args, "list_units", False) or getattr(args, "list_datums", False):
-        return cmd_lists(args)
-    return args.fn(args)
+    # emess(3, ...) behavior (apps/emess.cpp + e.g. proj.cpp "projection
+    # initialization failure"): plan-time and file errors print
+    # "<prog>: <cause>" to stderr and exit nonzero — never a traceback.
+    try:
+        if getattr(args, "list_projs", False) or getattr(args, "list_ellps", False) \
+                or getattr(args, "list_units", False) or getattr(args, "list_datums", False):
+            return cmd_lists(args)
+        return args.fn(args)
+    except (ProjError, NotImplementedError) as e:
+        print(f"{args.cmd}: initialization failure\ncause: {e}",
+              file=sys.stderr)
+        return 1
+    except OSError as e:
+        print(f"{args.cmd}: {e}", file=sys.stderr)
+        return 1
 
 
 if __name__ == "__main__":

@@ -13,6 +13,7 @@ from dataclasses import dataclass, field
 
 from .constants import HUGE_VAL
 from .errors import (
+    ERR_ES_LESS_THAN_ZERO,
     ERR_INVALID_ECCENTRICITY,
     ERR_MAJOR_AXIS_NOT_GIVEN,
     ERR_REV_FLATTENING_IS_ZERO,

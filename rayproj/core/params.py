@@ -9,8 +9,13 @@ getters interpret values as flag / int / float / string / radians (DMS)
 
 from __future__ import annotations
 
+import re
+
 from .dms import dms_to_rad
 from .errors import ERR_INVALID_BOOLEAN_PARAM, ProjError
+
+# atoi: optional whitespace, optional sign, leading digits; else 0
+_ATOI_RE = re.compile(r"^\s*([+-]?\d+)")
 
 
 class Params:
@@ -94,10 +99,14 @@ class Params:
         return float(v)
 
     def int_(self, key: str, default: int = 0) -> int:
+        """pj_param 'i' type = atoi (param.cpp:203): leading integer,
+        0 on non-numeric text ('+lsat=inf' -> 0 -> the op's own range
+        check rejects it) — never a conversion exception."""
         v = self._index.get(key)
         if v is None:
             return default
-        return int(float(v))
+        m = _ATOI_RE.match(v)
+        return int(m.group(1)) if m else 0
 
     def rad(self, key: str, default: float = 0.0) -> float:
         """Angle given in degrees / DMS → radians (pj_param 'r' type)."""

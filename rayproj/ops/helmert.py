@@ -160,14 +160,17 @@ class Helmert(Operation):
             T, R, scale, theta = self._params_at(float(tv))
             x, y, z = coo.x[mask], coo.y[mask], coo.z[mask]
             if self.fourparam:
+                # np scalar trig/division for C IEEE parity: cos(inf) is
+                # NaN and x/0 is inf in helmert.cpp's build, never a
+                # Python ValueError/ZeroDivisionError
                 if forward:
-                    cr = math.cos(theta) * scale
-                    sr = math.sin(theta) * scale
+                    cr = float(np.cos(np.float64(theta))) * scale
+                    sr = float(np.sin(np.float64(theta))) * scale
                     nx = cr * x + sr * y + T[0]
                     ny = -sr * x + cr * y + T[1]
                 else:
-                    cr = math.cos(theta) / scale
-                    sr = math.sin(theta) / scale
+                    cr = float(np.cos(np.float64(theta)) / np.float64(scale))
+                    sr = float(np.sin(np.float64(theta)) / np.float64(scale))
                     xx = x - T[0]
                     yy = y - T[1]
                     nx = xx * cr - yy * sr

@@ -62,12 +62,15 @@ class Laea(Operation):
                 sinphi = math.sin(self.phi0)
                 self.sinb1 = float(qsfn(np.array([sinphi]), e, one_es)[0]) / self.qp
                 self.cosb1 = math.sqrt(1.0 - self.sinb1 * self.sinb1)
-                self.dd = math.cos(self.phi0) / (
-                    math.sqrt(1.0 - es * sinphi * sinphi) * self.rq * self.cosb1
-                )
-                self.xmf = self.rq
-                self.ymf = self.rq / self.dd
-                self.xmf *= self.dd
+                # IEEE division like the reference (laea.cpp OBLIQ setup,
+                # no zero guard): cosb1 rounds to 0 at near-polar lat_0
+                # -> dd = inf, ymf = 0 — garbage coords, never a crash
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    den = math.sqrt(1.0 - es * sinphi * sinphi) * self.rq * self.cosb1
+                    self.dd = float(np.float64(math.cos(self.phi0)) / np.float64(den))
+                    self.xmf = self.rq
+                    self.ymf = float(np.float64(self.rq) / np.float64(self.dd))
+                    self.xmf *= self.dd
         else:
             if self.mode == OBLIQ:
                 self.sinb1 = math.sin(self.phi0)

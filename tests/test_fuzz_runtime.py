@@ -15,8 +15,14 @@ proj_trans calls over arbitrary coordinates).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from rayproj.core.errors import ProjError
 
 from rayproj.core import resources
 from rayproj.core.factory import create_operation
@@ -26,6 +32,9 @@ from rayproj.ops import REGISTRY, load_all
 resources.add_search_path("/root/reference/data")
 resources.add_search_path("/root/reference/data/tests")
 load_all()
+
+# plan-time failures with a defined shape (see test_fuzz_parsers.ALLOWED)
+ALLOWED = (ProjError, ValueError, KeyError, NotImplementedError, OSError)
 
 # Generic parameter candidates tried in order; the first that constructs
 # wins. Covers ellipsoidal + spherical forms and the common mandatory
@@ -150,6 +159,52 @@ def test_trans_never_raises(name):
               if op.angular_input(INV) or op.degree_input(INV)
               else _adversarial_projected())
     op.trans(INV, inv_in)
+
+
+_PARAM_KEYS = [
+    "lat_0", "lat_1", "lat_2", "lat_ts", "lon_0", "k_0", "x_0", "y_0",
+    "R", "a", "rf", "es", "h", "n", "m", "W", "M", "q", "alpha", "lonc",
+    "azi", "tilt", "o_lat_p", "o_lon_p", "o_lat_c", "o_lon_c", "theta",
+    "lat_b", "lsat", "path", "zone", "plat_0", "plon_0", "phdg_0",
+]
+_PARAM_VALS = [
+    "0", "1", "-1", "90", "-90", "89.999999", "-89.999999", "45", "30",
+    "-30", "60", "180", "-180", "360", "720", "0.5", "2", "0.9999",
+    "1e-12", "-1e-12", "1e12", "6378137", "0.0818191908426215",
+    "298.257", "nan", "inf", "-inf",
+]
+
+
+@settings(max_examples=int(os.environ.get("FUZZ_EXAMPLES", "150")),
+          deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.data_too_large])
+@given(st.data())
+def test_random_params_construct_then_trans_never_raises(data):
+    """Random numeric parameter combos per operator: construction may
+    fail with a defined error (the reference returns NULL + errno for
+    e.g. conic lat_1 = -lat_2), but whenever construction SUCCEEDS the
+    resulting kernel inherits the full trans contract — adversarial
+    batches through both directions without a Python exception."""
+    name = data.draw(st.sampled_from(sorted(REGISTRY)))
+    if name == "pipeline":
+        return
+    nparams = data.draw(st.integers(min_value=0, max_value=6))
+    toks = []
+    for _ in range(nparams):
+        k = data.draw(st.sampled_from(_PARAM_KEYS))
+        v = data.draw(st.sampled_from(_PARAM_VALS))
+        toks.append(f"+{k}={v}")
+    base = data.draw(st.sampled_from(
+        _SPECIAL.get(name, []) + _GENERIC))
+    s = f"+proj={name} {base} {' '.join(toks)}"
+    try:
+        op = create_operation(s)
+    except ALLOWED:
+        return
+    for coo in (_adversarial_angular(), _adversarial_projected()):
+        op.trans(FWD, coo.copy())
+        op.trans(INV, coo.copy())
 
 
 def test_defmodel_missing_grid_poisons_not_raises(tmp_path):
