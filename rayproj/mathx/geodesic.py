@@ -238,4 +238,13 @@ def geod_inverse(a: float, f: float, lat1, lon1, lat2, lon2):
     ca2 = np.where(swap, calp1, calp2) * swapp * latsign
     azi1 = np.arctan2(sa1, ca1)
     azi2 = np.arctan2(sa2, ca2)
+    # nan/inf inputs give nan outputs (geodtest.cpp GeodSolve14: inverse
+    # must not "ignore lon12 = nan" — without this the bisection
+    # converges to a definite-looking garbage azimuth)
+    bad = ~(np.isfinite(lat1) & np.isfinite(lon1)
+            & np.isfinite(lat2) & np.isfinite(lon2))
+    if np.any(bad):
+        s12 = np.where(bad, np.nan, s12)
+        azi1 = np.where(bad, np.nan, azi1)
+        azi2 = np.where(bad, np.nan, azi2)
     return s12, azi1, azi2
