@@ -46,6 +46,46 @@ _STDIN = [
 ]
 
 
+_GIE_LINES = [
+    "<gie>", "</gie>", "operation +proj=merc +ellps=WGS84",
+    "operation +proj=nosuch", "operation EPSG:4326", "operation",
+    "accept 12 55", "accept nan inf", "accept 1 2 3 4 5 6 7",
+    "expect 1335833.89 7326837.71", "expect failure", "accept",
+    "expect failure errno invalid_op", "expect failure errno -99",
+    "direction inverse", "direction forward", "direction sideways",
+    "tolerance 10 cm", "tolerance junk", "tolerance -1 lightyears",
+    "roundtrip 100", "roundtrip junk", "ignore pjd_err_failed_to_load_grid",
+    "use_proj4_init_rules true", "require_grid nosuch.gsb", "echo hi",
+    "skip", "verbose", "# comment", "", "banner 🌍", "expect 1e400 2",
+    "<gie-strict>", "junk line with no tag", "operation +step +proj=axisswap",
+]
+
+
+@FUZZ
+@given(st.data())
+def test_gie_runner_never_crashes(data):
+    """Corrupted / shuffled .gie content must produce a GieResult (with
+    fail/skip counts), never an internal exception — the reference gie
+    app reports bad records as errors and keeps going (gie.cpp
+    dispatch/errmsg paths)."""
+    import tempfile
+
+    from rayproj.core.factory import create_operation
+    from rayproj.testing.gie import run_gie_file
+
+    n = data.draw(st.integers(min_value=0, max_value=15))
+    lines = [data.draw(st.sampled_from(_GIE_LINES)) for _ in range(n)]
+    with tempfile.NamedTemporaryFile(
+            "w", suffix=".gie", delete=False) as f:
+        f.write("\n".join(lines) + "\n")
+        path = f.name
+    try:
+        res = run_gie_file(path, create_operation)
+        assert res.ok >= 0 and res.failed >= 0
+    finally:
+        os.unlink(path)
+
+
 @FUZZ
 @given(st.data())
 def test_cli_main_never_crashes(data):
