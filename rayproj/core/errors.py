@@ -66,6 +66,95 @@ ERR_GENERIC_ERROR = -61
 # proj_errno_set(P, EINVAL) before returning proj_coord_error)
 EINVAL = 22
 
+# pj_err_list (strerrno.cpp:11-77): message for code -(index+1).
+ERR_LIST = (
+    "no arguments in initialization list",                  # -1
+    "no options found in 'init' file",                      # -2
+    "no colon in init= string",                             # -3
+    "projection not named",                                 # -4
+    "unknown projection id",                                # -5
+    "effective eccentricity < 0 or >= 1.",                  # -6
+    "unknown unit conversion id",                           # -7
+    "invalid boolean param argument",                       # -8
+    "unknown elliptical parameter name",                    # -9
+    "reciprocal flattening (1/f) = 0",                      # -10
+    "|radius reference latitude| > 90",                     # -11
+    "squared eccentricity < 0",                             # -12
+    "major axis or radius = 0 or not given",                # -13
+    "latitude or longitude exceeded limits",                # -14
+    "invalid x or y",                                       # -15
+    "improperly formed DMS value",                          # -16
+    "non-convergent inverse meridional dist",               # -17
+    "non-convergent inverse phi2",                          # -18
+    "acos/asin: |arg| >1.+1e-14",                           # -19
+    "tolerance condition error",                            # -20
+    "conic lat_1 = -lat_2",                                 # -21
+    "lat_0, lat_1 or lat_2 >= 90",                          # -22
+    "lat_1 = 0",                                            # -23
+    "lat_ts >= 90",                                         # -24
+    "no distance between control points",                   # -25
+    "projection not selected to be rotated",                # -26
+    "W <= 0 or M <= 0",                                     # -27
+    "lsat not in 1-5 range",                                # -28
+    "path not in range",                                    # -29
+    "h <= 0 or h > 1e10 * a",                               # -30
+    "k <= 0",                                               # -31
+    "lat_1=lat_2 or lat_1=0 or lat_2=90",                   # -32
+    "lat_0 = 0 or 90 or alpha = 90",                        # -33
+    "elliptical usage required",                            # -34
+    "invalid UTM zone number",                              # -35
+    "",  # no longer used                                   # -36
+    "failed to find projection to be rotated",              # -37
+    "failed to load datum shift file",                      # -38
+    "both n & m must be spec'd and > 0",                    # -39
+    "n <= 0, n > 1 or not specified",                       # -40
+    "lat_1 or lat_2 not specified",                         # -41
+    "|lat_1| == |lat_2|",                                   # -42
+    "lat_0 is pi/2 from mean lat",                          # -43
+    "unparseable coordinate system definition",             # -44
+    "geocentric transformation missing z or ellps",         # -45
+    "unknown prime meridian conversion id",                 # -46
+    "illegal axis orientation combination",                 # -47
+    "point not within available datum shift grids",         # -48
+    "invalid sweep axis, choose x or y",                    # -49
+    "malformed pipeline",                                   # -50
+    "unit conversion factor must be > 0",                   # -51
+    "invalid scale",                                        # -52
+    "non-convergent computation",                           # -53
+    "missing required arguments",                           # -54
+    "lat_0 = 0",                                            # -55
+    "ellipsoidal usage unsupported",                        # -56
+    "only one +init allowed for non-pipeline operations",   # -57
+    "argument not numerical or out of range",               # -58
+    "inconsistent unit type between input and output",      # -59
+    "arguments are mutually exclusive",                     # -60
+    "generic error of unknown origin",                      # -61
+    "network error",                                        # -62
+)
+
+_MAX_ERROR = 9999
+
+
+def strerrno(err: int) -> str | None:
+    """proj_errno_string / pj_strerrno (strerrno.cpp:80-113).
+
+    0 → None; positive → system strerror; -1..-len(ERR_LIST) → table;
+    other negatives → "invalid projection system error (N)" with N
+    clamped to -9999 (codes below -9999 report -9999).
+    """
+    if err == 0:
+        return None
+    if err > 0:
+        # HAVE_STRERROR branch: the reference returns strerror(err)
+        import os
+
+        return os.strerror(err)
+    adjusted = _MAX_ERROR if err < -_MAX_ERROR else -err - 1
+    if adjusted < len(ERR_LIST):
+        return ERR_LIST[adjusted]
+    return "invalid projection system error (%d)" % (
+        err if err > -_MAX_ERROR else -_MAX_ERROR)
+
 
 class ProjError(Exception):
     """Raised at *plan time* (operation construction). Runtime per-point

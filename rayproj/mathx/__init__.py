@@ -68,7 +68,10 @@ def phi2(ts0: np.ndarray, e: float) -> tuple[np.ndarray, np.ndarray]:
     ts0 = np.asarray(ts0, dtype=np.float64)
     eccnth = 0.5 * e
     ts = ts0.copy()
-    active = np.isfinite(ts0)
+    # non-finite lanes iterate once so IEEE propagation matches the
+    # C loop (phi2.cpp): pow(nan, 0) == 1 keeps phi2(inf, 0) == -pi/2
+    # while phi2(inf, inf) decays to nan (pj_phi2_test.cpp:65-84)
+    active = np.ones(ts0.shape, dtype=bool)
     n_left = np.full(ts0.shape, 15, dtype=np.int32)
     for _ in range(15):
         if not np.any(active):
@@ -78,7 +81,7 @@ def phi2(ts0: np.ndarray, e: float) -> tuple[np.ndarray, np.ndarray]:
             sin_phi = (1.0 - t * t) / (1.0 + t * t)
             con = e * sin_phi
             new_t = ts0[active] * np.power((1.0 - con) / (1.0 + con), eccnth)
-        dphi = 2.0 * (new_t - t)
+            dphi = 2.0 * (new_t - t)
         ts[active] = new_t
         n_left[active] -= 1
         sub_active = (np.abs(dphi) > 1.0e-10) & (n_left[active] > 0)

@@ -1,0 +1,157 @@
+"""Ports of the reference's small unit-vector suites.
+
+- pj_phi2_test.cpp (Basic + AvoidUndefinedBehavior): inverse isometric
+  latitude including the IEEE-propagation edge lanes.
+- proj_errno_string_test.cpp: pj_strerrno / proj_errno_string semantics.
+- proj_angular_io_test.cpp: angular/degree IO classification through
+  bare operations and pipelines.
+
+No Ray needed — these are pure-kernel / plan-time checks.
+"""
+
+import math
+import os
+
+import numpy as np
+import pytest
+
+from rayproj.core.errors import strerrno
+from rayproj.core.factory import create_operation
+from rayproj.core.op import FWD, INV
+from rayproj.mathx import phi2
+
+NAN = float("nan")
+INF = float("inf")
+
+
+def _phi2(ts, e):
+    r, _ = phi2(np.array([ts], dtype=np.float64), e)
+    return float(r[0])
+
+
+class TestPjPhi2:
+    """pj_phi2_test.cpp:39-63 (Basic)."""
+
+    def test_basic(self):
+        assert _phi2(0.0, 0.0) == math.pi / 2
+        assert abs(_phi2(1.0, 0.0)) <= 1e-16
+        assert _phi2(0.0, 1.0) == math.pi / 2
+        assert _phi2(-1.0, 0.0) == math.pi
+        assert _phi2(0.0, -1.0) == math.pi / 2
+        assert abs(_phi2(1.0, 1.0)) <= 1e-16
+        assert _phi2(-1.0, -1.0) == math.pi
+        assert _phi2(math.pi, 0.0) == pytest.approx(
+            -0.95445818456292697, abs=5e-16)
+        assert math.isnan(_phi2(0.0, math.pi))
+        assert _phi2(-math.pi, 0.0) == pytest.approx(
+            4.0960508381527205, abs=1e-15)
+        assert math.isnan(_phi2(0.0, -math.pi))
+        assert math.isnan(_phi2(math.pi, math.pi))
+        assert math.isnan(_phi2(-math.pi, -math.pi))
+
+    def test_avoid_undefined_behavior(self):
+        """pj_phi2_test.cpp:65-84: nan/inf lanes must propagate exactly
+        as the C loop does (pow(nan, 0) == 1)."""
+        assert math.isnan(_phi2(NAN, 0.0))
+        assert math.isnan(_phi2(0.0, NAN))
+        assert math.isnan(_phi2(NAN, NAN))
+        assert _phi2(INF, 0.0) == -math.pi / 2
+        assert math.isnan(_phi2(0.0, INF))
+        assert _phi2(-INF, 0.0) == pytest.approx(
+            4.7123889803846897, abs=1e-15)
+        assert math.isnan(_phi2(0.0, -INF))
+        assert math.isnan(_phi2(INF, INF))
+        assert math.isnan(_phi2(-INF, -INF))
+
+    def test_no_warning_leak(self):
+        """Non-finite lanes must not leak numpy RuntimeWarnings."""
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            phi2(np.array([INF, -INF, NAN, 0.5]), 0.0818191908426215)
+
+
+class TestProjErrnoString:
+    """proj_errno_string_test.cpp:37-69."""
+
+    def test_no_error(self):
+        assert strerrno(0) is None
+
+    def test_proj_errnos(self):
+        assert strerrno(-1) == "no arguments in initialization list"
+        assert strerrno(-1000) == "invalid projection system error (-1000)"
+        assert strerrno(-9999) == "invalid projection system error (-9999)"
+        # for errnos < -9999, -9999 is always reported
+        assert strerrno(-(2 ** 31)) == \
+            "invalid projection system error (-9999)"
+        assert strerrno(-10000) == "invalid projection system error (-9999)"
+
+    def test_table_entries(self):
+        assert strerrno(-5) == "unknown projection id"
+        assert strerrno(-14) == "latitude or longitude exceeded limits"
+        assert strerrno(-38) == "failed to load datum shift file"
+        assert strerrno(-62) == "network error"
+        assert strerrno(-36) == ""  # retired slot stays addressable
+
+    def test_system_errnos(self):
+        # HAVE_STRERROR branch: defer to the platform strerror
+        assert strerrno(5) == os.strerror(5)
+        assert strerrno(9999) == os.strerror(9999)
+        assert strerrno(10000) == os.strerror(10000)
+        assert strerrno(2 ** 31 - 1) == os.strerror(2 ** 31 - 1)
+
+
+class TestAngularUnits:
+    """proj_angular_io_test.cpp:36-116."""
+
+    def test_basic(self):
+        P = create_operation("proj=latlong")
+        assert P.angular_input(FWD)
+        assert P.angular_output(FWD)
+        assert P.angular_input(INV)
+        assert P.angular_output(INV)
+
+    def test_pipelines(self):
+        P = create_operation(
+            "proj=pipeline +step +proj=axisswap +order=2,1 +step "
+            "+proj=latlong +step +proj=axisswap +order=2,1")
+        assert P.angular_input(FWD)
+        assert P.angular_output(FWD)
+        assert P.angular_input(INV)
+        assert P.angular_output(INV)
+
+    def test_pipelines2(self):
+        P = create_operation(
+            "+proj=pipeline "
+            "+step +proj=axisswap +order=2,1 "
+            "+step +proj=unitconvert +xy_in=deg +xy_out=rad "
+            "+step +proj=tmerc +lat_0=0 +lon_0=-81 +k=0.9996 "
+            "+x_0=500000.001016002 +y_0=0 +ellps=WGS84 "
+            "+step +proj=axisswap +order=2,1 "
+            "+step +proj=unitconvert +xy_in=m +z_in=m "
+            "+xy_out=us-ft +z_out=us-ft")
+        assert not P.angular_input(FWD)
+        assert not P.angular_output(FWD)
+
+    def test_pipelines3(self):
+        P = create_operation(
+            "+proj=pipeline "
+            "+step +proj=axisswap +order=2,1 "
+            "+step +proj=tmerc +lat_0=0 +lon_0=-81 +k=0.9996 "
+            "+x_0=500000.001016002 +y_0=0 +ellps=WGS84 "
+            "+step +proj=axisswap +order=2,1 "
+            "+step +proj=unitconvert +xy_in=m +z_in=m "
+            "+xy_out=us-ft +z_out=us-ft")
+        assert P.angular_input(FWD)
+        assert not P.angular_output(FWD)
+
+    def test_degrees(self):
+        P = create_operation(
+            "+proj=pipeline "
+            "+step +inv +proj=utm +zone=32 +ellps=GRS80 "
+            "+step +proj=unitconvert +xy_in=rad +xy_out=deg")
+        assert not P.degree_input(FWD)
+        assert P.degree_input(INV)
+        assert P.degree_output(FWD)
+        assert not P.degree_output(INV)
