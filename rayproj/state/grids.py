@@ -615,6 +615,9 @@ class GGrid:
     units: list
     children: list = field(default_factory=list)
     is_null: bool = False
+    # dict[(sample, key)] = value; sample −1 = dataset-level
+    # (GenericShiftGrid::metadataItem, grids.cpp:2006-2012)
+    metadata: dict = field(default_factory=dict)
 
     @property
     def width(self) -> int:
@@ -626,6 +629,9 @@ class GGrid:
 
     def epsilon(self) -> float:
         return 0.0
+
+    def metadata_item(self, key: str, sample: int = -1) -> str:
+        return self.metadata.get((sample, key), "")
 
     full_world_longitude = HGrid.full_world_longitude
     contains = HGrid.contains

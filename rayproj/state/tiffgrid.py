@@ -556,7 +556,8 @@ def tiff_to_ggrids(data: bytes, name: str):
         descs = [page.meta("DESCRIPTION", i) for i in range(n)]
         units = [page.meta("UNITTYPE", i) for i in range(n)]
         g = GGrid(f"{name}, ifd{ifd}", west, south, east, north, res_x, res_y,
-                  [s.astype(np.float32) for s in page.samples], descs, units)
+                  [s.astype(np.float32) for s in page.samples], descs, units,
+                  metadata=page.metadata)
         _insert_into_hierarchy(g, page.meta("grid_name"), page.meta("parent_grid_name"),
                                top, by_name)
     if not top:
