@@ -970,6 +970,8 @@ def create_crs_to_crs(s_crs: str, t_crs: str):
     from ..core.op import FWD, INV, Operation
 
     def parse(c):
+        if ":" not in c:
+            raise KeyError(f"unknown CRS {c!r}")
         auth, code = c.split(":", 1)
         return auth.upper(), code
 
