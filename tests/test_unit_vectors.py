@@ -155,3 +155,72 @@ class TestAngularUnits:
         assert P.degree_input(INV)
         assert P.degree_output(FWD)
         assert not P.degree_output(INV)
+
+
+class TestIoPredicates:
+    """gie_self_tests.cpp:462-535 io_predicates, plus the rtodms/dmstor
+    vectors from info_functions (gie_self_tests.cpp:410-422)."""
+
+    def test_cart_angular_in_linear_out(self):
+        P = create_operation("+proj=cart +ellps=GRS80")
+        assert P.angular_input(FWD)
+        assert not P.angular_input(INV)
+        assert not P.angular_output(FWD)
+        assert P.angular_output(INV)
+        P.inverted = True
+        assert not P.angular_input(FWD)
+        assert P.angular_input(INV)
+        assert P.angular_output(FWD)
+        assert not P.angular_output(INV)
+
+    def test_molodensky_angular_in_and_out(self):
+        P = create_operation(
+            "+proj=molodensky +a=6378160 +rf=298.25 "
+            "+da=-23 +df=-8.120449e-8 +dx=-134 +dy=-48 +dz=149 +abridged")
+        for inverted in (False, True):
+            P.inverted = inverted
+            assert P.angular_input(FWD)
+            assert P.angular_input(INV)
+            assert P.angular_output(FWD)
+            assert P.angular_output(INV)
+
+    def test_helmert_linear_in_and_out_grs80_default(self):
+        P = create_operation(
+            "+proj=helmert"
+            " +x=0.0127 +y=0.0065 +z=-0.0209 +s=0.00195"
+            " +rx=-0.00039 +ry=0.00080 +rz=-0.00114"
+            " +dx=-0.0029 +dy=-0.0002 +dz=-0.0006 +ds=0.00001"
+            " +drx=-0.00011 +dry=-0.00019 +drz=0.00007"
+            " +t_epoch=1988.0 +convention=coordinate_frame")
+        for inverted in (False, True):
+            P.inverted = inverted
+            assert not P.angular_input(FWD)
+            assert not P.angular_input(INV)
+            assert not P.angular_output(FWD)
+            assert not P.angular_output(INV)
+        # pj_init_ctx defaults to GRS80
+        assert P.ell.a == 6378137.0
+        assert P.ell.f == 1.0 / 298.257222101
+
+    def test_nan_propagation(self):
+        import numpy as np
+
+        from rayproj.core.op import Coords
+
+        P = create_operation("+proj=merc +ellps=WGS84")
+        for direction in (FWD, INV):
+            c = Coords(np.array([NAN]), np.array([NAN]), np.array([NAN]),
+                       np.array([NAN]), np.zeros(1, dtype=np.int32))
+            r = P.trans(direction, c)
+            assert math.isnan(r.x[0]) and math.isnan(r.y[0])
+            assert math.isnan(r.z[0]) and math.isnan(r.t[0])
+
+    def test_rtodms_dmstor_roundtrip(self):
+        from rayproj.core.dms import dmstor_prefix, rtodms
+
+        s = rtodms(math.pi, "N", "S")
+        assert s == "180dN"
+        assert dmstor_prefix(s)[0] == math.pi
+        s = rtodms(-2.0, "N", "S")
+        assert s == "114d35'29.612\"S"
+        assert dmstor_prefix(s)[0] == pytest.approx(-2.0, abs=1e-7)
