@@ -106,11 +106,16 @@ def mjd_to_yyyymmdd(mjd):
     leap = _is_leap(year)
     acc = np.zeros_like(np.asarray(rem, dtype=np.float64))
     out_month = np.ones(acc.shape, dtype=np.int64)
+    # the reference's month loop stops at the first month that does not
+    # fit — a lane that failed month m must not consume a later shorter
+    # month (Jan 31: February's 28 days would otherwise "fit" rem=30)
+    active = np.ones(acc.shape, dtype=bool)
     for m in range(1, 13):
         dim = _MONTH_DAYS[m - 1] + ((m == 2) & leap)
-        step = (acc + dim <= rem)
+        step = active & (acc + dim <= rem)
         acc = np.where(step, acc + dim, acc)
         out_month = np.where(step, m + 1, out_month)
+        active &= step
     day = (rem - acc + 1).astype(np.int64)
     return year * 10000.0 + out_month * 100.0 + day
 

@@ -224,3 +224,52 @@ class TestIoPredicates:
         s = rtodms(-2.0, "N", "S")
         assert s == "114d35'29.612\"S"
         assert dmstor_prefix(s)[0] == pytest.approx(-2.0, abs=1e-7)
+
+
+class TestUnitconvertTime:
+    """gie_self_tests.cpp:558-580 unitconvert_selftest (test_time)."""
+
+    @pytest.mark.parametrize("args,t_in,t_exp", [
+        ("+proj=unitconvert +t_in=decimalyear +t_out=decimalyear",
+         2004.25, 2004.25),
+        ("+proj=unitconvert +t_in=gps_week +t_out=gps_week",
+         1782.0, 1782.0),
+        ("+proj=unitconvert +t_in=mjd +t_out=mjd", 57390.0, 57390.0),
+        ("+proj=unitconvert +t_in=gps_week +t_out=decimalyear",
+         1877.71428, 2016.0),
+        ("+proj=unitconvert +t_in=yyyymmdd +t_out=yyyymmdd",
+         20170131, 20170131),
+    ])
+    def test_time(self, args, t_in, t_exp):
+        import numpy as np
+
+        from rayproj.core.op import Coords
+
+        P = create_operation(args)
+        c = Coords(np.array([0.0]), np.array([0.0]), np.array([0.0]),
+                   np.array([float(t_in)]), np.zeros(1, dtype=np.int32))
+        out = P.trans(FWD, c)
+        assert out.t[0] == pytest.approx(t_exp, abs=1e-6)
+        back = P.trans(INV, out)
+        assert back.t[0] == pytest.approx(t_in, abs=1e-6)
+
+    def test_yyyymmdd_calendar_sweep(self):
+        """Every day of 2016-2017 (leap/non-leap pair incl. month ends)
+        round-trips and matches the datetime oracle."""
+        import datetime
+
+        import numpy as np
+
+        from rayproj.ops.unitconvert import mjd_to_yyyymmdd, yyyymmdd_to_mjd
+
+        base = datetime.date(1858, 11, 17).toordinal()  # MJD epoch
+        d = datetime.date(2016, 1, 1)
+        vals, true_mjd = [], []
+        while d <= datetime.date(2017, 12, 31):
+            vals.append(d.year * 10000 + d.month * 100 + d.day)
+            true_mjd.append(d.toordinal() - base)
+            d += datetime.timedelta(days=1)
+        v = np.array(vals, dtype=np.float64)
+        m = yyyymmdd_to_mjd(v)
+        assert (m == np.array(true_mjd, dtype=np.float64)).all()
+        assert (mjd_to_yyyymmdd(m) == v).all()
