@@ -162,4 +162,6 @@ class ProjError(Exception):
 
     def __init__(self, code: int, message: str = ""):
         self.code = code
+        if not message:
+            message = strerrno(code) or ""
         super().__init__(f"proj error {code}: {message}")
