@@ -52,6 +52,11 @@ def create_operation(definition: str | Params) -> Operation:
 
         expansion = load_init(params.str_("init") or "")
         name = next((v for k, v in expansion if k == "proj"), None)
+        if name == "pipeline":
+            # a pipeline served from an init catalog needs its step
+            # tokens merged in before dispatch (init_operation merges
+            # for plain ops, but pipelines parse their own argv)
+            params = Params(params.pairs + expansion)
     if not name:
         raise ProjError(ERR_PROJ_NOT_NAMED, str(definition))
     if name == "pipeline":

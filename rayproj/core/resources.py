@@ -40,7 +40,22 @@ def add_search_path(path: str) -> None:
         _extra_paths.insert(0, path)
 
 
+# proj_context_set_file_finder (filemanager.cpp): a user callback
+# consulted before the search paths; returns a resolved path or None
+# to fall through to the normal lookup.
+_file_finder = None
+
+
+def set_file_finder(finder) -> None:
+    global _file_finder
+    _file_finder = finder
+
+
 def find_file(name: str) -> str | None:
+    if _file_finder is not None:
+        cand = _file_finder(name)
+        if cand and os.path.exists(cand):
+            return cand
     # only absolute, home-relative or EXPLICITLY relative ("./", "../")
     # names resolve against the filesystem directly — bare names go to
     # the search paths (filemanager.cpp is_rel_or_absolute_filename),
@@ -107,7 +122,10 @@ def load_init(key: str) -> list[tuple[str, str | None]]:
                     line = line[m.end():]
                 else:
                     continue
-            end = line.find("<>")
+            # a section ends at ANY '<' — the explicit '<>' terminator
+            # or the next section's header — or at EOF
+            # (init.cpp get_init_string "end_i_cator" loop)
+            end = line.find("<")
             if end >= 0:
                 line = line[:end]
             for tok in line.split():
@@ -122,6 +140,10 @@ def load_init(key: str) -> list[tuple[str, str | None]]:
             if end >= 0:
                 _init_cache[ck] = pairs
                 return pairs
+    if in_section:
+        # EOF also ends a section (init.cpp: "End of file? - done!")
+        _init_cache[ck] = pairs
+        return pairs
     if bundled_epsg:
         synth = _formulaic_epsg(section)
         if synth is not None:
