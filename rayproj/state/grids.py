@@ -715,3 +715,64 @@ def generic_values_three(gridsets: list, lam: np.ndarray, phi: np.ndarray,
                    + m01 * s[iy2, ixc] + m11 * s[iy2, ix2])
             out[mask] = val
     return v1, v2, v3, outside
+
+
+@dataclass
+class GridInfo:
+    """PJ_GRID_INFO (proj.h / 4D_api.cpp proj_grid_info): metadata for
+    a named datum grid; empty filename/format 'missing' when the file
+    is absent or not a recognized grid."""
+
+    gridname: str = ""
+    filename: str = ""
+    format: str = "missing"
+    n_lon: int = 0
+    n_lat: int = 0
+    cs_lon: float = 0.0
+    cs_lat: float = 0.0
+    lowerleft: tuple = (0.0, 0.0)
+    upperright: tuple = (0.0, 0.0)
+
+
+def _grid_format(path: str) -> str:
+    with open(path, "rb") as f:
+        head = f.read(192)
+    if head[:2] in (b"II", b"MM"):
+        return "gtiff"
+    if head[:9] == b"CTABLE V2":
+        return "ctable2"
+    if head[:8] == b"NUM_OREC":
+        return "ntv2"
+    if len(head) >= 12 and struct.unpack(">i", head[8:12])[0] == 12:
+        return "ntv1"
+    return "gtx"
+
+
+def grid_info(name: str) -> GridInfo:
+    """proj_grid_info (4D_api.cpp:1647-1720): try vertical, then
+    horizontal, then generic grid openers; report the first grid's
+    size, cell size and bounds. Never raises — a missing or
+    unrecognized file reports format='missing' with empty filename."""
+    path = find_file(name)
+    if path is None:
+        return GridInfo(gridname=name)
+    for opener in (open_vgrid_set, open_hgrid_set, open_generic_set):
+        try:
+            grids = opener(name)
+        except Exception:
+            continue
+        if not grids:
+            continue
+        g = grids[0]
+        return GridInfo(
+            gridname=name,
+            filename=path,
+            format=_grid_format(path),
+            n_lon=g.width,
+            n_lat=g.height,
+            cs_lon=g.res_x,
+            cs_lat=g.res_y,
+            lowerleft=(g.west, g.south),
+            upperright=(g.east, g.north),
+        )
+    return GridInfo(gridname=name)

@@ -156,3 +156,28 @@ def test_generic_shift_grid_set_gtiff_projected():
     assert g.north == 5401000.0
     assert g.res_x == 1000
     assert g.res_y == 1000
+
+
+def test_grid_info():
+    """gie_self_tests.cpp:386-396 proj_grid_info: resolved path +
+    format for a real grid; empty filename for a missing name and for
+    a file that is not a grid."""
+    import rayproj.core.resources as resources
+
+    from rayproj.state.grids import grid_info
+
+    resources.add_search_path(TESTS)
+    gi = grid_info("test_hgrid.tif")
+    assert gi.filename != ""
+    assert gi.gridname == "test_hgrid.tif"
+    assert gi.format == "gtiff"
+    assert (gi.n_lon, gi.n_lat) == (4, 4)
+
+    assert grid_info("nonexistinggrid").filename == ""
+    # exists but is not a grid
+    assert grid_info("../CMakeLists.txt").filename == ""
+
+    assert grid_info("conus").format == "ctable2"
+    assert grid_info("ntv1_can.dat").format == "ntv1"
+    assert grid_info("ntv2_0_downsampled.gsb").format == "ntv2"
+    assert grid_info("egm96_15_downsampled.gtx").format == "gtx"
