@@ -296,3 +296,79 @@ def test_no_inverse_projection_poisons_not_raises():
     coo = Coords(np.array([1e5, 2e5]), np.array([1e5, -2e5]), np.zeros(2))
     op.trans(INV, coo)
     assert np.all(np.isinf(coo.x)) and np.all(coo.err == EINVAL)
+
+
+# ---------------------------------------------------------------------------
+# init-file dictionary parser (resources.load_init vs init.cpp get_init)
+# ---------------------------------------------------------------------------
+
+_token = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz0123456789_.=+-", min_size=1,
+    max_size=12).filter(lambda s: "<" not in s and "#" not in s)
+
+
+@st.composite
+def _init_files(draw):
+    """A scratch init dictionary: sections of random tokens spread over
+    1-3 lines, optionally '<>'-terminated, with comments sprinkled in.
+    Returns (text, {section: [raw tokens]})."""
+    n_sections = draw(st.integers(1, 4))
+    lines, sections = [], {}
+    for i in range(n_sections):
+        name = f"SEC{i}"
+        toks = draw(st.lists(_token, min_size=1, max_size=6))
+        sections[name] = toks
+        n_lines = draw(st.integers(1, 3))
+        per = max(1, (len(toks) + n_lines - 1) // n_lines)
+        chunks = [toks[j:j + per] for j in range(0, len(toks), per)]
+        first = True
+        for chunk in chunks:
+            body = " ".join(f"+{t}" if draw(st.booleans()) else t
+                            for t in chunk)
+            if first:
+                lines.append(f"<{name}> {body}")
+                first = False
+            else:
+                lines.append(body)
+            if draw(st.booleans()):
+                lines.append(f"# comment {i}")
+        if draw(st.booleans()) or i < n_sections - 1:
+            # explicit terminator for all but (sometimes) the last
+            # section; an unterminated final section must end at EOF
+            if draw(st.booleans()):
+                lines[-1] += " <>"
+            else:
+                lines.append("<>")
+    return "\n".join(lines) + "\n", sections
+
+
+@settings(max_examples=200, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(data=_init_files(), pick=st.integers(0, 3))
+def test_load_init_matches_token_oracle(tmp_path_factory, data, pick):
+    """Every section parses to exactly its own tokens (split on '=',
+    '+' stripped) no matter how lines, comments and terminators fall —
+    including sections that end at EOF or at the next header."""
+    import rayproj.core.resources as resources
+
+    text, sections = data
+    name = list(sections)[pick % len(sections)]
+    d = tmp_path_factory.mktemp("initfuzz")
+    fname = f"fuzz_dict_{abs(hash(text)) % 10 ** 12:x}"
+    (d / fname).write_text(text)
+    resources.add_search_path(str(d))
+    try:
+        pairs = resources.load_init(f"{fname}:{name}")
+    finally:
+        resources._extra_paths.remove(str(d))
+        resources._init_cache.pop((fname, name), None)
+    expected = []
+    for t in sections[name]:
+        t = t.lstrip("+")
+        if not t:
+            continue
+        if "=" in t:
+            expected.append(tuple(t.split("=", 1)))
+        else:
+            expected.append((t, None))
+    assert pairs == expected
