@@ -5,6 +5,8 @@
 - proj_errno_string_test.cpp: pj_strerrno / proj_errno_string semantics.
 - proj_angular_io_test.cpp: angular/degree IO classification through
   bare operations and pipelines.
+- gie_self_tests.cpp io_predicates + rtodms/dmstor vectors and the
+  unitconvert_selftest time-unit vectors.
 
 No Ray needed — these are pure-kernel / plan-time checks.
 """
