@@ -234,3 +234,56 @@ def _formulaic_epsg(section: str) -> list[tuple[str, str | None]] | None:
         return gk(zone, 6 * zone - 3,
                   "ellps=krass towgs84=23.92,-141.27,-80.9,0,0.35,0.82,-0.12")
     return None
+
+
+class InitInfo:
+    """PJ_INIT_INFO (4D_api.cpp proj_init_info): metadata for a named
+    init file. All-empty when the file is missing; fields default to
+    'Unknown' when the file exists but lacks a <metadata> section."""
+
+    __slots__ = ("name", "filename", "version", "origin", "lastupdate")
+
+    def __init__(self, name="", filename="", version="", origin="",
+                 lastupdate=""):
+        self.name = name
+        self.filename = filename
+        self.version = version
+        self.origin = origin
+        self.lastupdate = lastupdate
+
+
+def init_info(initname: str) -> InitInfo:
+    """proj_init_info semantics: a file on the search path reports its
+    <metadata> section (version/origin/lastupdate, 'Unknown' when
+    absent); the epsg/IGNF database catalogs report the registry
+    version/date from proj.db metadata; anything else is all-empty."""
+    path = find_file(initname)
+    if path is None or len(initname) > 64:
+        if initname.lower() in ("epsg", "ignf"):
+            origin = initname.upper() if initname.lower() == "ignf" \
+                else "EPSG"
+            info = InitInfo(name=initname, origin=origin)
+            try:
+                from ..state.projdb import _db
+
+                for field_name, key in (("version", f"{origin}.VERSION"),
+                                        ("lastupdate", f"{origin}.DATE")):
+                    row = _db().execute(
+                        "SELECT value FROM metadata WHERE key=?",
+                        (key,)).fetchone()
+                    if row:
+                        setattr(info, field_name, row[0])
+            except Exception:
+                pass
+            return info
+        return InitInfo()
+    info = InitInfo(name=initname, filename=path, version="Unknown",
+                    origin="Unknown", lastupdate="Unknown")
+    try:
+        pairs = dict(load_init(f"{initname}:metadata"))
+    except Exception:
+        return info
+    for key in ("version", "origin", "lastupdate"):
+        if pairs.get(key):
+            setattr(info, key, pairs[key])
+    return info

@@ -55,3 +55,21 @@ def test_finder_fallthrough(tmp_path):
     resources.add_search_path(str(tmp_path))
     assert resources.find_file("temp_proj_dic3") == \
         str(tmp_path / "temp_proj_dic3")
+
+
+def test_init_info():
+    """gie_self_tests.cpp:400-408 proj_init_info: unknown name is
+    all-empty; 'epsg' reports the registry origin; an on-path init
+    file reports its <metadata> lastupdate."""
+    resources.add_search_path("/root/reference/data")
+    try:
+        assert resources.init_info("unknowninit").filename == ""
+        info = resources.init_info("epsg")
+        assert info.origin in ("EPSG", "Unknown")
+        assert info.name == "epsg"
+        nad = resources.init_info("nad27")
+        assert nad.filename != ""
+        assert nad.lastupdate == "1992-12-20"
+        assert nad.origin == "Unknown"  # nad27 has no origin field
+    finally:
+        resources._extra_paths.remove("/root/reference/data")
