@@ -21,7 +21,7 @@ the kernels actually compute.
 
 from __future__ import annotations
 
-from .constants import RAD_TO_DEG
+from .constants import DEG_TO_RAD, RAD_TO_DEG
 
 # proj name -> (EPSG method name, [(wkt param name, source attr/param)])
 # Sources: 'lat_0/lon_0' read degrees from the op's resolved radians;
@@ -1121,22 +1121,58 @@ def _unit_factor(node: WKTNode, default: float = 1.0) -> float:
     return default
 
 
-def _ellps_tokens(ell: WKTNode) -> list[str]:
+def _wellknown_ellps(a: float, rf: float, b: float | None = None) -> str | None:
+    """Named +ellps= recognition, mirroring Ellipsoid::lookForProjWellKnownEllps
+    (src/iso19111/datum.cpp:898-931): relative-1e-10 match on the semi-major
+    axis, then on b for b= table entries / rf for rf= entries."""
     from .ellps import ELLPS_TABLE
 
+    if b is None:
+        b = a * (1.0 - 1.0 / rf) if rf else a
+    if not rf and b not in (None, a):
+        rf = a / (a - b) if a != b else 0.0
+    for ename, (size, shape) in ELLPS_TABLE.items():
+        if not size.startswith("a="):
+            continue
+        a_iter = float(size[2:])
+        if abs(a - a_iter) >= 1e-10 * a_iter:
+            continue
+        if shape.startswith("b="):
+            b_iter = float(shape[2:])
+            if abs(b - b_iter) < 1e-10 * b_iter:
+                return ename
+        elif shape.startswith("rf="):
+            rf_iter = float(shape[3:])
+            if rf and abs(rf - rf_iter) < 1e-10 * rf_iter:
+                return ename
+    return None
+
+
+def _pm_wellknown_name(deg: float) -> str | None:
+    """PrimeMeridian::getPROJStringWellKnownName (src/iso19111/datum.cpp:
+    418-433): |rad - dmstor(defn)| < 1e-10 against pj_prime_meridians."""
+    from .datums import PRIME_MERIDIANS, prime_meridian_rad
+
+    rad = deg * DEG_TO_RAD
+    for name in PRIME_MERIDIANS:
+        if name == "greenwich":  # callers only reach here for non-zero pm
+            continue
+        if abs(rad - prime_meridian_rad(name)) < 1e-10:
+            return name
+    return None
+
+
+def _ellps_tokens(ell: WKTNode) -> list[str]:
     nums = [a for a in ell.args if isinstance(a, float)]
     if not nums:
         raise ValueError("WKT: ELLIPSOID node carries no axis value")
     a, rf = nums[0], nums[1] if len(nums) > 1 else 0.0
     a *= _unit_factor(ell)  # ELLIPSOID axis may carry a LENGTHUNIT
-    # prefer a named +ellps= when the numbers match the built-in table
-    for ename, (size, shape) in ELLPS_TABLE.items():
-        if not (size.startswith("a=") and shape.startswith("rf=")):
-            continue
-        if rf and abs(float(size[2:]) - a) < 1e-4 and abs(float(shape[3:]) - rf) < 1e-7:
-            return [f"+ellps={ename}"]
+    ename = _wellknown_ellps(a, rf)
+    if ename is not None:
+        return [f"+ellps={ename}"]
     if rf == 0:
-        return [f"+a={_num(a)}", f"+b={_num(a)}"]  # sphere: rf omitted/0
+        return [f"+R={_num(a)}"]  # sphere (datum.cpp _exportToPROJString)
     return [f"+a={_num(a)}", f"+rf={_num(rf)}"]
 
 
@@ -1171,6 +1207,9 @@ def _primem_tokens(crs: WKTNode) -> list[str]:
     nums = [a for a in pm.args if isinstance(a, float)]
     if nums and nums[0] != 0.0:
         deg = nums[0] * _unit_factor(pm, 0.0174532925199433) * RAD_TO_DEG
+        name = _pm_wellknown_name(deg)
+        if name is not None:
+            return [f"+pm={name}"]
         return [f"+pm={_num(round(deg, 12))}"]
     return []
 
@@ -1371,16 +1410,17 @@ def _pj_value(v, kind: str) -> float:
     return float(v)
 
 
-def _ellps_tokens_ab(a: float, rf: float) -> list[str]:
-    from .ellps import ELLPS_TABLE
-
-    for ename, (size, shape) in ELLPS_TABLE.items():
-        if not (size.startswith("a=") and shape.startswith("rf=")):
-            continue
-        if rf and abs(float(size[2:]) - a) < 1e-4 and abs(float(shape[3:]) - rf) < 1e-7:
-            return [f"+ellps={ename}"]
-    if rf == 0:
-        return [f"+a={_num(a)}", f"+b={_num(a)}"]
+def _ellps_tokens_ab(a: float, rf: float, b: float | None = None) -> list[str]:
+    """PROJ-string ellipsoid emission (datum.cpp _exportToPROJString:937-961):
+    named +ellps= when well-known, +R= for spheres, else +a +rf (or +a +b
+    when the source definition carried a semi-minor axis)."""
+    ename = _wellknown_ellps(a, rf, b)
+    if ename is not None:
+        return [f"+ellps={ename}"]
+    if (b is None and rf == 0) or (b is not None and b == a):
+        return [f"+R={_num(a)}"]
+    if b is not None and not rf:
+        return [f"+a={_num(a)}", f"+b={_num(b)}"]
     return [f"+a={_num(a)}", f"+rf={_num(rf)}"]
 
 
@@ -1396,19 +1436,21 @@ def _pj_datum_tokens(crs: dict) -> list[str]:
     toks: list[str] = []
     if ell is not None:
         a = _pj_value(ell.get("semi_major_axis", ell.get("radius", 0.0)), "length")
+        b = None
         if "inverse_flattening" in ell:
             rf = float(ell["inverse_flattening"])
         elif "semi_minor_axis" in ell:
             b = _pj_value(ell["semi_minor_axis"], "length")
-            rf = a / (a - b) if a != b else 0.0
+            rf = 0.0
         else:
             rf = 0.0
-        toks.extend(_ellps_tokens_ab(a, rf))
+        toks.extend(_ellps_tokens_ab(a, rf, b))
     pm = crs.get("prime_meridian") or datum.get("prime_meridian")
     if pm is not None:
         deg = _pj_value(pm.get("longitude", 0.0), "angle")
         if deg != 0.0:
-            toks.append(f"+pm={_num(round(deg, 12))}")
+            name = _pm_wellknown_name(deg)
+            toks.append(f"+pm={name}" if name else f"+pm={_num(round(deg, 12))}")
     return toks
 
 

@@ -89,7 +89,7 @@ class Cart(Operation):
         norm_phi = np.hypot(y_phi, x_phi)
         zero_phi = norm_phi == 0
         degenerate = x_phi <= 0
-        with np.errstate(divide="ignore", invalid="ignore"):
+        with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
             phi = np.divide(y_phi, x_phi)
             np.arctan(phi, out=phi)
             cosphi = np.divide(x_phi, norm_phi, out=x_phi)

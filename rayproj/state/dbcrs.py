@@ -1694,47 +1694,75 @@ def _bbox_area(b) -> float:
                               - math.sin(math.radians(s)))
 
 
-def _shift(iw: float, ow: float) -> float:
-    """Circular offset of inner start from outer start, with float-dirt
-    wraparound snapped back to zero."""
-    sh = (iw - ow) % 360.0
-    return 0.0 if sh >= 360.0 - 1e-9 else sh
-
-
 def _bbox_contains(outer, inner) -> bool:
-    os_, ow, on, oe = outer
-    is_, iw, in_, ie = inner
-    if not (os_ <= is_ + 1e-9 and on >= in_ - 1e-9):
+    """GeographicBoundingBox::contains (src/iso19111/metadata.cpp:256-302):
+    exact comparisons, W>E means antimeridian-crossing, a [-180,180]
+    inner is only contained by a [-180,180] outer."""
+    s, w, n, e = outer
+    os_, ow, on, oe = inner
+    if not (s <= os_ and n >= on):
         return False
-    # circular longitude containment
-    ospan = _lon_span(ow, oe)
-    if ospan >= 360.0 - 1e-9:
-        return True  # full-circle outer (World) contains any interval
-    sh = _shift(iw, ow)
-    return sh + _lon_span(iw, ie) <= ospan + 1e-9
+    if w == -180.0 and e == 180.0:
+        return True
+    if ow == -180.0 and oe == 180.0:
+        return False
+    if w < e:  # normal outer
+        return w <= ow and e >= oe if ow < oe else False
+    # outer crosses the antimeridian
+    if ow < oe:
+        return ow >= w or oe <= e
+    return w <= ow and e >= oe
 
 
 def _bbox_intersects(a, b) -> bool:
-    as_, aw, an, ae = a
-    bs, bw, bn, be = b
-    if an < bs or bn < as_:
+    """GeographicBoundingBox::Private::intersects (metadata.cpp:308-348)."""
+    s, w, n, e = a
+    os_, ow, on, oe = b
+    if n < os_ or s > on:
         return False
-    sa, sb = _lon_span(aw, ae), _lon_span(bw, be)
-    sh = _shift(bw, aw)
-    return sh < sa + 1e-9 or sh + sb >= 360.0 - 1e-9
+    if w == -180.0 and e == 180.0 and ow > oe:
+        return True
+    if ow == -180.0 and oe == 180.0 and w > e:
+        return True
+    if w <= e:  # normal a
+        if ow < oe:
+            return max(w, ow) < min(e, oe)
+        # b crosses: split b at the antimeridian
+        return (_bbox_intersects(a, (os_, ow, on, 180.0))
+                or _bbox_intersects(a, (os_, -180.0, on, oe)))
+    # a crosses
+    if ow <= oe:
+        return _bbox_intersects(b, a)
+    return True  # both cross: they share the antimeridian
 
 
 def _bbox_intersection(a, b):
-    as_, aw, an, ae = a
-    bs, bw, bn, be = b
-    s, n = max(as_, bs), min(an, bn)
-    sh = _shift(bw, aw)
-    start = max(0.0, sh) if sh < _lon_span(aw, ae) else 0.0
-    end = min(_lon_span(aw, ae), sh + _lon_span(bw, be))
-    w = aw + start
-    e = aw + end
-    norm = lambda x: ((x + 180.0) % 360.0) - 180.0  # noqa: E731
-    return (s, norm(w), n, norm(e))
+    """GeographicBoundingBox::Private::intersection (metadata.cpp:381-441):
+    when one box crosses the antimeridian and the other doesn't, the
+    LARGER of the two split parts is returned (reference behavior)."""
+    s, w, n, e = a
+    os_, ow, on, oe = b
+    if n < os_ or s > on:
+        return None
+    if w == -180.0 and e == 180.0 and ow > oe:
+        return (max(s, os_), ow, min(n, on), oe)
+    if ow == -180.0 and oe == 180.0 and w > e:
+        return (max(s, os_), w, min(n, on), e)
+    if w <= e:  # normal a
+        if ow < oe:
+            res = (max(s, os_), max(w, ow), min(n, on), min(e, oe))
+            return res if res[1] < res[3] else None
+        inter1 = _bbox_intersection(a, (os_, ow, on, 180.0))
+        inter2 = _bbox_intersection(a, (os_, -180.0, on, oe))
+        if inter1 is None:
+            return inter2
+        if inter2 is None:
+            return inter1
+        return inter1 if inter1[3] - inter1[1] > inter2[3] - inter2[1] else inter2
+    # a crosses
+    if ow <= oe:
+        return _bbox_intersection(b, a)
+    return (max(s, os_), max(w, ow), min(n, on), min(e, oe))
 
 
 # methods the reference cannot express as PROJ pipelines (PROJ 7.2):
@@ -1921,18 +1949,21 @@ def geog_pair_candidates(s_token: str, t_token: str, *,
         return inter_area(b, ext1) + inter_area(b, ext2) - both
 
     if aoi is None:
+        # disjoint CRS extents -> null intersection in the reference:
+        # no spatial filtering applies (coordinateoperation.cpp behavior)
         aoi = _bbox_intersection(ext1, ext2)
     # the reference drops the ballpark when a concrete candidate fully
     # covers the area of interest (createOperations ballpark fallback)
-    if any(c["kind"] != "ballpark" and _bbox_contains(c["bbox"], aoi)
-           for c in cands):
+    if aoi is not None and \
+            any(c["kind"] != "ballpark" and _bbox_contains(c["bbox"], aoi)
+                for c in cands):
         cands = [c for c in cands if c["kind"] != "ballpark"]
     shown, intersects = [], 0
     for c in cands:
-        if not _bbox_intersects(c["bbox"], aoi):
+        if aoi is not None and not _bbox_intersects(c["bbox"], aoi):
             continue
         intersects += 1
-        if spatial_test == "contains" and \
+        if aoi is not None and spatial_test == "contains" and \
                 not _bbox_contains(c["bbox"], aoi):
             continue
         shown.append(c)

@@ -396,7 +396,8 @@ def test_projinfo_esri_text_definition(capsys):
 
     assert cli.main(["projinfo", "ESRI:53001", "-o", "PROJ"]) == 0
     out = capsys.readouterr().out
-    assert "+proj=eqc" in out and "+a=6371000" in out
+    # sphere emits +R= (datum.cpp _exportToPROJString), matching real projinfo
+    assert "+proj=eqc" in out and "+R=6371000" in out
 
     assert cli.main(["projinfo", "ESRI:54052", "-o", "wkt1:esri"]) == 0
     out = capsys.readouterr().out
