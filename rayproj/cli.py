@@ -609,6 +609,17 @@ def _projinfo_db_describe(defn: str, args) -> bool:
             warnings, crs = imported
             for w in warnings:
                 print(w)
+    if crs is None:
+        # general WKT text import (WKT1-GDAL / WKT2 CRS forms) — the
+        # reference describes ANY WKT input with the same format blocks
+        # as database objects (projinfo.cpp buildObject -> outputObject)
+        from .state import wktcrs
+
+        imported = wktcrs.wkt_import(defn)
+        if imported is not None:
+            warnings, crs = imported
+            for w in warnings:
+                print(w)
     if crs is None and m is not None:
         auth_u, code_u = m.group(1).upper(), m.group(2)
         try:

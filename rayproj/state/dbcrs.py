@@ -689,14 +689,10 @@ def _ell_a_m(ell: dict) -> float:
 
 # pj_ellps-style well-known (a, rf) -> +ellps name, from core ELLPS_TABLE
 def _named_ellps(a: float, rf: float) -> str | None:
-    from ..core.ellps import ELLPS_TABLE
-    for name, (size, shape) in ELLPS_TABLE.items():
-        if not size.startswith("a=") or not shape.startswith("rf="):
-            continue
-        if (abs(float(size[2:]) - a) < 1e-6 and
-                abs(float(shape[3:]) - rf) < 1e-9):
-            return name
-    return None
+    # reference-faithful well-known lookup (datum.cpp:898-931), incl.
+    # b=-defined table entries such as the 6370997 "sphere"
+    from ..core.wkt import _wellknown_ellps
+    return _wellknown_ellps(a, rf)
 
 
 _PM_NAMES = {
@@ -720,8 +716,10 @@ _PM_NAMES = {
 def _pm_token(lon_deg: float) -> str | None:
     if lon_deg == 0.0:
         return None
+    # reference match window is 1e-10 RADIANS (datum.cpp:425), i.e.
+    # ~5.7e-9 degrees — wide enough for GDAL's 8-decimal Paris value
     for v, name in _PM_NAMES.items():
-        if name and abs(v - lon_deg) < 1e-9:
+        if name and abs(v - lon_deg) * _DEG < 1e-10:
             return f"+pm={name}"
     return f"+pm={_g(lon_deg)}"
 
@@ -774,10 +772,15 @@ def _geodetic_tokens(geog: dict) -> list[str]:
         name = _named_ellps(a_m, ell["rf"])
         if name:
             toks.append(f"+ellps={name}")
+        elif ell["rf"] == 0:
+            toks.append(f"+R={_g(a_m)}")  # sphere (datum.cpp:949-950)
         else:
             toks.append(f"+a={_g(a_m)}")
             toks.append(f"+rf={_g(ell['rf'])}")
-        if geog.get("code"):
+        if geog.get("towgs84"):
+            toks.append("+towgs84="
+                        + ",".join(_g(v) for v in geog["towgs84"]))
+        elif geog.get("code"):
             t = _towgs84_7(geog["auth"], geog["code"])
             if t:
                 toks.append(t)
@@ -816,6 +819,16 @@ def _conv_proj_tokens(conv: dict) -> list[str]:
         toks += [f"+lat_0={_g(lat0)}", f"+lon_0={_g(lon0)}",
                  f"+k={_g(k0)}", f"+x_0={_g(x0)}", f"+y_0={_g(y0)}"]
         return toks
+    if conv.get("proj_pairs"):
+        # WKT-imported method with no EPSG code: direct proj emission
+        return [f"+{k}={v}" if v is not None else f"+{k}"
+                for k, v in conv["proj_pairs"]]
+    if not conv.get("code"):
+        # WKT-imported conversion: normalized triplets, no db row
+        pairs = projdb.method_pairs(
+            conv["method_code"], conv.get("triplets", []), [])
+        return [f"+{k}={v}" if v is not None else f"+{k}"
+                for k, v in pairs]
     # generic: reuse projdb's conversion mapping (resolve-time tokens)
     pairs = projdb._conversion_pairs(
         conv["auth"], conv["code"], [])
@@ -826,6 +839,13 @@ def to_proj4(crs: dict) -> str:
     if crs["kind"] in ("vertical", "compound"):
         raise NotFound(f"PROJ string export of a {crs['kind']} CRS "
                        "requires geoid-grid resolution")
+    if crs.get("proj4_ext"):
+        # GDAL EXTENSION["PROJ4", ...]: the stored string IS the
+        # definition (io.cpp:3591-3611)
+        ext = crs["proj4_ext"].strip()
+        if "+type=crs" not in ext:
+            ext += " +type=crs"
+        return ext
     if crs["kind"] == "geographic":
         toks = ["+proj=longlat"] + _geodetic_tokens(crs)
     elif crs["kind"] == "geocentric":

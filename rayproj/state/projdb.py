@@ -158,7 +158,14 @@ def _scale(value: float, uom: str) -> float:
 
 
 def _fmt(x: float) -> str:
-    s = f"{x:.12g}"
+    """%.15g with integer collapse — internal.cpp toString(double, 15),
+    same convention as dbcrs._g so resolver and PROJ.4-emitter strings
+    carry identical digits (a float-dirt '9999999999' run retries 14g)."""
+    if x == int(x) and abs(x) < 1e15:
+        return str(int(x))
+    s = f"{x:.15g}"
+    if "9999999999" in s:
+        s = f"{x:.14g}"
     return s
 
 
@@ -208,7 +215,11 @@ def _geodetic_pairs(auth: str, code: str) -> list[tuple[str, str | None]] | None
     if prow is not None:
         pm_deg = _angle_deg(float(prow[0]), str(prow[1]))
         if pm_deg != 0.0:
-            pairs.append(("pm", _fmt(pm_deg)))
+            # named +pm= when well-known (1e-10 rad window) so the
+            # resolver and the PROJ.4 emitter express the SAME meridian
+            from ..core.wkt import _pm_wellknown_name
+            pm_name = _pm_wellknown_name(pm_deg)
+            pairs.append(("pm", pm_name if pm_name else _fmt(pm_deg)))
     ng = _nadgrids(auth, code)
     tw = _towgs84(auth, code)
     if ng is not None:
@@ -438,6 +449,11 @@ _PARAM = {
     "8824": ("lat_2", "a"), "8826": ("x_0", "l"), "8827": ("y_0", "l"),
     "8832": ("lat_ts", "a"), "8833": ("lon_0", "a"),
     "1038": ("k_0", "s"), "1039": ("h_0", "l"),
+    # Krovak: colatitude of cone axis -> +alpha, scale factor on the
+    # pseudo standard parallel -> +k; the pseudo parallel itself (8818)
+    # is deliberately NOT exported (coordinateoperation_constants.hpp
+    # paramLatitudePseudoStdParallel proj name = null)
+    "1036": ("alpha", "a"), "8819": ("k", "s"),
     # 9824 zoned TM: initial longitude / zone width
     "8830": ("lon_i", "a"), "8831": ("zw", "a"),
     # topocentric origins (9836 geocentric, 9837 geographic)
@@ -451,7 +467,9 @@ _METHOD = {
     "9808": ("tmerc", {}, [("axis", "wsu")]),  # TM South Orientated
     "9801": ("lcc", {"8801": "lat_1"}, []),  # 1SP: lat_0 == lat_1
     "9802": ("lcc", {}, []),
-    "9804": ("merc", {}, []),  # variant A (k)
+    # variant A (k); lat_0 (always 0) is never exported — the
+    # reference's paramLatMerc1SP maps it to no proj name
+    "9804": ("merc", {"8801": None}, []),
     "9805": ("merc", {"8823": "lat_ts"}, []),  # variant B
     "1024": ("webmerc", {}, []),
     "9806": ("cass", {}, []),
@@ -604,10 +622,26 @@ def _conversion_pairs(conv_auth: str, conv_code: str,
         # parameters — ref iso19111/factory.cpp PROJ-method passthrough)
         return [("proj", method)]
     row = row[:-1]
+    triplets = []
+    for i in range(7):
+        pcode, pval, puom = row[1 + 3 * i: 4 + 3 * i]
+        if pcode is None:
+            continue
+        triplets.append((str(pcode), float(pval), str(puom)))
+    return method_pairs(method, triplets, base_pairs)
+
+
+def method_pairs(method: str, triplets, base_pairs=None
+                 ) -> list[tuple[str, str | None]]:
+    """EPSG conversion method + parameter triplets [(param_code, value,
+    uom_code)] → proj parameter pairs, independent of the database row
+    (shared by db conversions and WKT-imported conversions)."""
     if method not in _METHOD:
         raise NotImplementedError(f"EPSG method {method} not mapped")
     op, overrides, extra = _METHOD[method]
-    pairs: list[tuple[str, str | None]] = [("proj", op)]
+    # method-aux tokens (axis=swu, no_uoff, guam, ...) go RIGHT AFTER
+    # +proj=, the reference's MethodMapping proj_aux position
+    pairs: list[tuple[str, str | None]] = [("proj", op)] + list(extra)
     if method == "9837":
         # geographic -> topocentric is a two-step pipeline; the cart
         # step needs the base ellipsoid explicitly (pipeline globals
@@ -618,15 +652,13 @@ def _conversion_pairs(conv_auth: str, conv_code: str,
         pairs = ([("proj", "pipeline"), ("step", None), ("proj", "cart")]
                  + ell + [("step", None), ("proj", "topocentric")])
     lat_1_for_1sp = None
-    for i in range(7):
-        pcode, pval, puom = row[1 + 3 * i: 4 + 3 * i]
-        if pcode is None:
-            continue
-        pcode = str(pcode)
+    for pcode, pval, puom in triplets:
         if pcode not in _PARAM:
             continue
         name, kind = _PARAM[pcode]
         name = overrides.get(pcode, name)
+        if name is None:  # explicit drop (e.g. Mercator variant A lat_0)
+            continue
         v = float(pval)
         if kind == "a":
             v = _angle_deg(v, str(puom))
@@ -641,7 +673,6 @@ def _conversion_pairs(conv_auth: str, conv_code: str,
         pairs.append((name, _fmt(v)))
     if lat_1_for_1sp is not None:
         pairs.append(("lat_0", _fmt(lat_1_for_1sp)))
-    pairs.extend(extra)
     if method == "9803":
         d = dict(pairs)
         lon0 = _belgium_lon0(float(d["lon_0"]), float(d["lat_1"]),

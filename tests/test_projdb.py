@@ -384,7 +384,13 @@ def test_towgs84_longitude_rotation_hop():
 
     d = dict(load_init("IGNF:LAMBE"))
     assert d["towgs84"] == "-168,-60,320"
-    assert abs(float(d["pm"]) - 2.33722917) < 1e-6
+    # the well-known meridian resolves by NAME (reference convention);
+    # the name round-trips to the same longitude
+    from rayproj.core.datums import prime_meridian_rad
+    from rayproj.core.constants import RAD_TO_DEG
+    assert d["pm"] == "paris"
+    assert abs(prime_meridian_rad("paris") * RAD_TO_DEG
+               - 2.33722917) < 1e-6
 
 
 def test_grid_fallback_per_point_selection(monkeypatch):

@@ -160,7 +160,10 @@ def test_cli_accepts_wkt(capsys):
     rc = cli.main(["projinfo", wkt])
     assert rc == 0
     outp = capsys.readouterr().out
-    assert "+proj=tmerc" in outp and "+lon_0=9" in outp
+    # the WKT re-imports through the db-describe path: UTM-shaped tmerc
+    # parameters collapse to +proj=utm (reference exportToPROJString)
+    assert "PROJ.4 string:" in outp
+    assert "+proj=utm +zone=32 +datum=WGS84" in outp
 
 
 def test_projjson_projected():
