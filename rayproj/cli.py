@@ -709,7 +709,10 @@ def _projinfo_db_describe(defn: str, args) -> bool:
 
                 header("PROJJSON:")
                 print(_json.dumps(dbcrs.to_projjson(crs), indent=2))
-        except dbcrs.NotFound as e:
+        except (dbcrs.NotFound, NotImplementedError, ValueError) as e:
+            # projinfo.cpp outputObject: export failures (no PROJ
+            # equivalent for the method, unmapped params, ...) print a
+            # per-format error and continue with the other formats
             print(f"Error when exporting to {f}: {e}", file=sys.stderr)
     return True
 

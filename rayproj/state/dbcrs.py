@@ -849,7 +849,15 @@ def to_proj4(crs: dict) -> str:
     if crs["kind"] == "geographic":
         toks = ["+proj=longlat"] + _geodetic_tokens(crs)
     elif crs["kind"] == "geocentric":
+        # geocentric carries its Cartesian unit (crs.cpp
+        # GeodeticCRS::_exportToPROJString: +proj=geocent ... +units=m)
         toks = ["+proj=geocent"] + _geodetic_tokens(crs)
+        unit = crs["cs"]["axes"][0]["unit"]
+        short = _one(
+            "SELECT proj_short_name FROM unit_of_measure "
+            "WHERE auth_name=? AND code=?", unit["auth"], unit["code"])
+        toks.append(f"+units={short[0]}" if short and short[0]
+                    else f"+to_meter={_g(unit['factor'])}")
     else:
         toks = _conv_proj_tokens(crs["conversion"])
         toks += _geodetic_tokens(crs["base"])

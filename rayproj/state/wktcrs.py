@@ -874,8 +874,31 @@ def _build_projected(root: WKTNode) -> dict:
 # -------------------------------------------------------------------- entry
 
 
+def _build_geocentric(root: WKTNode) -> dict:
+    """GEOCCS (WKT1) / WKT2 geodetic CRS with a Cartesian 3D CS."""
+    crs = _build_geographic(root)
+    crs["kind"] = "geocentric"
+    crs.pop("geog_type", None)
+    unit = _unit_dict_from_node(
+        root.find("LENGTHUNIT", "UNIT"), "l", _metre())
+    crs["cs"] = {"type": "Cartesian", "dim": 3, "axes": [
+        {"name": "Geocentric X", "abbrev": "X", "orientation":
+         "geocentricX", "unit": unit, "order": 1},
+        {"name": "Geocentric Y", "abbrev": "Y", "orientation":
+         "geocentricY", "unit": unit, "order": 2},
+        {"name": "Geocentric Z", "abbrev": "Z", "orientation":
+         "geocentricZ", "unit": unit, "order": 3},
+    ]}
+    ext = root.find("EXTENSION")
+    if ext is not None and len(ext.args) >= 2 and \
+            str(ext.args[0]).upper() == "PROJ4":
+        crs["proj4_ext"] = str(ext.args[1])
+    return crs
+
+
 _WKT_KEYWORDS = ("GEOGCS", "GEOGCRS", "GEODCRS", "GEOGRAPHICCRS",
-                 "GEODETICCRS", "PROJCS", "PROJCRS", "PROJECTEDCRS")
+                 "GEODETICCRS", "PROJCS", "PROJCRS", "PROJECTEDCRS",
+                 "GEOCCS")
 
 
 def wkt_import(text: str):
@@ -891,9 +914,20 @@ def wkt_import(text: str):
         return None
     kw = root.keyword
     try:
+        if kw == "GEOCCS":
+            return [], _build_geocentric(root)
         if kw in ("GEOGCS", "GEOGCRS", "GEODCRS", "GEOGRAPHICCRS",
                   "GEODETICCRS"):
-            return [], _build_geographic(root)
+            cs = root.find("CS")
+            if cs is not None and cs.args and \
+                    str(cs.args[0]).lower() == "cartesian":
+                return [], _build_geocentric(root)
+            crs = _build_geographic(root)
+            ext = root.find("EXTENSION")
+            if ext is not None and len(ext.args) >= 2 and \
+                    str(ext.args[0]).upper() == "PROJ4":
+                crs["proj4_ext"] = str(ext.args[1])
+            return [], crs
         if kw in ("PROJCS", "PROJCRS", "PROJECTEDCRS"):
             return [], _build_projected(root)
     except Exception:

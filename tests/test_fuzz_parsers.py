@@ -142,6 +142,25 @@ def test_from_wkt_mutated_fails_cleanly(s):
 
 
 @FUZZ
+@given(mutated_wkt())
+def test_wkt_import_mutated_never_raises(s):
+    """The general describe importer returns None (or a dict whose
+    PROJ.4 export fails with a per-format error) on corrupted WKT —
+    never a traceback reaching the CLI."""
+    from rayproj.state import dbcrs, wktcrs
+
+    out = wktcrs.wkt_import(s)  # must not raise at all
+    if out is not None:
+        warnings, crs = out
+        assert isinstance(crs, dict)
+        try:
+            p4 = dbcrs.to_proj4(crs)
+            assert isinstance(p4, str)
+        except (dbcrs.NotFound, NotImplementedError, ValueError):
+            pass  # the CLI prints these as per-format export errors
+
+
+@FUZZ
 @given(st.text(max_size=80))
 def test_from_wkt_arbitrary_text(s):
     try:

@@ -309,6 +309,44 @@ def test_spherical_method_selection():
     )
 
 
+def test_wkt1_geocentric():
+    # test_io.cpp wkt1_geocentric:884-903 (checkGeocentric); the PROJ
+    # string is the reference's geocentric export convention
+    wkt = (
+        'GEOCCS["WGS 84 (geocentric)",DATUM["WGS_1984",'
+        'SPHEROID["WGS 84",6378137,298.257223563,'
+        'AUTHORITY["EPSG","7030"]],AUTHORITY["EPSG","6326"]],'
+        'PRIMEM["Greenwich",0,AUTHORITY["EPSG","8901"]],'
+        'UNIT["metre",1,AUTHORITY["EPSG","9001"]],'
+        'AXIS["Geocentric X",OTHER],AXIS["Geocentric Y",OTHER],'
+        'AXIS["Geocentric Z",NORTH],AUTHORITY["EPSG","4328"]]'
+    )
+    assert p4(wkt) == "+proj=geocent +datum=WGS84 +units=m +no_defs +type=crs"
+
+
+def test_geographic_proj4_extension():
+    # test_io.cpp wkt1_geographic_with_PROJ4_extension:588-618
+    wkt = (
+        'GEOGCS["WGS 84",DATUM["unknown",'
+        'SPHEROID["WGS84",6378137,298.257223563]],PRIMEM["Greenwich",0],'
+        'UNIT["degree",0.0174532925199433],'
+        'EXTENSION["PROJ4","+proj=longlat +foo=bar +wktext"]]'
+    )
+    assert p4(wkt) == "+proj=longlat +foo=bar +wktext +type=crs"
+
+
+def test_geocentric_proj4_extension():
+    # test_io.cpp wkt1_geocentric_with_PROJ4_extension:622-651
+    wkt = (
+        'GEOCCS["WGS 84",DATUM["unknown",'
+        'SPHEROID["WGS84",6378137,298.257223563]],PRIMEM["Greenwich",0],'
+        'UNIT["Meter",1],AXIS["Geocentric X",OTHER],'
+        'AXIS["Geocentric Y",OTHER],AXIS["Geocentric Z",NORTH],'
+        'EXTENSION["PROJ4","+proj=geocent +foo=bar +wktext"]]'
+    )
+    assert p4(wkt) == "+proj=geocent +foo=bar +wktext +type=crs"
+
+
 def test_projinfo_cli_wkt_input(capsys):
     # the CLI routes arbitrary WKT input through the db-describe
     # surface: reference-style "PROJ.4 string:" block, byte-parity body
