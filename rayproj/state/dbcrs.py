@@ -835,10 +835,29 @@ def _conv_proj_tokens(conv: dict) -> list[str]:
     return [f"+{k}={v}" if v is not None else f"+{k}" for k, v in pairs]
 
 
+def _unit_token(unit: dict, key: str, raw_key: str) -> str:
+    short = _one(
+        "SELECT proj_short_name FROM unit_of_measure "
+        "WHERE auth_name=? AND code=?", unit["auth"], unit["code"])
+    return (f"+{key}={short[0]}" if short and short[0]
+            else f"+{raw_key}={_g(unit['factor'])}")
+
+
 def to_proj4(crs: dict) -> str:
-    if crs["kind"] in ("vertical", "compound"):
-        raise NotFound(f"PROJ string export of a {crs['kind']} CRS "
-                       "requires geoid-grid resolution")
+    if crs["kind"] == "vertical":
+        # VerticalCRS::_exportToPROJString (crs.cpp:2999-3017):
+        # just the vertical unit (+geoidgrids only in BoundCRS context)
+        unit = crs["cs"]["axes"][0]["unit"]
+        return " ".join([_unit_token(unit, "vunits", "vto_meter"),
+                         "+no_defs", "+type=crs"])
+    if crs["kind"] == "compound":
+        # CompoundCRS::_exportToPROJString (crs.cpp:4671-4681):
+        # component exports concatenated in order
+        toks: list[str] = []
+        for comp in crs["components"]:
+            part = to_proj4(comp).split()
+            toks += [t for t in part if t not in ("+no_defs", "+type=crs")]
+        return " ".join(toks + ["+no_defs", "+type=crs"])
     if crs.get("proj4_ext"):
         # GDAL EXTENSION["PROJ4", ...]: the stored string IS the
         # definition (io.cpp:3591-3611)
@@ -852,21 +871,13 @@ def to_proj4(crs: dict) -> str:
         # geocentric carries its Cartesian unit (crs.cpp
         # GeodeticCRS::_exportToPROJString: +proj=geocent ... +units=m)
         toks = ["+proj=geocent"] + _geodetic_tokens(crs)
-        unit = crs["cs"]["axes"][0]["unit"]
-        short = _one(
-            "SELECT proj_short_name FROM unit_of_measure "
-            "WHERE auth_name=? AND code=?", unit["auth"], unit["code"])
-        toks.append(f"+units={short[0]}" if short and short[0]
-                    else f"+to_meter={_g(unit['factor'])}")
+        toks.append(_unit_token(crs["cs"]["axes"][0]["unit"],
+                                "units", "to_meter"))
     else:
         toks = _conv_proj_tokens(crs["conversion"])
         toks += _geodetic_tokens(crs["base"])
-        unit = crs["cs"]["axes"][0]["unit"]
-        short = _one(
-            "SELECT proj_short_name FROM unit_of_measure "
-            "WHERE auth_name=? AND code=?", unit["auth"], unit["code"])
-        toks.append(f"+units={short[0]}" if short and short[0]
-                    else f"+to_meter={_g(unit['factor'])}")
+        toks.append(_unit_token(crs["cs"]["axes"][0]["unit"],
+                                "units", "to_meter"))
     toks += ["+no_defs", "+type=crs"]
     return " ".join(toks)
 

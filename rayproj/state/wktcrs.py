@@ -896,9 +896,77 @@ def _build_geocentric(root: WKTNode) -> dict:
     return crs
 
 
+def _build_vertical(root: WKTNode) -> dict:
+    """VERT_CS (WKT1) / VERTCRS / VERTICALCRS (WKT2)."""
+    from . import dbcrs
+
+    wkt1 = root.keyword == "VERT_CS"
+    dnode = root.find("VERT_DATUM", "VDATUM", "VERTICALDATUM", "VRF")
+    d_name = str(dnode.args[0]) if dnode is not None and dnode.args \
+        else "unknown"
+    drow = dbcrs._one(
+        "SELECT auth_name, code FROM vertical_datum WHERE name=?", d_name)
+    unit = _unit_dict_from_node(
+        root.find("LENGTHUNIT", "UNIT"), "l", _metre())
+    axes = []
+    for node in _child_nodes(root):
+        if node.keyword != "AXIS" or len(node.args) < 2:
+            continue
+        axes.append({
+            "name": str(node.args[0]),
+            "abbrev": "", "orientation": str(node.args[1]).lower(),
+            "unit": _unit_dict_from_node(
+                node.find("LENGTHUNIT", "UNIT"), "l", unit),
+            "order": 1})
+    if not axes:
+        axes = [{"name": "Gravity-related height", "abbrev": "H",
+                 "orientation": "up", "unit": unit, "order": 1}]
+    crs: dict = {
+        "kind": "vertical",
+        "name": str(root.args[0]) if root.args else "unknown",
+        "cs": {"type": "vertical", "dim": 1, "axes": axes[:1]},
+        "vdatum": {"auth": drow[0] if drow else "",
+                   "code": drow[1] if drow else "",
+                   "name": d_name, "frame_epoch": None},
+        "usages": [],
+        "deprecated": False,
+    }
+    auth = _node_authority(root)
+    if auth:
+        crs["auth"], crs["code"] = auth
+    del wkt1
+    return crs
+
+
+def _build_compound(root: WKTNode) -> dict:
+    """COMPD_CS (WKT1) / COMPOUNDCRS (WKT2): component CRSs in order."""
+    comps = []
+    for node in _child_nodes(root):
+        if node.keyword in ("GEOGCS", "GEOGCRS", "GEODCRS"):
+            comps.append(_build_geographic(node))
+        elif node.keyword in ("PROJCS", "PROJCRS"):
+            comps.append(_build_projected(node))
+        elif node.keyword in ("VERT_CS", "VERTCRS", "VERTICALCRS"):
+            comps.append(_build_vertical(node))
+    if len(comps) < 2:
+        raise ValueError("compound CRS needs >= 2 components")
+    crs: dict = {
+        "kind": "compound",
+        "name": str(root.args[0]) if root.args else "unknown",
+        "components": comps,
+        "usages": [],
+        "deprecated": False,
+    }
+    auth = _node_authority(root)
+    if auth:
+        crs["auth"], crs["code"] = auth
+    return crs
+
+
 _WKT_KEYWORDS = ("GEOGCS", "GEOGCRS", "GEODCRS", "GEOGRAPHICCRS",
                  "GEODETICCRS", "PROJCS", "PROJCRS", "PROJECTEDCRS",
-                 "GEOCCS")
+                 "GEOCCS", "VERT_CS", "VERTCRS", "VERTICALCRS",
+                 "COMPD_CS", "COMPOUNDCRS")
 
 
 def wkt_import(text: str):
@@ -930,6 +998,10 @@ def wkt_import(text: str):
             return [], crs
         if kw in ("PROJCS", "PROJCRS", "PROJECTEDCRS"):
             return [], _build_projected(root)
+        if kw in ("VERT_CS", "VERTCRS", "VERTICALCRS"):
+            return [], _build_vertical(root)
+        if kw in ("COMPD_CS", "COMPOUNDCRS"):
+            return [], _build_compound(root)
     except Exception:
         return None
     return None

@@ -582,3 +582,80 @@ def test_wkt1_world_methods_roundtrip():
             op2.trans(FWD, c2)
             assert abs(c1.x[0] - c2.x[0]) < 1e-6, (s, esri)
             assert abs(c1.y[0] - c2.y[0]) < 1e-6, (s, esri)
+
+
+VERT_CS_EGM96 = (
+    'VERT_CS["EGM96 height",'
+    'VERT_DATUM["EGM96 geoid",2005,AUTHORITY["EPSG","5171"]],'
+    'UNIT["metre",1,AUTHORITY["EPSG","9001"]],'
+    'AXIS["Gravity-related height",UP],AUTHORITY["EPSG","5773"]]')
+
+COMPD_CS_WGS84_EGM96 = (
+    'COMPD_CS["WGS 84 + EGM96 height",'
+    'GEOGCS["WGS 84",DATUM["WGS_1984",'
+    'SPHEROID["WGS 84",6378137,298.257223563]],'
+    'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],'
+    'VERT_CS["EGM96 height",VERT_DATUM["EGM96 geoid",2005],'
+    'UNIT["metre",1],AXIS["Gravity-related height",UP]]]')
+
+
+def test_vert_cs_import_and_proj4():
+    """VERT_CS WKT1 import builds a vertical CRS whose PROJ export is
+    the bare vertical unit (reference crs.cpp
+    VerticalCRS::_exportToPROJString: +vunits only; +geoidgrids is a
+    BoundCRS concern)."""
+    from rayproj.state import dbcrs, wktcrs
+
+    out = wktcrs.wkt_import(VERT_CS_EGM96)
+    assert out is not None
+    _, crs = out
+    assert crs["kind"] == "vertical"
+    assert (crs["auth"], crs["code"]) == ("EPSG", "5773")
+    assert dbcrs.to_proj4(crs) == "+vunits=m +no_defs +type=crs"
+
+
+def test_vertcrs_wkt2_import_ft_unit():
+    """WKT2 VERTCRS in US survey feet exports +vunits=us-ft."""
+    from rayproj.state import dbcrs, wktcrs
+
+    w = ('VERTCRS["NAVD88 height (ftUS)",'
+         'VDATUM["North American Vertical Datum 1988"],'
+         'CS[vertical,1],AXIS["gravity-related height (H)",up],'
+         'LENGTHUNIT["US survey foot",0.304800609601219],'
+         'ID["EPSG",6360]]')
+    out = wktcrs.wkt_import(w)
+    assert out is not None
+    _, crs = out
+    assert crs["kind"] == "vertical"
+    assert dbcrs.to_proj4(crs) == "+vunits=us-ft +no_defs +type=crs"
+
+
+def test_compd_cs_import_and_proj4():
+    """COMPD_CS concatenates the component PROJ exports (reference
+    crs.cpp CompoundCRS::_exportToPROJString)."""
+    from rayproj.state import dbcrs, wktcrs
+
+    out = wktcrs.wkt_import(COMPD_CS_WGS84_EGM96)
+    assert out is not None
+    _, crs = out
+    assert crs["kind"] == "compound"
+    assert [c["kind"] for c in crs["components"]] == \
+        ["geographic", "vertical"]
+    assert dbcrs.to_proj4(crs) == \
+        "+proj=longlat +datum=WGS84 +vunits=m +no_defs +type=crs"
+
+
+def test_projinfo_cli_vertical_and_compound(capsys):
+    from rayproj import cli
+
+    assert cli.main(["projinfo", VERT_CS_EGM96]) == 0
+    out = capsys.readouterr().out
+    assert "+vunits=m +no_defs +type=crs" in out
+    assert 'VERTCRS["EGM96 height"' in out
+    assert 'ID["EPSG",5773]' in out
+
+    assert cli.main(["projinfo", COMPD_CS_WGS84_EGM96]) == 0
+    out = capsys.readouterr().out
+    assert "+proj=longlat +datum=WGS84 +vunits=m" in out
+    assert 'COMPOUNDCRS["WGS 84 + EGM96 height"' in out
+    assert 'VERTCRS["EGM96 height"' in out
