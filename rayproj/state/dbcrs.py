@@ -1009,16 +1009,19 @@ def datum_wkt2(auth: str, code: str) -> str:
 # ------------------------------------------- operation PROJ pipelines
 
 def operation_proj_pipeline(auth: str, code: str,
-                            multiline: bool = True) -> str:
+                            multiline: bool = True,
+                            reverse: bool = False) -> str:
     """-k operation <code> -o PROJ: the canonical geog→geog helmert
     pipeline (axisswap/unitconvert wrap, push/pop v_3 for 2D ends,
     cart→helmert→inv cart), matching projinfo's multiline PROJ export
-    (src/apps/projinfo.cpp:336-359, PROJStringFormatter multiline)."""
+    (src/apps/projinfo.cpp:336-359, PROJStringFormatter multiline).
+    ``reverse`` exports the INVERSE operation: endpoints swapped and
+    the helmert leg negated via +inv (CoordinateOperation::inverse)."""
     sel = ("SELECT source_crs_auth_name, source_crs_code, "
            "target_crs_auth_name, target_crs_code, method_code, "
            "tx, ty, tz, rx, ry, rz, scale_difference, "
-           "rotation_uom_auth_name, rotation_uom_code, "
-           "scale_difference_uom_auth_name, scale_difference_uom_code "
+           "translation_uom_code, rotation_uom_code, "
+           "scale_difference_uom_code "
            "FROM helmert_transformation_table WHERE auth_name=? AND code=?")
     row = _one(sel, auth, code)
     if row is None:
@@ -1048,7 +1051,9 @@ def operation_proj_pipeline(auth: str, code: str,
                 f"operation {auth}:{code}: non-trivial concatenation")
         row = ends + live[0][4:]
     (sa, sc, ta, tc, method, tx, ty, tz, rx, ry, rz, ds,
-     rua, ruc, sua, suc) = row
+     tuc, ruc, suc) = row
+    if reverse:
+        (sa, sc), (ta, tc) = (ta, tc), (sa, sc)
     src, tgt = load_crs(sa, sc), load_crs(ta, tc)
 
     def ellps_tok(g: dict) -> str:
@@ -1058,13 +1063,20 @@ def operation_proj_pipeline(auth: str, code: str,
         return (f"+ellps={name}" if name
                 else f"+a={_g(a_m)} +rf={_g(e['rf'])}")
 
-    hel = [f"+x={_g(tx or 0.0)}", f"+y={_g(ty or 0.0)}",
-           f"+z={_g(tz or 0.0)}"]
+    # PROJStringFormatter emits translations in metres, rotations in
+    # ARC-SECONDS and scale in ppm (coordinateoperation.cpp
+    # Measure::convertToUnit against static.cpp's METRE/ARC_SECOND/
+    # PARTS_PER_MILLION); convert from the stored uom via DB
+    # conv_factor ratios so same-unit values round-trip bit-exact
+    t_f = projdb._uom_factor(tuc or "9001")
+    r_f = (projdb._uom_factor(ruc or "9104") / projdb._uom_factor("9104"))
+    s_f = (projdb._uom_factor(suc or "9202") / projdb._uom_factor("9202"))
+    hel = [f"+x={_g((tx or 0.0) * t_f)}", f"+y={_g((ty or 0.0) * t_f)}",
+           f"+z={_g((tz or 0.0) * t_f)}"]
     if any(v for v in (rx, ry, rz, ds)):
-        arc = projdb._uom_factor(ruc) if ruc else 1.0
         for k, v in (("rx", rx), ("ry", ry), ("rz", rz)):
-            hel.append(f"+{k}={_g((v or 0.0) * arc)}")
-        hel.append(f"+s={_g(ds or 0.0)}")
+            hel.append(f"+{k}={_g((v or 0.0) * r_f)}")
+        hel.append(f"+s={_g((ds or 0.0) * s_f)}")
         if method in ("9607", "1038"):  # coordinate frame rotation
             hel.append("+convention=coordinate_frame")
         else:
@@ -1077,7 +1089,8 @@ def operation_proj_pipeline(auth: str, code: str,
     if two_d:
         steps.append("+proj=push +v_3")
     steps.append(f"+proj=cart {ellps_tok(src)}")
-    steps.append("+proj=helmert " + " ".join(hel))
+    steps.append(("+inv " if reverse else "") + "+proj=helmert "
+                 + " ".join(hel))
     steps.append(f"+inv +proj=cart {ellps_tok(tgt)}")
     if two_d:
         steps.append("+proj=pop +v_3")
@@ -2059,7 +2072,8 @@ def candidate_proj_steps(c: dict) -> list[str] | None:
                 "+proj=unitconvert +xy_in=rad +xy_out=deg",
                 "+proj=axisswap +order=2,1"]
     try:
-        pipe = operation_proj_pipeline(c["auth"], c["code"])
+        pipe = operation_proj_pipeline(c["auth"], c["code"],
+                                       reverse=c["reverse"])
     except NotFound:
         return None
     return _pipeline_steps(pipe)

@@ -842,22 +842,39 @@ def candidate_operations(s_auth: str, s_code: str, t_auth: str,
     ):
         for row in con.execute(
             "SELECT auth_name, code, name, method_name, accuracy, "
-            "  tx, ty, tz, rx, ry, rz, scale_difference "
+            "  tx, ty, tz, rx, ry, rz, scale_difference, "
+            "  translation_uom_code, rotation_uom_code, "
+            "  scale_difference_uom_code "
             "FROM helmert_transformation "
             "WHERE source_crs_auth_name=? AND source_crs_code=? "
             "  AND target_crs_auth_name=? AND target_crs_code=? "
             "  AND deprecated=0",
             (sa, sc, ta, tc),
         ):
+            # normalize to the +proj=helmert conventional units
+            # (m / arcsec / ppm) via DB conv_factor ratios — 229 EPSG
+            # helmerts store rotations in mas/µrad/radian/centesimal
+            # arcsec and 145 store translations in mm/cm; raw values
+            # would be numerically wrong (ref common.cpp
+            # Measure::convertToUnit semantics)
+            t_f = _uom_factor(row[12] or "9001")
+            r_f = (_uom_factor(row[13] or "9104") / _uom_factor("9104"))
+            s_f = (_uom_factor(row[14] or "9202") / _uom_factor("9202"))
+
+            def cv(v, f):
+                return None if v is None else float(v) * f
+
             out.append(
                 {
                     "auth": row[0], "code": row[1], "name": row[2],
                     "method": row[3], "accuracy": row[4],
                     "inverse": inverse,
                     "params": {
-                        "tx": row[5], "ty": row[6], "tz": row[7],
-                        "rx": row[8], "ry": row[9], "rz": row[10],
-                        "ds": row[11],
+                        "tx": cv(row[5], t_f), "ty": cv(row[6], t_f),
+                        "tz": cv(row[7], t_f),
+                        "rx": cv(row[8], r_f), "ry": cv(row[9], r_f),
+                        "rz": cv(row[10], r_f),
+                        "ds": cv(row[11], s_f),
                     },
                 }
             )

@@ -490,3 +490,43 @@ def test_esri_text_definition_crs():
     assert d["proj"] == "igh"
     d = dict(projdb.resolve_crs("ESRI", "102460"))  # Local -> ortho
     assert d["proj"] == "ortho" and "k_0" not in d and "alpha" not in d
+
+
+def test_helmert_units_normalized():
+    """Registry helmerts stored in non-conventional units (µrad / mas /
+    centesimal-arcsec rotations, ppb scales, mm/cm translations) are
+    normalized to the +proj=helmert m / arcsec / ppm contract both in
+    candidate_operations (the runtime routing path) and in the projinfo
+    PROJ-string emission (ref coordinateoperation.cpp exports via
+    Measure::convertToUnit against METRE/ARC_SECOND/PARTS_PER_MILLION).
+
+    EPSG:1112 Amersfoort to WGS 84 (1) stores rotations in µrad (9109):
+    rx=-6.3239 µrad = -1.30439800822601 arcsec."""
+    ops = projdb.candidate_operations("EPSG", "4289", "EPSG", "4326")
+    helm = {o["code"]: o for o in ops if "params" in o and not o["inverse"]}
+    p = helm["1112"]["params"]
+    assert abs(p["rx"] - (-6.3239e-6 / (np.pi / 180.0 / 3600.0))) < 1e-12
+    assert abs(p["rx"] - (-1.30439800822601)) < 1e-11
+    assert abs(p["tx"] - 593.16) < 1e-12   # already metres
+    assert abs(p["ds"] - 4.0775) < 1e-12   # already ppm
+
+    # arcsec-stored ops round-trip bit-exact (identical-unit factor
+    # ratio is exactly 1.0): EPSG:15994 Pulkovo 1942(58) to ETRS89 (4)
+    ops = projdb.candidate_operations("EPSG", "4179", "EPSG", "4258")
+    p = {o["code"]: o for o in ops if "params" in o}["15994"]["params"]
+    assert p["rx"] == 0.3092483 and p["ds"] == 5.68906266
+
+    # display parity: the reference's own expected string for 15994
+    # (test/unit/test_operation.cpp:4324-4334 geogCRS_to_geogCRS
+    # _context_default) — rotations in ARC-SECONDS, not radians
+    from rayproj.state.dbcrs import operation_proj_pipeline
+    pipe = operation_proj_pipeline("EPSG", "15994", multiline=False)
+    assert pipe == (
+        "+proj=pipeline +step +proj=axisswap +order=2,1 +step "
+        "+proj=unitconvert +xy_in=deg +xy_out=rad +step +proj=push +v_3 "
+        "+step +proj=cart +ellps=krass +step +proj=helmert +x=2.3287 "
+        "+y=-147.0425 +z=-92.0802 +rx=0.3092483 +ry=-0.32482185 "
+        "+rz=-0.49729934 +s=5.68906266 +convention=coordinate_frame +step "
+        "+inv +proj=cart +ellps=GRS80 +step +proj=pop +v_3 +step "
+        "+proj=unitconvert +xy_in=rad +xy_out=deg +step +proj=axisswap "
+        "+order=2,1")
