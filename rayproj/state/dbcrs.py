@@ -1830,6 +1830,273 @@ def _crs_extent(crs: dict):
     return (-90.0, -180.0, 90.0, 180.0)
 
 
+_SUPERSEDED_CACHE: set | None = None
+
+
+def _superseded_ops() -> set:
+    """(table, auth, code) of operations the reference's
+    createOperations discards: a superseded op is dropped ONLY when a
+    same-table, same-source/target-pair replacement exists that is
+    itself not deprecated (factory.cpp setTransf lookup — the
+    supersession join requires superseded_table_name =
+    replacement_table_name AND same_source_target_crs=1, and the
+    replacement must land in the same query's result set, which for
+    same-pair supersessions reduces to it being non-deprecated)."""
+    global _SUPERSEDED_CACHE
+    if _SUPERSEDED_CACHE is None:
+        _SUPERSEDED_CACHE = {(t, a, c) for t, a, c in _all(
+            "SELECT ss.superseded_table_name, ss.superseded_auth_name, "
+            "ss.superseded_code FROM supersession ss "
+            "JOIN coordinate_operation_view cov "
+            "  ON cov.table_name = ss.replacement_table_name "
+            "  AND cov.auth_name = ss.replacement_auth_name "
+            "  AND cov.code = ss.replacement_code "
+            "WHERE ss.same_source_target_crs = 1 "
+            "  AND ss.superseded_table_name = ss.replacement_table_name "
+            "  AND cov.deprecated = 0")}
+    return _SUPERSEDED_CACHE
+
+
+# ------------------- stored concatenated operations as candidates
+
+def _geodetic_ellps_tok(auth: str, code: str) -> str:
+    e = load_crs(auth, code)["datum"]["ellipsoid"]
+    a_m = _ell_a_m(e)
+    name = _named_ellps(a_m, e["rf"])
+    return f"+ellps={name}" if name else f"+a={_g(a_m)} +rf={_g(e['rf'])}"
+
+
+def _grid_proj_file(g1: str):
+    """(tif_or_original_name, derived, inverse) through
+    grid_alternatives; ``inverse`` means the PROJ-alternative grid is
+    registered in the opposite direction to the original (e.g.
+    rgf93_ntf.gsb → fr_ign_ntf_r93.tif), so the emitted step direction
+    flips."""
+    alt = _one(
+        "SELECT proj_grid_name, inverse_direction FROM grid_alternatives "
+        "WHERE original_grid_name=? OR old_proj_grid_name=?", g1, g1)
+    if alt is not None:
+        return alt[0], alt[0] != g1, bool(alt[1])
+    return g1, False, False
+
+
+def _transformation_middle(auth: str, code: str, reverse: bool):
+    """Middle pipeline steps (radian-geographic in/out) for ONE stored
+    transformation row, honouring traversal direction — the per-step
+    leg of ConcatenatedOperation::exportToPROJString (the reference
+    composes member exports and lets PROJStringFormatter cancel the
+    interior normalizations; we emit the interior legs directly).
+    Returns {"steps": [...], "files": [...]} or None if the method has
+    no PROJ expression."""
+    inv = "+inv " if reverse else ""
+    row = _one(
+        "SELECT source_crs_auth_name, source_crs_code, "
+        "target_crs_auth_name, target_crs_code, method_code, epoch "
+        "FROM helmert_transformation_table WHERE auth_name=? AND code=?",
+        auth, code)
+    if row is not None:
+        sa, sc, ta, tc, method, epoch = row
+        if method in _UNSUPPORTED_HELMERT_METHODS:
+            return None
+        if epoch is not None and method in ("1053", "1054", "1056", "1057"):
+            hrow = _one(
+                "SELECT tx, ty, tz, rx, ry, rz, scale_difference, "
+                "rate_tx, rate_ty, rate_tz, rate_rx, rate_ry, rate_rz, "
+                "rate_scale_difference, epoch, translation_uom_code, "
+                "rotation_uom_code, scale_difference_uom_code, "
+                "rate_translation_uom_code, rate_rotation_uom_code, "
+                "rate_scale_difference_uom_code, method_code "
+                "FROM helmert_transformation_table "
+                "WHERE auth_name=? AND code=?", auth, code)
+            hel = "+proj=helmert " + " ".join(_helmert_15(hrow))
+        else:
+            pipe = operation_proj_pipeline(auth, code, multiline=False)
+            hel = next(s for s in _pipeline_steps(pipe)
+                       if "+proj=helmert" in s)
+        if reverse:
+            sa, sc, ta, tc = ta, tc, sa, sc
+            hel = "+inv " + hel
+        # strict no-op helmerts vanish entirely (PROJStringFormatter
+        # noop elision; the surrounding carts then cancel with the
+        # neighbours' or with nothing)
+        vals = [t.split("=", 1)[1] for t in hel.split()
+                if "=" in t and not t.startswith(
+                    ("+proj", "+convention", "+t_epoch"))]
+        if all(float(v) == 0.0 for v in vals):
+            return {"steps": [], "files": []}
+        return {"steps": [f"+proj=cart {_geodetic_ellps_tok(sa, sc)}",
+                          hel,
+                          f"+inv +proj=cart {_geodetic_ellps_tok(ta, tc)}"],
+                "files": []}
+    row = _one(
+        "SELECT source_crs_auth_name, source_crs_code, "
+        "target_crs_auth_name, target_crs_code, method_code, method_name, "
+        "grid_name FROM grid_transformation WHERE auth_name=? AND code=?",
+        auth, code)
+    if row is not None:
+        sa, sc, ta, tc, mc, mname, g1 = row
+        if mname.startswith(_UNSUPPORTED_GRID_METHODS):
+            return None
+        fname, derived, inv_dir = _grid_proj_file(g1)
+        if inv_dir:
+            reverse = not reverse
+            inv = "+inv " if reverse else ""
+        if mc in ("1087", "9655"):  # geocentric translation by grid
+            # interpolation (IGN) → xyzgridshift
+            tok_s = _geodetic_ellps_tok(sa, sc)
+            tok_t = _geodetic_ellps_tok(ta, tc)
+            if reverse:
+                return {"steps": [
+                    f"+proj=cart {tok_t}",
+                    f"+inv +proj=xyzgridshift +grids={fname} "
+                    f"+grid_ref=output_crs {tok_t}",
+                    f"+inv +proj=cart {tok_s}"],
+                    "files": [fname]}
+            return {"steps": [
+                f"+proj=cart {tok_s}",
+                f"+proj=xyzgridshift +grids={fname} "
+                f"+grid_ref=output_crs {tok_t}",
+                f"+inv +proj=cart {tok_t}"],
+                "files": [fname]}
+        if not derived and mname.startswith(("NTv2", "NTv1", "NADCON",
+                                             "Geocentric translation")):
+            # no PROJ-usable grid known for the official name
+            return None
+        return {"steps": [f"{inv}+proj=hgridshift +grids={fname}"],
+                "files": [fname]}
+    row = _one(
+        "SELECT source_crs_auth_name, source_crs_code, "
+        "target_crs_auth_name, target_crs_code, method_code "
+        "FROM other_transformation WHERE auth_name=? AND code=?",
+        auth, code)
+    if row is not None:
+        sa, sc, ta, tc, mc = row
+        if mc == "9601":  # longitude rotation (prime-meridian change)
+            base = (ta, tc) if not reverse else (sa, sc)
+            pm_crs = (sa, sc) if not reverse else (ta, tc)
+            pm = load_crs(*pm_crs)["datum"].get("pm")
+            tok = _pm_token(pm["lon_deg"]) if pm else None
+            if tok is None:
+                return None
+            ell = _geodetic_ellps_tok(*base)
+            if reverse:
+                return {"steps": [f"+proj=longlat {ell} {tok}"], "files": []}
+            return {"steps": [f"+inv +proj=longlat {ell} {tok}"],
+                    "files": []}
+        if mc in ("9619", "9660"):  # geographic offsets
+            vals = _all(
+                "SELECT parameter_code, value, uom_code FROM "
+                "other_transformation_parameter "
+                "WHERE operation_auth_name=? AND operation_code=?",
+                auth, code)
+            names = {"8601": "dlat", "8602": "dlon", "8604": "dh"}
+            toks = []
+            for pc, v, uc in vals:
+                if pc not in names:
+                    return None
+                v = float(v or 0.0)
+                if pc in ("8601", "8602"):
+                    v = projdb._angle_deg(v, str(uc)) * 3600.0  # arcsec
+                if reverse:
+                    v = -v
+                toks.append(f"+{names[pc]}={_g(v)}")
+            return {"steps": ["+proj=geogoffset " + " ".join(toks)],
+                    "files": []}
+    return None
+
+
+def concat_expand(auth: str, code: str, reverse: bool):
+    """Full PROJ pipeline steps for a stored concatenated operation:
+    walk the member steps from the source CRS (detecting per-step
+    traversal direction), splice the middles, cancel interior
+    cart/inv-cart pairs, and wrap for the geographic endpoints with
+    push/pop +v_3 around cart sections (2D ends). Returns
+    {"steps": [...], "files": [...]} or None if any member has no
+    PROJ expression."""
+    ends = _one(
+        "SELECT source_crs_auth_name, source_crs_code, "
+        "target_crs_auth_name, target_crs_code "
+        "FROM concatenated_operation WHERE auth_name=? AND code=?",
+        auth, code)
+    steps_rows = _all(
+        "SELECT step_auth_name, step_code FROM concatenated_operation_step "
+        "WHERE operation_auth_name=? AND operation_code=? "
+        "ORDER BY step_number", auth, code)
+    if ends is None or not steps_rows:
+        return None
+    cur = (str(ends[0]), str(ends[1]))
+    middle: list[str] = []
+    files: list[str] = []
+    for pa, pc in steps_rows:
+        srow = _one(
+            "SELECT source_crs_auth_name, source_crs_code, "
+            "target_crs_auth_name, target_crs_code FROM ("
+            "SELECT source_crs_auth_name, source_crs_code, "
+            "target_crs_auth_name, target_crs_code, auth_name, code "
+            "FROM coordinate_operation_view) WHERE auth_name=? AND code=?",
+            pa, pc)
+        if srow is None:
+            return None
+        s_ac = (str(srow[0]), str(srow[1]))
+        t_ac = (str(srow[2]), str(srow[3]))
+        if s_ac == cur:
+            rev, cur = False, t_ac
+        elif t_ac == cur:
+            rev, cur = True, s_ac
+        else:
+            return None
+        m = _transformation_middle(pa, pc, rev)
+        if m is None:
+            return None
+        middle.extend(m["steps"])
+        files.extend(m["files"])
+    if reverse:
+        middle = _invert_steps(middle)
+        s_end, t_end = (str(ends[2]), str(ends[3])), (str(ends[0]),
+                                                      str(ends[1]))
+    else:
+        s_end, t_end = (str(ends[0]), str(ends[1])), (str(ends[2]),
+                                                      str(ends[3]))
+    middle = _cancel_pairs(middle)
+    src, tgt = load_crs(*s_end), load_crs(*t_end)
+    if src["kind"] not in ("geographic",) or tgt["kind"] not in (
+            "geographic",):
+        return None
+    # push/pop +v_3 around each contiguous cart…inv-cart section when
+    # both endpoints are 2D (io.cpp 2D-pipeline height preservation)
+    two_d = (src.get("geog_type") == "geographic 2D"
+             and tgt.get("geog_type") == "geographic 2D")
+    if two_d:
+        wrapped: list[str] = []
+        in_cart = False
+        for s in middle:
+            starts_cart = s.startswith("+proj=cart")
+            ends_cart = s.startswith("+inv +proj=cart")
+            if starts_cart and not in_cart:
+                wrapped.append("+proj=push +v_3")
+                in_cart = True
+            wrapped.append(s)
+            if ends_cart and in_cart:
+                wrapped.append("+proj=pop +v_3")
+                in_cart = False
+        middle = wrapped
+
+    def unit_tok(crs: dict) -> str:
+        u = crs["cs"]["axes"][0]["unit"]["name"] if crs["cs"]["axes"] \
+            else "degree"
+        return {"degree": "deg", "grad": "grad"}.get(u, "deg")
+
+    steps: list[str] = []
+    if _lat_first(src):
+        steps.append("+proj=axisswap +order=2,1")
+    steps.append(f"+proj=unitconvert +xy_in={unit_tok(src)} +xy_out=rad")
+    steps.extend(middle)
+    steps.append(f"+proj=unitconvert +xy_in=rad +xy_out={unit_tok(tgt)}")
+    if _lat_first(tgt):
+        steps.append("+proj=axisswap +order=2,1")
+    return {"steps": steps, "files": files}
+
+
 def geog_pair_candidates(s_token: str, t_token: str, *,
                          spatial_test: str = "contains",
                          hide_ballpark: bool = False,
@@ -1880,13 +2147,6 @@ def geog_pair_candidates(s_token: str, t_token: str, *,
         return None
     s_codes = {(s_crs["auth"], s_crs["code"])}
     t_codes = {(t_crs["auth"], t_crs["code"])}
-    superseded = set()
-    for tbl in ("helmert_transformation", "grid_transformation",
-                "other_transformation"):
-        superseded |= {(tbl, r[0], r[1]) for r in _all(
-            "SELECT superseded_auth_name, superseded_code FROM supersession "
-            "WHERE superseded_table_name=? AND same_source_target_crs=1",
-            tbl)}
     cands = []
     rows = _all(
         "SELECT 'grid', auth_name, code, name, accuracy, "
@@ -1904,22 +2164,49 @@ def geog_pair_candidates(s_token: str, t_token: str, *,
         "source_crs_auth_name, source_crs_code, target_crs_auth_name, "
         "target_crs_code, method_auth_name, method_code, method_name, "
         "NULL, NULL, NULL, NULL, operation_version, description "
-        "FROM other_transformation WHERE deprecated=0")
+        "FROM other_transformation WHERE deprecated=0 "
+        "UNION ALL SELECT 'concat', auth_name, code, name, accuracy, "
+        "source_crs_auth_name, source_crs_code, target_crs_auth_name, "
+        "target_crs_code, NULL, NULL, NULL, "
+        "NULL, NULL, NULL, NULL, operation_version, description "
+        "FROM concatenated_operation WHERE deprecated=0")
     tblname = {"grid": "grid_transformation",
                "helmert": "helmert_transformation",
-               "other": "other_transformation"}
+               "other": "other_transformation",
+               "concat": "concatenated_operation"}
+    pair_rows = [r for r in rows
+                 if ((r[5], r[6]) in s_codes and (r[7], r[8]) in t_codes)
+                 or ((r[5], r[6]) in t_codes and (r[7], r[8]) in s_codes)]
+    superseded = _superseded_ops()
     for (k, auth, code, name, acc, sa, sc, ta, tc, ma, mc, mname,
-         p1name, g1, p2name, g2, version, remark) in rows:
-        fwd = (sa, sc) in s_codes and (ta, tc) in t_codes
-        rev = (sa, sc) in t_codes and (ta, tc) in s_codes
-        if not fwd and not rev:
-            continue
+         p1name, g1, p2name, g2, version, remark) in pair_rows:
+        rev = (sa, sc) in t_codes and (ta, tc) in s_codes and \
+            not ((sa, sc) in s_codes and (ta, tc) in t_codes)
         if auth not in ("EPSG", "PROJ"):
             continue  # authority preference for EPSG-pair lookups
         if (tblname[k], auth, code) in superseded:
             continue
         us = _usages(tblname[k], auth, code)
         if not us:
+            continue
+        if k == "concat":
+            exp = concat_expand(auth, code, rev)
+            cands.append({
+                "kind": "concat", "auth": auth, "code": code, "name": name,
+                "acc": acc, "reverse": rev, "derived": False,
+                "method_name": None, "method_id": None,
+                "files": [("Latitude and longitude difference file", f)
+                          for f in (exp["files"] if exp else [])],
+                "version": version, "remark": remark or None,
+                "scope": us[0]["scope"], "area": us[0]["area"],
+                "bbox": us[0]["bbox"],
+                "exportable": exp is not None,
+                "steps_proj": exp["steps"] if exp else None,
+                "known": True,
+                "available": grid_check == "none"
+                or not (exp and exp["files"]),
+                "approx": False,
+            })
             continue
         derived = False
         files = []
@@ -2055,6 +2342,8 @@ def candidate_proj_steps(c: dict) -> list[str] | None:
         return ["+proj=noop"]
     if not c["exportable"]:
         return None
+    if c["kind"] == "concat":
+        return c.get("steps_proj")
     if c["kind"] == "chain" or c.get("prefix"):
         # composed operations: pipeline export not implemented — the
         # caller reports that rather than printing a pipeline that
